@@ -1,0 +1,189 @@
+"""Point-in-time (as-of) join — the core operator the north rule adds on
+top of the reference's per-row schema-normalization surface (which has no
+record-to-record join at all, SURVEY.md §2.B).
+
+Semantics
+---------
+For each probe row ``(entity, ts)`` attach the build-side row with the
+largest ``build.ts`` such that ``build.ts <= probe.ts`` (``strict=True``
+uses ``<``). Leakage-free by construction: no probe row can observe a build
+row with a strictly greater timestamp; ties resolve per the strict flag.
+
+Two physical strategies
+-----------------------
+1. :func:`asof_join` (primary) — **union + last-non-null window**.
+   Tag both sides, union by aligned schema, forward-fill the build payload
+   struct over ``(entity) ORDER BY (ts, side, tiebreak)``, keep probe rows.
+   Cost: ONE shuffle on entity + one sort over n_probe + n_build rows.
+   This is the sort-merge-over-co-partitioned-data formulation: with both
+   sides already bucketed/sorted by (entity, ts) on storage, the exchange
+   becomes a no-op and only the merge remains.
+2. :func:`asof_join_range` (fallback) — bounded **range join** + pick
+   latest per probe key. Needs a match horizon; useful when the build side
+   is tiny or when a range-join-optimized engine executes it.
+
+Spark has no native ASOF JOIN (as of 4.1); both strategies are plain
+DataFrame rewrites — Catalyst still gets full pushdown/pruning on inputs.
+
+Scale notes: the window partitions by entity only, so a pathologically hot
+entity serializes in one task — pair with
+:mod:`amazon_security_lake_transformation_library_spark.operators.salted`
+(chunked forward-fill) when single entities exceed task-sized row counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.timeops import epoch_seconds
+
+_B = "__asof_payload"
+_SIDE = "__asof_side"
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    payload: Sequence[str],
+) -> DataFrame:
+    """Deterministically dedupe to one row per key: the row with the
+    lexicographically-largest ``order`` tuple wins (max over a struct —
+    a single hash aggregate with map-side partials, no window/sort).
+    """
+    win = F.max(F.struct(*[F.col(c) for c in order], *[F.col(c) for c in payload]))
+    agg = df.groupBy(*keys).agg(win.alias("__w"))
+    return agg.select(*keys, *[F.col(f"__w.{c}").alias(c) for c in [*order, *payload]])
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    build_cols: Sequence[str] | None = None,
+    strict: bool = False,
+    tolerance_seconds: float | None = None,
+    asof_ts_col: str = "asof_ts",
+    suffix: str = "",
+) -> DataFrame:
+    """Union + last-non-null-window as-of join (left outer: unmatched probe
+    rows keep NULL build columns).
+
+    ``build`` must be unique per ``(on, ts)`` — pre-shrink with
+    :func:`latest_per_key` otherwise (latest-wins matches the reference
+    oracle and pandas ``merge_asof``).
+
+    Ordering trick: rows sort by ``(ts, side)`` where build side=0 for
+    ``<=`` semantics (a build row at ts T is visible to probes at T) and
+    build side=2 for strict ``<`` (probes at T sort before it).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if build_cols is None:
+        build_cols = [c for c in build.columns if c not in {*keys, ts}]
+    out_names = {c: f"{c}{suffix}" for c in build_cols}
+
+    payload = F.struct(
+        F.col(ts).alias(asof_ts_col), *[F.col(c) for c in build_cols]
+    ).alias(_B)
+    build_side = build.select(
+        *keys,
+        F.col(ts).alias(ts),
+        F.lit(2 if strict else 0).alias(_SIDE),
+        payload,
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
+          for c in probe.columns if c not in {*keys, ts}],
+    )
+    probe_side = probe.select(
+        *keys,
+        F.col(ts).alias(ts),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(
+            build_side.schema[_B].dataType
+        ).alias(_B),
+        *[F.col(c) for c in probe.columns if c not in {*keys, ts}],
+    )
+
+    unioned = build_side.unionByName(probe_side)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*", F.last(F.col(_B), ignorenulls=True).over(w).alias("__fill")
+    ).filter(F.col(_SIDE) == 1)
+
+    fill = F.col("__fill")
+    if tolerance_seconds is not None:
+        in_range = (
+            epoch_seconds(F.col(ts)) - epoch_seconds(fill[asof_ts_col])
+        ) <= float(tolerance_seconds)
+        fill = F.when(in_range, fill)
+
+    return filled.select(
+        *keys,
+        ts,
+        *[c for c in probe.columns if c not in {*keys, ts}],
+        fill[asof_ts_col].alias(asof_ts_col),
+        *[fill[c].alias(out_names[c]) for c in build_cols],
+    )
+
+
+def asof_join_range(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: Sequence[str],
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    build_cols: Sequence[str] | None = None,
+    strict: bool = False,
+    horizon_seconds: float | None = None,
+    asof_ts_col: str = "asof_ts",
+    broadcast_build: bool = False,
+) -> DataFrame:
+    """Range-join fallback: left join on entity + ``build.ts (<|<=) probe.ts``
+    (optionally bounded below by ``horizon_seconds``), then keep the latest
+    build row per probe row (``row_number() == 1``).
+
+    ``probe_key`` must uniquely identify probe rows (e.g. ``["conv_id",
+    "turn_idx"]``). With ``broadcast_build=True`` the build side is
+    broadcast — zero shuffle on the probe side (use for small dims).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if build_cols is None:
+        build_cols = [c for c in build.columns if c not in {*keys, ts}]
+
+    b = build.select(
+        *[F.col(k).alias(f"__b_{k}") for k in keys],
+        F.col(ts).alias(asof_ts_col),
+        *build_cols,
+    )
+    if broadcast_build:
+        b = F.broadcast(b)
+
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__b_{k}"))
+    cond = cond & (
+        (F.col(asof_ts_col) < F.col(ts)) if strict
+        else (F.col(asof_ts_col) <= F.col(ts))
+    )
+    if horizon_seconds is not None:
+        cond = cond & (
+            epoch_seconds(F.col(asof_ts_col))
+            >= epoch_seconds(F.col(ts)) - float(horizon_seconds)
+        )
+
+    joined = probe.join(b, cond, "left")
+    w = Window.partitionBy(*[F.col(c) for c in probe_key]).orderBy(
+        F.col(asof_ts_col).desc_nulls_last()
+    )
+    return (
+        joined.select("*", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *[f"__b_{k}" for k in keys])
+    )

@@ -1,0 +1,159 @@
+"""Windowed per-entity feature operators: lag/lead, forward-fill,
+gap-based sessionization, cumulative features.
+
+Design for scale
+----------------
+All features over one entity share ONE window spec
+``partitionBy(entity).orderBy(*order)`` so Catalyst collapses them into a
+single Window physical operator: one shuffle on the entity key + one sort,
+regardless of how many features are requested. ``.explain`` on
+:func:`build_turn_features` shows exactly one Exchange+Sort pair.
+
+The reference library has no window operators at all (SURVEY.md §2.B —
+its only grouping is write partitioning, transformation_function/app.py:397);
+these implement the north-rule surface on top of the same transcripts data
+model.
+
+Skew: ``Window.partitionBy(conv_id)`` puts a whole hot conversation in one
+task and AQE cannot split it. :mod:`.salted` provides chunk-and-carry
+variants for cumulative features (forward-fill / running sums) that split
+a hot entity across tasks; use them when a single entity exceeds ~10^7 rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from ..functions.timeops import epoch_seconds
+
+
+def entity_window(
+    entity: str | Sequence[str] = "conv_id",
+    order: Sequence[str] = ("ts", "turn_idx"),
+) -> WindowSpec:
+    ent = [entity] if isinstance(entity, str) else list(entity)
+    return Window.partitionBy(*ent).orderBy(*order)
+
+
+def cumulative_window(
+    entity: str | Sequence[str] = "conv_id",
+    order: Sequence[str] = ("ts", "turn_idx"),
+) -> WindowSpec:
+    return entity_window(entity, order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+
+def with_lag_lead(
+    df: DataFrame,
+    cols: dict[str, Column],
+    entity: str | Sequence[str] = "conv_id",
+    order: Sequence[str] = ("ts", "turn_idx"),
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (1,),
+) -> DataFrame:
+    """Add lag/lead of each named expression. ``cols`` maps output-name-stem
+    -> Column; produces ``prev{n}_<stem>`` / ``next{n}_<stem>`` (plain
+    ``prev_``/``next_`` for n=1). First/last rows yield NULL.
+    """
+    w = entity_window(entity, order)
+    out = []
+    for stem, c in cols.items():
+        for n in lags:
+            name = f"prev_{stem}" if n == 1 else f"prev{n}_{stem}"
+            out.append(F.lag(c, n).over(w).alias(name))
+        for n in leads:
+            name = f"next_{stem}" if n == 1 else f"next{n}_{stem}"
+            out.append(F.lead(c, n).over(w).alias(name))
+    return df.select("*", *out)
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    entity: str | Sequence[str] = "conv_id",
+    order: Sequence[str] = ("ts", "turn_idx"),
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Carry the last non-null observation forward within each entity
+    (north-rule 'backfill': last(ignoreNulls) over unbounded preceding).
+    """
+    w = cumulative_window(entity, order)
+    exprs = [
+        F.last(F.col(c), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in cols
+    ]
+    return df.select("*", *exprs)
+
+
+def session_flag(ts_col: str, gap_seconds: int, w: WindowSpec) -> Column:
+    """1 when this row starts a new session (gap > gap_seconds from the
+    previous row, or first row of the entity), else 0.
+    """
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap = epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts)
+    return F.when(prev_ts.isNull() | (gap > float(gap_seconds)), 1).otherwise(0)
+
+
+def sessionize(
+    df: DataFrame,
+    entity: str | Sequence[str] = "conv_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order: Sequence[str] | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: ``session_id`` is the 0-based running count
+    of gap-exceeded boundaries within the entity (cumulative sum of the
+    new-session flag, minus 1). One shuffle + one sort; the flag and its
+    cumsum share the window ordering so Catalyst emits a single Window node.
+    """
+    order = list(order) if order is not None else [ts_col, "turn_idx"]
+    w = entity_window(entity, order)
+    wc = cumulative_window(entity, order)
+    flag = session_flag(ts_col, gap_seconds, w)
+    return df.select(
+        "*", (F.sum(flag).over(wc) - F.lit(1)).cast("long").alias(out_col)
+    )
+
+
+def build_turn_features(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    entity: str = "conv_id",
+    order: Sequence[str] = ("ts", "turn_idx"),
+    text_col: str = "text",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The flagship per-turn feature block (SURVEY.md §7.5):
+
+    * ``text_len`` / ``n_tokens`` — vectorized builtins, no Python
+    * ``prev_role`` / ``prev_text_len`` / ``next_role`` — lag/lead
+    * ``tool_ffill`` — forward-filled last tool used
+    * ``session_id`` — 30-minute gap rule
+    * ``user_turn_cum`` — running count of user turns (leakage-free: only
+      rows with ts' <= ts, tie-broken by turn_idx, are visible)
+
+    All window expressions share ONE (partitionBy entity, orderBy order)
+    spec => single Exchange + Sort in the physical plan.
+    """
+    w = entity_window(entity, order)
+    wc = cumulative_window(entity, order)
+    text_len = F.length(F.col(text_col))
+    flag = session_flag(ts_col, gap_seconds, w)
+    return df.select(
+        "*",
+        text_len.alias("text_len"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
+        F.lag(F.col(role_col)).over(w).alias("prev_role"),
+        F.lag(text_len).over(w).alias("prev_text_len"),
+        F.lead(F.col(role_col)).over(w).alias("next_role"),
+        F.last(F.col(tool_col), ignorenulls=True).over(wc).alias("tool_ffill"),
+        (F.sum(flag).over(wc) - F.lit(1)).cast("long").alias("session_id"),
+        F.sum((F.col(role_col) == "user").cast("long")).over(wc).alias("user_turn_cum"),
+    )
