@@ -1,0 +1,127 @@
+"""Snapshot writer: partitioned parquet + manifest lineage, idempotent.
+
+Replaces the reference's write path (wr.s3.to_parquet with uuid4 names,
+transformation_function/app.py:404-411) which duplicates output when a
+Lambda retries (SURVEY.md §4.1). Here every commit is keyed by a caller
+snapshot id:
+
+  * data lands under ``root/data/snapshot_id=<id>/<partition dirs>``
+    (Hive layout; readers just read ``root/data``);
+  * a retry of an uncommitted snapshot dynamically overwrites ONLY that
+    snapshot's partitions (no duplicates);
+  * a commit of an already-manifested snapshot is a no-op (resume);
+  * the manifest (``root/_manifest``, itself parquet) records per-partition
+    lineage: snapshot id, partition values, row count, write latency.
+
+This is the Iceberg-snapshot emulation per SURVEY.md §7.4 (no Iceberg jar
+offline); the API is format-agnostic so an Iceberg catalog can slot in.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SNAPSHOT_COL = "snapshot_id"
+
+
+class SnapshotWriter:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_path = os.path.join(root, "data")
+        self.manifest_path = os.path.join(root, "_manifest")
+
+    # -- manifest -----------------------------------------------------------
+
+    def committed_snapshots(self, spark: SparkSession) -> set[str]:
+        try:
+            mdf = spark.read.parquet(self.manifest_path)
+        except Exception:
+            return set()
+        return {r[0] for r in mdf.select(SNAPSHOT_COL).distinct().collect()}
+
+    def manifest(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self.manifest_path)
+        except Exception:
+            return None
+
+    # -- commit ---------------------------------------------------------------
+
+    def commit(
+        self,
+        df: DataFrame,
+        snapshot_id: str,
+        partition_cols: Sequence[str] = (),
+        bucket_col: str | None = None,
+        n_buckets: int = 0,
+        sort_cols: Sequence[str] = (),
+    ) -> bool:
+        """Write one snapshot. Returns False (no-op) if already committed.
+
+        ``bucket_col``/``n_buckets``: repartition so each output file holds
+        a contiguous hash-bucket of entities; with ``sort_cols`` this gives
+        the conv_id-bucketed, (ts, turn_idx)-sorted layout the as-of join's
+        merge phase wants, and single-writer-per-partition determinism for
+        the text byte-equality invariant (SURVEY.md §7.4 risk 4).
+        """
+        spark = df.sparkSession
+        if snapshot_id in self.committed_snapshots(spark):
+            return False
+
+        out = df.withColumn(SNAPSHOT_COL, F.lit(snapshot_id))
+        if bucket_col:
+            out = out.repartition(n_buckets, F.col(bucket_col))
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+
+        t0 = time.monotonic()
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(SNAPSHOT_COL, *partition_cols)
+            .parquet(self.data_path)
+        )
+        latency = time.monotonic() - t0
+
+        # per-partition lineage from the files just written (pruned scan)
+        written = spark.read.parquet(self.data_path).filter(
+            F.col(SNAPSHOT_COL) == snapshot_id
+        )
+        group = [SNAPSHOT_COL, *partition_cols] if partition_cols else [SNAPSHOT_COL]
+        stats = written.groupBy(*group).agg(F.count(F.lit(1)).alias("row_count"))
+        stats = stats.withColumn("write_latency_sec", F.lit(float(latency)))
+        stats = stats.withColumn("committed_at_unix", F.lit(float(time.time())))
+        (
+            stats.coalesce(1)
+            .write.mode("append")
+            .parquet(self.manifest_path)
+        )
+        return True
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Read only manifested snapshots (half-written data is invisible —
+        snapshot isolation for readers)."""
+        df = spark.read.parquet(self.data_path)
+        committed = self.committed_snapshots(spark)
+        if not committed:
+            return df.filter(F.lit(False))
+        return df.filter(F.col(SNAPSHOT_COL).isin(*[F.lit(s) for s in committed]))
+
+
+def plan_increment(
+    available_inputs: Sequence[str], writer: SnapshotWriter, spark: SparkSession
+) -> list[str]:
+    """Resume planner: inputs (snapshot ids / file batches) not yet in the
+    manifest, in stable order."""
+    done = writer.committed_snapshots(spark)
+    return [s for s in available_inputs if s not in done]
+
+
+def new_snapshot_id() -> str:
+    return uuid.uuid4().hex[:16]

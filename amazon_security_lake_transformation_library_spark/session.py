@@ -22,6 +22,9 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet vectorized reader + pushdown are on by default; keep explicit.
     "spark.sql.parquet.filterPushdown": "true",
+    # keep partition-key types as written (eventDay stays the string
+    # 'YYYYMMDD' per the reference's path contract, app.py:404)
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

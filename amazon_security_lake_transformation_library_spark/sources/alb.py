@@ -1,0 +1,97 @@
+"""ALB access-log tokenizer, vectorized.
+
+Reference: transformation_function/preprocessors/alb_preprocessor.py —
+29 positional fields (:34-44), quote-aware regex tokenization (:47),
+``-`` sentinel for missing (:106), ip:port splits (:62-73), ip:port list
+splits (:75-86), HTTP request-triple split (:88-101) with the original
+``request`` kept only when malformed (:109-110).
+
+Spark-first: everything is builtin column expressions
+(regexp_extract_all / element_at / regexp_extract / transform /
+array_join) — JVM-side, whole-stage-codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# field order is the reference's positional contract (alb_preprocessor.py:34-44)
+ALB_FIELDS = [
+    "type", "time", "elb", "client:port", "target:port",
+    "request_processing_time", "target_processing_time",
+    "response_processing_time", "elb_status_code", "target_status_code",
+    "received_bytes", "sent_bytes", "request", "user_agent", "ssl_cipher",
+    "ssl_protocol", "target_group_arn", "trace_id", "domain_name",
+    "chosen_cert_arn", "matched_rule_priority", "request_creation_time",
+    "actions_executed", "redirect_url", "error_reason", "target:port_list",
+    "target_status_code_list", "classification", "classification_reason",
+    "conn_trace_id",
+]
+
+# quote-aware token regex (alb_preprocessor.py:47)
+TOKEN_RE = r'(?:[^\s"]+|"[^"]*")+'
+
+_IP = r"^(.*):([^:]*)$"  # rsplit(':', 1) equivalent
+
+
+def _strip_quotes(c: Column) -> Column:
+    return F.regexp_replace(c, '^"|"$', "")
+
+
+def _ip_of(c: Column) -> Column:
+    return F.when(c == "-", "-").otherwise(
+        F.when(c.rlike(":"), F.regexp_extract(c, _IP, 1)).otherwise("-")
+    )
+
+
+def _port_of(c: Column) -> Column:
+    return F.when(c == "-", "-").otherwise(
+        F.when(c.rlike(":"), F.regexp_extract(c, _IP, 2)).otherwise("-")
+    )
+
+
+def parse_alb_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
+    """Tokenize raw ALB log lines into the preprocessor's output columns.
+
+    Output column per reference dict key; a field past the end of a short
+    line becomes ``-`` (alb_preprocessor.py:107-108); quoted fields are
+    unquoted; ``request`` is split into method/url/protocol when it has
+    exactly 3 parts, else kept raw in ``request``.
+    """
+    toks = F.regexp_extract_all(F.col(line_col), F.lit(TOKEN_RE), 0)
+
+    raw: dict[str, Column] = {}
+    for i, name in enumerate(ALB_FIELDS):
+        v = _strip_quotes(F.coalesce(F.try_element_at(toks, F.lit(i + 1)), F.lit("-")))
+        raw[name] = v
+
+    out: list[Column] = []
+    for name in ALB_FIELDS:
+        v = raw[name]
+        if name in ("client:port", "target:port"):
+            stem = name.replace(":port", "")
+            out.append(_ip_of(v).alias(f"{stem}_ip"))
+            out.append(_port_of(v).alias(f"{stem}_port"))
+        elif name == "target:port_list":
+            parts = F.split(v, " ")
+            ips = F.array_join(F.transform(parts, _ip_of), " ")
+            ports = F.array_join(F.transform(parts, _port_of), " ")
+            out.append(F.when(v == "-", "-").otherwise(ips).alias("target_ip_list"))
+            out.append(F.when(v == "-", "-").otherwise(ports).alias("target_port_list"))
+        elif name == "request":
+            p = F.split(v, " ")
+            ok = (v != "-") & (F.size(p) == 3)
+            out.append(
+                F.when(v == "-", "-").when(ok, F.element_at(p, 1)).alias("request_method")
+            )
+            out.append(
+                F.when(v == "-", "-").when(ok, F.element_at(p, 2)).alias("request_url")
+            )
+            out.append(
+                F.when(v == "-", "-").when(ok, F.element_at(p, 3)).alias("request_protocol")
+            )
+            out.append(F.when(~ok & (v != "-"), v).alias("request"))
+        else:
+            out.append(v.alias(name))
+    return df.select(*out)
