@@ -1,0 +1,250 @@
+"""Deduplication operators for training-data curation: exact, MinHash+LSH,
+n-gram Jaccard, and SimHash near-dup detection.
+
+Scale design
+------------
+* **Exact**: one hash aggregate on ``md5(normalized text)`` — map-side
+  partial counts, one shuffle keyed by a uniformly-distributed 128-bit hash
+  (no skew by construction).
+* **MinHash+LSH**: signatures are computed row-local (projection only,
+  zero shuffle); candidate generation shuffles on the *band bucket* key, so
+  the cost is ``O(n_bands · n_docs)`` exchanged bytes and pairs are only
+  materialized within a bucket — never the quadratic all-pairs. This is the
+  standard shingle→minhash→band→bucket-join pipeline; at 100 TB you raise
+  ``n_hashes``/``bands`` and the plan shape does not change.
+* **n-gram Jaccard** verifies candidate pairs exactly — a self-join that is
+  broadcast-able when the candidate set is small (it is, after LSH).
+* **SimHash**: per-row fold over token hashes into a 32-bit signature
+  (``F.aggregate`` — pure Column expression, no Python); near-dups = equal
+  signature, or Hamming-adjacent via rotation tables.
+
+Hash choice: ``md5(seed || token)`` rather than xxhash64 so every stage is
+bit-reproducible in the ANSI-SQL DuckDB oracle (lexicographic MIN over hex
+strings is engine-independent). Swap in ``xxhash64`` for raw speed on a
+real cluster — plan shape identical.
+
+The reference library has no dedup surface at all (SURVEY.md §2.B: no
+joins, no aggregations over values); these operators are the
+training-pipeline extension the rebuild adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .textstats import fingerprint, tokens
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input arrives under-partitioned
+    (e.g. one small parquet file -> one task serializing a CPU-bound
+    projection). No-op when the scan already has enough splits — at real
+    scale the file source provides them and this never shuffles."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one survivor per normalized-text fingerprint (min id wins).
+    Returns (fingerprint, keep_id, n_dups). Single hash-agg, no window."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+def _intersperse(cols: list[Column]) -> list[Column]:
+    out: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            out.append(F.lit("|"))
+        out.append(c)
+    return out
+
+def minhash_signature(
+    text: Column, n_hashes: int = 8, prefix: str = "mh", shingle_n: int = 3
+) -> list[Column]:
+    """Shingle MinHash: component i = lexicographic min of
+    ``md5('s{i}:' || shingle)`` over the word ``shingle_n``-gram set.
+    Duplicate shingles cannot change a min, so no distinct pass is needed.
+    Pure projection. Docs with < ``shingle_n`` tokens get NULL components
+    (and therefore never bucket — matching SQL ``||`` null semantics)."""
+    grams = ngram_set(text, shingle_n)
+    return [
+        F.array_min(
+            F.transform(grams, lambda x: F.md5(F.concat(F.lit(f"s{i}:"), x)))
+        ).alias(f"{prefix}{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(band_id, bucket, doc_id) — one row per doc per band. Bucket is the
+    md5 of the band's signature slice. Downstream joins/groupBys shuffle on
+    (band_id, bucket): uniform keys, bounded fanout."""
+    sig = ensure_parallelism(df).select(
+        F.col(id_col), *minhash_signature(F.col(text_col), n_hashes)
+    )
+    n_bands = n_hashes // band_size
+    # F.concat (not concat_ws): NULL signature components must poison the
+    # bucket so token-starved docs never collide on a sentinel hash
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat(
+                    *_intersperse(
+                        [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                    )
+                )
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket"), F.col(id_col))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing >=1 band bucket.
+    Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b. The self-join is
+    per-(band,bucket) — quadratic only inside a bucket, which LSH keeps
+    small; AQE's skew-join splitter handles pathological buckets."""
+    # Materialize the bucket table: it is tiny (3 cols) next to the text it
+    # derives from, and the self-join would otherwise recompute the whole
+    # shingle+md5 pipeline for BOTH sides.
+    bb = minhash_band_buckets(df, text_col, id_col, n_hashes, band_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = bb.select("band_id", "bucket", F.col(id_col).alias("doc_a"))
+    b = bb.select("band_id", "bucket", F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, ["band_id", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+# -------------------------------------------------------- ngram jaccard
+
+def ngram_set(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; < n tokens -> empty array.
+    1-based indices to match the SQL oracle's list semantics."""
+    toks = tokens(text)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for candidate (doc_a, doc_b)
+    pairs — the verify stage after LSH. Two broadcast-able joins pull the
+    shingle sets onto the pair rows; similarity is computed row-local."""
+    shingles = df.select(
+        F.col(id_col), ngram_set(F.col(text_col), n).alias("sh")
+    )
+    a = shingles.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingles.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash signature: per-token 32-bit hash (first 8 hex chars of md5),
+    signed bit-vote fold via ``F.aggregate`` over a ``bits``-wide
+    accumulator, sign -> bit. Pure Column expressions — the whole thing is
+    one codegen'd projection, no Python, no shuffle."""
+    toks = tokens(text)
+    th = F.transform(toks, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    # bit positions are unrolled as Python-side literals (shift amounts must
+    # be compile-time ints); the fold itself stays a single Column expression
+    votes = F.aggregate(
+        th,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1)
+                .otherwise(-1).cast("long")
+                for j in range(bits)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(
+            F.element_at(votes, j + 1) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group docs by exact SimHash collision (near-dup at Hamming 0).
+    Returns (simhash, keep_id, n_dups). For Hamming<=k, re-group on the
+    standard band-rotation trick — same plan shape."""
+    return (
+        ensure_parallelism(df)
+        .select(simhash(F.col(text_col)).alias("simhash"), F.col(id_col))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )

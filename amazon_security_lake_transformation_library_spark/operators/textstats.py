@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All hot-path logic is JVM-side builtin expressions (``length``, ``split``,
+``filter``, ``regexp_replace``, ``md5``) — zero Python per row, so every
+operator stays inside whole-stage codegen and scales linearly with input
+bytes. The reference library's only text handling is per-row regex
+tokenization in Python (alb_preprocessor.py:47, sysmon_preprocessor.py:23-28);
+here the same class of work is vectorized and column-oriented.
+
+Determinism contract: every function here is a pure function of the input
+row, reproducible bit-for-bit in ANSI SQL (see ``__spark_entry__.oracle_sql``)
+— that is what lets the differential DuckDB oracle gate these operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for the language-ID heuristic. Real
+# deployments plug in fasttext/cld3 via mapInPandas (see multimodal.py for
+# the plumbing pattern); the heuristic itself is useful for cheap bulk
+# filtering at 100 TB because it never leaves the JVM.
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "es"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ich"],
+}
+
+PUNCT_RE = r"[^a-zA-Z0-9_ \t]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space split — matches the synthetic corpus
+    and the SQL oracle exactly; swap for ``\\s+`` on messy corpora)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def subword_estimate(text: Column) -> Column:
+    """BPE-ish token estimate: ceil(chars/4) — the standard rule-of-thumb
+    proxy when the real tokenizer is too expensive for a bulk pass."""
+    return F.ceil(F.length(text) / F.lit(4.0)).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, PUNCT_RE, "")
+    return F.round(
+        (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1)),
+        4,
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda x: x.isin(*words))).cast("long")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return F.round(
+        stopword_hits(text, lang) / F.greatest(token_count(text), F.lit(1)), 4
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over per-language stopword hit counts; ties break by the
+    fixed language order en > es > de; zero hits everywhere -> 'und'."""
+    en, es, de = (stopword_hits(text, l) for l in ("en", "es", "de"))
+    return (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text.
+    Survives reformatting; used as the exact-dedup key."""
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(norm)
+
+
+def quality_score_bp(text: Column) -> Column:
+    """Cheap quality score in basis points [0, 10000]: rewards mid-length
+    docs, low punct density, healthy stopword ratio and mean token length.
+    Weights are arbitrary-but-fixed; the point is a deterministic, fully-JVM
+    scoring pass a curation pipeline can threshold on.
+
+    Integer basis points (floor(x*10000 + 0.5)) rather than a rounded
+    double: ``round(double, n)`` semantics differ across engines on
+    decimal-fraction boundaries, while floor over identical IEEE doubles is
+    bit-deterministic — keeps the DuckDB differential oracle exact."""
+    ntok = token_count(text)
+    len_score = F.least(ntok / F.lit(64.0), F.lit(1.0))
+    mean_tok = F.length(text) / F.greatest(ntok, F.lit(1))
+    tok_score = F.when((mean_tok >= 3) & (mean_tok <= 10), 1.0).otherwise(0.5)
+    stop_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    raw = (
+        0.4 * len_score + 0.2 * tok_score + 0.2 * stop_score
+        + 0.2 * (1 - punct_ratio(text))
+    )
+    return F.floor(raw * 10000 + 0.5).cast("long")
+
+
+def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats block — one projection, no shuffle, codegen'd."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        subword_estimate(t).alias("n_subwords"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+        quality_score_bp(t).alias("quality_bp"),
+    )

@@ -1,0 +1,86 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline metric: total wall seconds over the headline query set (lower is
+better). Also reports per-query seconds and derived throughput rows/sec
+for the flagship feature-build (the north-rule metric is turns/sec; see
+tools/bench_scaling.py + BASELINE.md for the N-vs-4N scaling evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from amazon_security_lake_transformation_library_spark.session import get_spark
+
+# Headline set: the operators that dominate real pipelines at scale.
+# (Excludes the quadratic-at-degenerate-vocab candidate-pair verifiers;
+# dedup is represented by its scan+agg stages which are the scale path.)
+HEADLINE = [
+    "lag_lead_events",
+    "ffill_events",
+    "sessionize_events",
+    "session_stats",
+    "cumsum_events",
+    "asof_join_events",
+    "session_window_events",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "rollup_orders",
+    "doc_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "multimodal_meta",
+    "flagship_transcripts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers once (not timed per-query)
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    times: dict[str, float] = {}
+    flagship_rows = 0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        if name == "flagship_transcripts":
+            flagship_rows = n
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "flagship_turns_per_sec": (
+            round(flagship_rows / times["flagship_transcripts"], 1)
+            if times.get("flagship_transcripts") else None
+        ),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Tests for the training-data pipeline operators: text stats, dedup
+(exact / MinHash-LSH / n-gram Jaccard / SimHash), similarity search
+(brute-force + IVF), and the multimodal binary plumbing.
+
+Oracles are pure python/numpy recomputations on tiny deterministic
+corpora — independent of both Spark and DuckDB (the DuckDB differential
+oracle for the same operators lives in __spark_entry__.py and is exercised
+by tools/check_oracle.py / the driver)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_security_lake_transformation_library_spark.operators import dedup as dd
+from amazon_security_lake_transformation_library_spark.operators import multimodal as mm
+from amazon_security_lake_transformation_library_spark.operators import similarity as sim
+from amazon_security_lake_transformation_library_spark.operators import textstats as ts_ops
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (3, "completely different words about spark engines here"),
+    (4, "a of to and in is the"),                         # all stopwords
+    (5, "one two"),                                       # < 3 tokens
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    ).cache()
+
+
+# ------------------------------------------------------------- textstats
+
+def test_doc_stats_oracle(docs_df):
+    out = (
+        ts_ops.doc_stats(docs_df).toPandas().set_index("doc_id").sort_index()
+    )
+    for doc_id, text in DOCS:
+        row = out.loc[doc_id]
+        toks = text.split(" ")
+        assert row["n_chars"] == len(text)
+        assert row["n_tokens"] == len(toks)
+        assert row["n_subwords"] == math.ceil(len(text) / 4)
+        stop = sum(1 for t in toks if t in ts_ops.STOPWORDS["en"])
+        assert row["stopword_ratio"] == pytest.approx(
+            round(stop / max(len(toks), 1), 4)
+        )
+        assert row["fingerprint"] == hashlib.md5(
+            " ".join(text.lower().split()).encode()
+        ).hexdigest()
+    # pure-english corpus -> en everywhere stopwords appear
+    assert out.loc[0, "lang_pred"] == "en"
+    assert 0 <= out["quality_bp"].min() and out["quality_bp"].max() <= 10000
+
+
+def test_quality_monotone_emptyish(docs_df):
+    out = ts_ops.doc_stats(docs_df).toPandas().set_index("doc_id")
+    # zero-stopword doc loses the whole stopword component vs a real sentence
+    assert out.loc[3, "quality_bp"] < out.loc[0, "quality_bp"]
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_exact_dedup(docs_df):
+    out = dd.exact_dedup(docs_df).toPandas()
+    dup_groups = out[out["n_dups"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.iloc[0]["keep_id"] == 0
+    assert dup_groups.iloc[0]["n_dups"] == 2
+    assert len(out) == 5  # 6 docs, one collapsed pair
+
+
+def test_minhash_finds_near_dups(docs_df):
+    pairs = dd.minhash_candidate_pairs(docs_df).toPandas()
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    # exact dup pair must collide on every band; near-dup on >= 1 band
+    assert (0, 2) in got
+    exact = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 2)]
+    assert exact.iloc[0]["n_shared_bands"] == 4
+    # the unrelated doc 3 never pairs with 0
+    assert (0, 3) not in got
+    # the <3-token doc has NULL signatures and never buckets
+    assert not any(5 in p for p in got)
+
+
+def test_ngram_jaccard_exact_value(spark, docs_df):
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (0, 2)], columns=["doc_a", "doc_b"])
+    )
+    out = (
+        dd.ngram_jaccard_pairs(docs_df, pairs)
+        .toPandas()
+        .set_index(["doc_a", "doc_b"])
+    )
+
+    def grams(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    g0, g1 = grams(DOCS[0][1]), grams(DOCS[1][1])
+    expected = round(len(g0 & g1) / len(g0 | g1), 4)
+    assert out.loc[(0, 1), "jaccard"] == pytest.approx(expected)
+    assert out.loc[(0, 2), "jaccard"] == pytest.approx(1.0)
+
+
+def test_simhash_properties(spark, docs_df):
+    out = (
+        docs_df.select(
+            "doc_id", dd.simhash(F.col("text")).alias("sh")
+        ).toPandas().set_index("doc_id")["sh"]
+    )
+    assert out[0] == out[2]  # identical text -> identical signature
+    assert 0 <= out.min() and out.max() < 2**32
+    ham01 = bin(int(out[0]) ^ int(out[1])).count("1")
+    ham03 = bin(int(out[0]) ^ int(out[3])).count("1")
+    assert ham01 < ham03  # near-dup closer than unrelated doc
+
+    groups = dd.simhash_dedup(docs_df).toPandas()
+    g = groups[groups["n_dups"] > 1]
+    assert len(g) == 1 and g.iloc[0]["keep_id"] == 0
+
+
+# ------------------------------------------------------------ similarity
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + 0.01 * rng.normal(size=16).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": list(vecs),
+            "label": (np.arange(40) % 4).astype(np.int32),
+        }
+    )
+    return spark.createDataFrame(pdf).cache(), vecs
+
+
+def _np_topk(vecs, qid, k):
+    q = vecs[qid].astype(np.float64)
+    sims = {}
+    for i, v in enumerate(vecs):
+        if i == qid:
+            continue
+        v = v.astype(np.float64)
+        sims[i] = round(
+            float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v))), 4
+        )
+    return sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_cosine_topk_matches_numpy(emb_df):
+    df, vecs = emb_df
+    out = sim.cosine_topk(df, [3, 11], k=5).toPandas()
+    for qid in (3, 11):
+        got = out[out["query_id"] == qid].sort_values("rank")
+        exp = _np_topk(vecs, qid, 5)
+        assert list(got["neighbor_id"]) == [i for i, _ in exp]
+        assert list(got["cos_sim"]) == pytest.approx([s for _, s in exp], abs=1e-9)
+    # the planted near-duplicate is the top neighbor of its source
+    assert out[out["query_id"] == 3].sort_values("rank").iloc[0]["neighbor_id"] == 7
+
+
+def test_ivf_assign_and_search(emb_df):
+    df, vecs = emb_df
+    cents = sim.centroids_by_label(df, dim=16)
+    assert cents.count() == 4
+    assigned = sim.ivf_assign(df, cents).toPandas()
+    assert len(assigned) == 40
+    assert set(assigned["cell"]) <= {0, 1, 2, 3}
+
+    # full-probe IVF == brute force (cells partition the corpus)
+    out = sim.ivf_topk(df, [3], k=5, n_probe=4).toPandas().sort_values("rank")
+    exp = _np_topk(vecs, 3, 5)
+    assert list(out["neighbor_id"]) == [i for i, _ in exp]
+
+    # 1-probe scans fewer candidates and still returns k ranked results
+    out1 = sim.ivf_topk(df, [3], k=5, n_probe=1).toPandas()
+    assert len(out1) == 5
+    assert list(out1.sort_values("rank")["rank"]) == [1, 2, 3, 4, 5]
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_fake_decode_meta(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [b"abc", b"x" * 1000]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = mm.fake_decode_meta(df).toPandas().set_index("doc_id")
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        n = len(payload)
+        assert out.loc[doc_id, "n_bytes"] == n
+        assert out.loc[doc_id, "width"] == 64 + n % 512
+        assert out.loc[doc_id, "height"] == 64 + (n * 7) % 512
+        assert out.loc[doc_id, "n_frames"] == 1 + n % 8
+    assert "payload" not in out.columns  # binary dropped before any shuffle
+
+
+def test_decode_image_stub_gates_on_pillow(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [b""]}))
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(df)
