@@ -359,6 +359,30 @@ def _q_flagship_transcripts(spark, sf_dir):
     )
 
 
+def _q_flagship_salted(spark, sf_dir):
+    # Hot-conversation-safe variant of the flagship block: chunk-and-carry
+    # windows (operators/salted_features.py); equality with the plain block
+    # is property-tested in tests/test_salted_features.py.
+    from amazon_security_lake_transformation_library_spark.operators.salted import time_chunk
+    from amazon_security_lake_transformation_library_spark.operators.salted_features import (
+        build_turn_features_salted,
+    )
+    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
+        gen_conv_features, gen_transcripts,
+    )
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.01
+    n_convs = max(20, int(4000 * sf))
+    tr = gen_transcripts(n_convs=n_convs, mean_turns=20, seed=42)
+    cf = gen_conv_features(tr)
+    featd = build_turn_features_salted(
+        spark.createDataFrame(tr), time_chunk(chunk_seconds=6 * 3600)
+    )
+    return asof_ops.asof_join(
+        featd, spark.createDataFrame(cf), on="conv_id", ts="ts",
+        build_cols=["feature_val"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # north-rule window / as-of surface (events stream)
@@ -393,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal,
         # north-star transcripts flagship (rows-only; pandas oracle in tests/)
         "flagship_transcripts": _q_flagship_transcripts,
+        "flagship_transcripts_salted": _q_flagship_salted,
     }
 
 

@@ -1,0 +1,208 @@
+"""Structured Streaming surface: live-tail ingestion of transcript turns
+with watermarked session aggregation and stateful per-turn features.
+
+The reference's streaming path is a Kinesis->Lambda micro-batch loop with
+no watermark, no state, no late-data handling (SURVEY.md §1.1,
+transformation_function/app.py:325-370). Here the same unbounded-stream
+semantics are expressed natively:
+
+* :func:`read_turn_stream` — file-source stream (maxFilesPerTrigger
+  bounds micro-batch size; swap for the Kinesis/Kafka connector on a real
+  bus — the downstream plan is identical).
+* :func:`sessionized_stream` — watermark + ``session_window`` grouped agg:
+  late turns within the watermark merge into their session; later ones are
+  dropped deterministically instead of corrupting history.
+* :func:`stateful_turn_features` — ``applyInPandasWithState`` per-conv
+  running state (session counter, user-turn count, tool forward-fill):
+  the streaming analog of the batch feature block for features that only
+  need O(1) state per entity.
+* :func:`incremental_feature_job` — ``foreachBatch`` bridge: each
+  micro-batch is appended through the idempotent SnapshotWriter (batch id
+  = snapshot id), so replays after failure do not duplicate output. Full
+  window recompute over history stays a batch job (plans/writer resume) —
+  the state the streaming path carries is deliberately O(1)/entity.
+
+Batch/stream unification: ``sessionized_stream``'s aggregation body is the
+same expression used by the batch ``session_window`` query in
+``__spark_entry__`` — one definition, two execution modes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def read_turn_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = TRANSCRIPT_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def sessionized_stream(
+    turns: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    entity: str = "conv_id",
+) -> DataFrame:
+    """Per-(entity, session) aggregate with late-data bound ``watermark``.
+    Output mode must be 'append'/'update' downstream; sessions close once
+    the watermark passes their end."""
+    return (
+        turns.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("sw"),
+            F.col(entity),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("role") == "user").cast("long")).alias("n_user_turns"),
+        )
+        .select(
+            entity,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_turns",
+            "n_user_turns",
+        )
+    )
+
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("user_cum", T.LongType()),
+        T.StructField("last_tool", T.StringType()),
+    ]
+)
+
+STATEFUL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("user_turn_cum", T.LongType()),
+        T.StructField("tool_ffill", T.StringType()),
+    ]
+)
+
+
+def _turn_features_with_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-conversation O(1) state: (last_ts_us, session_id, user_cum,
+    last_tool). Turns inside a micro-batch are sorted by (ts, turn_idx) —
+    the same tie-break as the batch block; state carries across batches."""
+    if state.exists:
+        last_ts_us, session_id, user_cum, last_tool = state.get
+    else:
+        last_ts_us, session_id, user_cum, last_tool = None, -1, 0, None
+
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+        ts_us = pdf["ts"].astype("int64")  # pandas datetime64[ns] -> ns; /1000 below
+        rows = []
+        for turn_idx, role, ts, tus, tool in zip(
+            pdf["turn_idx"], pdf["role"], pdf["ts"], ts_us, pdf["tool"]
+        ):
+            tus = tus // 1000
+            if last_ts_us is None or tus - last_ts_us > 1_800_000_000:
+                session_id += 1
+            last_ts_us = tus
+            if role == "user":
+                user_cum += 1
+            if isinstance(tool, str):
+                last_tool = tool
+            rows.append((key[0], turn_idx, role, ts, session_id, user_cum, last_tool))
+        out.append(
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "role", "ts",
+                    "session_id", "user_turn_cum", "tool_ffill",
+                ],
+            )
+        )
+
+    state.update((last_ts_us, session_id, user_cum, last_tool))
+    yield from out
+
+
+def stateful_turn_features(
+    turns: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming per-turn features via ``applyInPandasWithState``.
+
+    Note: the per-row Python loop here is bounded by the micro-batch size
+    of HOT conversations only (state is O(1)); the batch path remains the
+    vectorized window block. This operator exists for live-tail latency,
+    not bulk throughput.
+    """
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _turn_features_with_state,
+            outputStructType=STATEFUL_OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def incremental_feature_job(
+    turns: DataFrame,
+    writer_root: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+) -> Any:
+    """foreachBatch bridge into the idempotent snapshot writer: batch id ==
+    snapshot id, so a replayed micro-batch is a no-op commit (exactly-once
+    output on top of at-least-once delivery — fixes the reference's
+    duplicate-on-retry behavior, SURVEY.md §4.1)."""
+    from ..plans.writer import SnapshotWriter
+
+    writer = SnapshotWriter(writer_root)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.withColumn(
+            "eventday", F.date_format(F.col("ts").cast("timestamp"), "yyyyMMdd")
+        )
+        writer.commit(out, snapshot_id=f"batch-{batch_id:012d}",
+                      partition_cols=["eventday"])
+
+    return (
+        turns.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -127,8 +127,15 @@ def gen_conv_features(transcripts: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def write_parquet(df: pd.DataFrame, path: str) -> None:
+def write_parquet(df: pd.DataFrame, path: str, row_group_size: int = 100_000) -> None:
+    """Small row groups on purpose: parquet scans parallelize at row-group
+    granularity, and one giant row group serializes the whole scan stage
+    (pyarrow's 1M-row default caps a 3M-row file at ~3 scan tasks)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        path,
+        row_group_size=row_group_size,
+    )

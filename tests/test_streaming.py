@@ -1,0 +1,145 @@
+"""Structured Streaming tests: micro-batched file source, watermarked
+session aggregation, cross-batch stateful features, idempotent foreachBatch
+sink. Inputs are split into multiple files so maxFilesPerTrigger=1 forces
+REAL multi-micro-batch execution (state must carry across batches)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_security_lake_transformation_library_spark.operators.features import build_turn_features
+from amazon_security_lake_transformation_library_spark.streaming import pipeline as sp
+from amazon_security_lake_transformation_library_spark.synth.transcripts import gen_transcripts
+
+
+@pytest.fixture(scope="module")
+def stream_input(tmp_path_factory, spark):
+    """Transcripts split into 3 parquet files by time (arrival order)."""
+    root = str(tmp_path_factory.mktemp("stream_in"))
+    pdf = gen_transcripts(n_convs=12, mean_turns=12, seed=7)
+    pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for i in range(3):
+        part = pdf.iloc[cuts[i]:cuts[i + 1]]
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            os.path.join(root, f"part-{i}.parquet"),
+        )
+    return root, pdf
+
+
+def _run_to_memory(df, name, tmpdir):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stateful_features_match_batch(spark, stream_input, tmp_path):
+    root, pdf = stream_input
+    stream = sp.read_turn_stream(spark, root, max_files_per_trigger=1)
+    feats = sp.stateful_turn_features(stream, watermark="100 days")
+    _run_to_memory(feats, "feat_stream", str(tmp_path))
+    got = (
+        spark.sql("SELECT * FROM feat_stream")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+
+    batch = (
+        build_turn_features(spark.createDataFrame(pdf))
+        .select("conv_id", "turn_idx", "session_id", "user_turn_cum", "tool_ffill")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    for col in ("session_id", "user_turn_cum", "tool_ffill"):
+        pd.testing.assert_series_equal(
+            got[col].reset_index(drop=True),
+            batch[col].reset_index(drop=True),
+            check_names=False, check_dtype=False,
+        )
+
+
+def test_sessionized_stream_matches_batch_session_window(spark, stream_input, tmp_path):
+    # append mode emits a session only once the watermark passes its end:
+    # with a 1s watermark every session except those ending within 1s of
+    # the stream's max event time must be emitted, each exactly matching
+    # the batch session_window aggregation.
+    root, pdf = stream_input
+    stream = sp.read_turn_stream(spark, root, max_files_per_trigger=1)
+    sess = sp.sessionized_stream(stream, gap_seconds=1800, watermark="1 second")
+    _run_to_memory(sess, "sess_stream", str(tmp_path))
+    got = spark.sql(
+        "SELECT conv_id, session_start, session_end, n_turns, n_user_turns "
+        "FROM sess_stream"
+    ).toPandas().sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+
+    batch = (
+        spark.createDataFrame(pdf)
+        .groupBy(F.session_window("ts", "1800 seconds").alias("sw"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("role") == "user").cast("long")).alias("n_user_turns"),
+        )
+        .select("conv_id", F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), "n_turns", "n_user_turns")
+        .toPandas().sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+    )
+
+    # every emitted session matches a batch session exactly
+    merged = got.merge(
+        batch, on=["conv_id", "session_start", "session_end",
+                   "n_turns", "n_user_turns"], how="inner"
+    )
+    assert len(merged) == len(got)
+    # and everything the watermark allowed to close was emitted
+    horizon = pdf["ts"].max() - pd.Timedelta(seconds=1)
+    closeable = batch[batch["session_end"] <= horizon]
+    assert len(got) >= len(closeable) > 0
+
+
+def test_foreach_batch_idempotent_sink(spark, stream_input, tmp_path):
+    root, pdf = stream_input
+    out_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = sp.read_turn_stream(spark, root, max_files_per_trigger=1)
+    q = sp.incremental_feature_job(stream, out_root, ckpt).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    from amazon_security_lake_transformation_library_spark.plans.writer import SnapshotWriter
+    writer = SnapshotWriter(out_root)
+    got = writer.read(spark)
+    assert got.count() == len(pdf)
+    # three micro-batches -> three committed snapshots with lineage
+    snaps = writer.committed_snapshots(spark)
+    assert len(snaps) == 3
+    mf = writer.manifest(spark)
+    assert mf.agg(F.sum("row_count")).collect()[0][0] == len(pdf)
+
+    # replaying a batch (same snapshot id) is a no-op, not a duplicate
+    some_batch = spark.read.parquet(root).limit(50).withColumn(
+        "eventday", F.date_format(F.col("ts").cast("timestamp"), "yyyyMMdd")
+    )
+    assert writer.commit(some_batch, snapshot_id=sorted(snaps)[0],
+                         partition_cols=["eventday"]) is False
+    assert writer.read(spark).count() == len(pdf)

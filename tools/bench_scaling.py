@@ -1,0 +1,169 @@
+"""Scaling-efficiency evidence for the north rule (sandbox stand-in for
+N vs 4N executors): run the IDENTICAL flagship feature-build job on the
+IDENTICAL input at local[8] and local[32], report turns/sec at both and
+efficiency = (T_8 / T_32) / 4.
+
+Each parallelism level runs in its own subprocess (fresh JVM — no config
+bleed between masters). Within a worker the job runs ``--runs`` times and
+the fastest wall is kept (amortizes JIT/shuffle-service warmup).
+
+Covers both window strategies:
+  * plain   — Window.partitionBy(conv_id): the hot conversation (~10% of
+              rows) serializes into one task and caps scaling;
+  * salted  — chunk-and-carry fused block (salted_features): the hot
+              conversation spreads across tasks.
+
+Usage: python tools/bench_scaling.py [--n-convs 40000] [--runs 2]
+Prints one JSON line; paste the table into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def worker(args) -> None:
+    from amazon_security_lake_transformation_library_spark.operators.asof import asof_join
+    from amazon_security_lake_transformation_library_spark.operators.features import (
+        build_turn_features,
+    )
+    from amazon_security_lake_transformation_library_spark.operators.salted import time_chunk
+    from amazon_security_lake_transformation_library_spark.operators.salted_features import (
+        build_turn_features_salted,
+    )
+    from amazon_security_lake_transformation_library_spark.session import get_spark
+
+    # local-cluster[W,4,4096]: W separate 4-core executor JVM processes —
+    # the faithful sandbox stand-in for W executors (single-JVM local[N]
+    # cannot scale here: the sandbox throttles per-PROCESS CPU to ~4-5
+    # cores, measured in BASELINE.md §4; separate processes scale).
+    workers = args.cpus // 4
+    spark = get_spark(
+        f"scaling-{workers}w",
+        master=f"local-cluster[{workers},4,12288]",
+        shuffle_partitions=2 * args.cpus,
+        extra_conf={
+            "spark.executor.memory": "11g",
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            # RAM-backed shuffle/spill dirs: every executor here shares ONE
+            # sandbox SSD, which saturates and masks compute scaling — on a
+            # real cluster each node has its own local disks
+            "spark.local.dir": f"/dev/shm/spark-scaling-{workers}w",
+        },
+    )
+    t = spark.read.parquet(f"{args.data}/transcripts.parquet")
+    f = spark.read.parquet(f"{args.data}/conv_features.parquet")
+    t.count()  # warm scan + wait for executor registration
+
+    def job():
+        if args.strategy == "salted":
+            featd = build_turn_features_salted(t, time_chunk(chunk_seconds=6 * 3600))
+        elif args.strategy == "salted_nopersist":
+            featd = build_turn_features_salted(
+                t, time_chunk(chunk_seconds=6 * 3600), persist=False
+            )
+        else:
+            featd = build_turn_features(t)
+        out = asof_join(featd, f, on="conv_id", ts="ts", build_cols=["feature_val"])
+        if args.sink == "parquet":
+            out.write.mode("overwrite").parquet(f"{args.data}/out_{args.cpus}.parquet")
+            return spark.read.parquet(f"{args.data}/out_{args.cpus}.parquet").count()
+        # noop sink: forces full computation of every column with no local
+        # single-disk IO — the sandbox's one SSD is a shared bottleneck a
+        # real cluster's distributed sink does not have
+        out.write.format("noop").mode("overwrite").save()
+        return out.count()
+
+    walls, rows = [], 0
+    for _ in range(args.runs):
+        # fair timing across runs: the salted path persists its pass-1
+        # frame and Spark's CacheManager would satisfy the next run's
+        # identical canonical plan from cache
+        spark.catalog.clearCache()
+        t0 = time.time()
+        rows = job()
+        walls.append(time.time() - t0)
+    print(json.dumps({"cpus": args.cpus, "rows": rows,
+                      "wall": round(min(walls), 3)}))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-convs", type=int, default=40_000)
+    p.add_argument("--mean-turns", type=int, default=20)
+    p.add_argument("--hot-frac", type=float, default=0.10)
+    p.add_argument("--runs", type=int, default=2)
+    p.add_argument("--levels", default="4,16",
+                   help="total cores per level; each level runs cores/4 "
+                        "four-core executor JVMs (N vs 4N executors)")
+    p.add_argument("--strategies", default="plain,salted")
+    p.add_argument("--sink", default="noop", choices=["noop", "parquet"])
+    # worker-mode flags
+    p.add_argument("--worker", action="store_true")
+    p.add_argument("--cpus", type=int)
+    p.add_argument("--data")
+    p.add_argument("--strategy")
+    args = p.parse_args()
+
+    if args.worker:
+        worker(args)
+        return
+
+    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
+        gen_conv_features, gen_transcripts, write_parquet,
+    )
+
+    data = (f"{tempfile.gettempdir()}/scaling_{args.n_convs}_{args.mean_turns}"
+            f"_{args.hot_frac}")
+    meta_path = os.path.join(data, "meta.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        n_rows, hot = meta["n_rows"], meta["hot"]
+    else:
+        os.makedirs(data, exist_ok=True)
+        pdf = gen_transcripts(n_convs=args.n_convs, mean_turns=args.mean_turns,
+                              hot_frac=args.hot_frac)
+        write_parquet(pdf, f"{data}/transcripts.parquet")
+        write_parquet(gen_conv_features(pdf), f"{data}/conv_features.parquet")
+        n_rows = len(pdf)
+        hot = int(pdf.groupby("conv_id").size().max())
+        json.dump({"n_rows": int(n_rows), "hot": hot}, open(meta_path, "w"))
+    print(f"# input: {n_rows} turns, hottest conversation {hot} turns "
+          f"({100.0 * hot / n_rows:.1f}%)", file=sys.stderr)
+
+    levels = [int(x) for x in args.levels.split(",")]
+    result: dict = {"n_turns": int(n_rows), "hot_turns": int(hot),
+                    "levels": levels, "strategies": {}}
+    for strat in args.strategies.split(","):
+        walls = {}
+        for cpus in levels:
+            cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+                   "--cpus", str(cpus), "--data", data, "--strategy", strat,
+                   "--runs", str(args.runs), "--sink", args.sink]
+            out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            walls[cpus] = rec["wall"]
+            print(f"# {strat} local[{cpus}]: {rec['wall']}s "
+                  f"({rec['rows'] / rec['wall']:.0f} turns/s)", file=sys.stderr)
+        lo, hi = min(levels), max(levels)
+        speedup = walls[lo] / walls[hi]
+        eff = speedup / (hi / lo)
+        result["strategies"][strat] = {
+            "wall_sec": walls,
+            "turns_per_sec": {c: round(n_rows / w, 1) for c, w in walls.items()},
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(eff, 3),
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
