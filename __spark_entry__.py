@@ -328,6 +328,20 @@ def _q_ivf_topk(spark, sf_dir):
     return _norm_zero(out.withColumn("rank", F.col("rank").cast("long")), "cos_sim")
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(emb, threshold=0.35)
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    from amazon_security_lake_transformation_library_spark.operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return mm.fake_frame_sample(blobs)
+
+
 def _q_multimodal(spark, sf_dir):
     # Binary-column plumbing: text -> utf-8 bytes stand in for an opaque
     # image/audio payload; "decode" derives metadata from the bytes via
@@ -414,7 +428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_assign": _q_ivf_assign,
         "ann_ivf_topk": _q_ivf_topk,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
         "multimodal_meta": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
         # north-star transcripts flagship (rows-only; pandas oracle in tests/)
         "flagship_transcripts": _q_flagship_transcripts,
         "flagship_transcripts_salted": _q_flagship_salted,
@@ -473,15 +489,20 @@ FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 
 _MINHASH_SIG = f"""
 SELECT doc_id,
-       [list_min(list_transform(g, x -> md5('s0:' || x))),
-        list_min(list_transform(g, x -> md5('s1:' || x))),
-        list_min(list_transform(g, x -> md5('s2:' || x))),
-        list_min(list_transform(g, x -> md5('s3:' || x))),
-        list_min(list_transform(g, x -> md5('s4:' || x))),
-        list_min(list_transform(g, x -> md5('s5:' || x))),
-        list_min(list_transform(g, x -> md5('s6:' || x))),
-        list_min(list_transform(g, x -> md5('s7:' || x)))] AS mh
-FROM ({_SHINGLES})
+       [list_min(list_transform(h0, s -> substr(s, 1, 8))),
+        list_min(list_transform(h0, s -> substr(s, 9, 8))),
+        list_min(list_transform(h0, s -> substr(s, 17, 8))),
+        list_min(list_transform(h0, s -> substr(s, 25, 8))),
+        list_min(list_transform(h1, s -> substr(s, 1, 8))),
+        list_min(list_transform(h1, s -> substr(s, 9, 8))),
+        list_min(list_transform(h1, s -> substr(s, 17, 8))),
+        list_min(list_transform(h1, s -> substr(s, 25, 8)))] AS mh
+FROM (
+  SELECT doc_id,
+         list_transform(g, x -> md5('s0:' || x)) AS h0,
+         list_transform(g, x -> md5('s1:' || x)) AS h1
+  FROM ({_SHINGLES})
+)
 """
 
 _BANDS = f"""
@@ -698,6 +719,20 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY cos_to_centroid DESC, cell) AS rn
               FROM s
             ) WHERE rn = 1
+        """,
+        "dedup_embedding_cosine": f"""
+            WITH e AS ({_EMB})
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_cos('a.v', 'b.v')} AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_cos('a.v', 'b.v')} >= 0.35
+        """,
+        "multimodal_frames": """
+            SELECT doc_id,
+                   unnest(range(0, 1 + octet_length(encode(text)) % 8))::BIGINT AS frame_idx,
+                   (octet_length(encode(text))
+                    * (unnest(range(0, 1 + octet_length(encode(text)) % 8)) + 1)) % 997 AS frame_off
+            FROM documents
         """,
         "multimodal_meta": """
             SELECT doc_id,

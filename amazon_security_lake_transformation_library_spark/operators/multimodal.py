@@ -70,6 +70,40 @@ def fake_decode_meta(
     return df.mapInPandas(decode, schema=DECODE_META_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_off", T.LongType()),
+    ]
+)
+
+
+def fake_frame_sample(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """One-to-many 'frame sampling' over Arrow batches: each payload
+    expands into its n_frames rows (stand-in for video frame extraction —
+    the real decoder plugs into the same mapInPandas shape). Frame
+    metadata is a pure function of (payload length, frame index) so the
+    SQL oracle can recompute it."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[payload_col].map(len).astype("int64")
+            n_frames = 1 + n % 8
+            doc_ids = pdf[id_col].astype("int64")
+            rows = {"doc_id": [], "frame_idx": [], "frame_off": []}
+            for doc_id, nb, nf in zip(doc_ids, n, n_frames):
+                for j in range(int(nf)):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(j)
+                    rows["frame_off"].append((int(nb) * (j + 1)) % 997)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

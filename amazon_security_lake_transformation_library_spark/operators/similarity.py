@@ -88,6 +88,31 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim >=
+    threshold). This is the exact baseline — an all-pairs scan with one
+    side broadcast; at corpus scale, block candidates first (IVF cells via
+    :func:`ivf_assign`, or LSH buckets) and run this verify step only
+    within blocks, exactly like MinHash-LSH -> Jaccard in dedup.py."""
+    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(cosine(F.col("va"), F.col("vb")), 4) + F.lit(0.0)).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def centroids_by_label(
     df: DataFrame,
     label_col: str = "label",

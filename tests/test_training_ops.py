@@ -192,6 +192,17 @@ def test_ivf_assign_and_search(emb_df):
     assert list(out1.sort_values("rank")["rank"]) == [1, 2, 3, 4, 5]
 
 
+def test_cosine_near_dup_pairs(emb_df):
+    df, vecs = emb_df
+    out = sim.cosine_near_dup_pairs(df, threshold=0.9).toPandas()
+    # the planted near-duplicate (3, 7) is found; cos ~ 1
+    assert {(a, b) for a, b in zip(out["id_a"], out["id_b"])} == {(3, 7)}
+    assert out.iloc[0]["cos_sim"] > 0.99
+    v3, v7 = vecs[3].astype(np.float64), vecs[7].astype(np.float64)
+    want = round(float(np.dot(v3, v7) / (np.linalg.norm(v3) * np.linalg.norm(v7))), 4)
+    assert out.iloc[0]["cos_sim"] == pytest.approx(want, abs=1e-9)
+
+
 # ------------------------------------------------------------ multimodal
 
 def test_fake_decode_meta(spark):
@@ -207,6 +218,17 @@ def test_fake_decode_meta(spark):
         assert out.loc[doc_id, "height"] == 64 + (n * 7) % 512
         assert out.loc[doc_id, "n_frames"] == 1 + n % 8
     assert "payload" not in out.columns  # binary dropped before any shuffle
+
+
+def test_fake_frame_sample_expansion(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [b"abcd", b"x" * 9]})
+    out = mm.fake_frame_sample(spark.createDataFrame(pdf)).toPandas()
+    # n_frames = 1 + len % 8 -> 5 frames for len 4, 2 frames for len 9
+    got = out.groupby("doc_id")["frame_idx"].agg(["count", "max"])
+    assert got.loc[1, "count"] == 5 and got.loc[1, "max"] == 4
+    assert got.loc[2, "count"] == 2 and got.loc[2, "max"] == 1
+    row = out[(out["doc_id"] == 1) & (out["frame_idx"] == 2)]
+    assert row.iloc[0]["frame_off"] == (4 * 3) % 997
 
 
 def test_decode_image_stub_gates_on_pillow(spark):
