@@ -260,6 +260,34 @@ def _q_rollup(spark, sf_dir):
     )
 
 
+def _q_cube(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    return od.cube("o_orderpriority", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def _q_except(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    all_cust = od.select("o_custkey")
+    big_cust = od.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    return all_cust.distinct().exceptAll(big_cust.distinct())
+
+
+def _q_union_by_name(spark, sf_dir):
+    # mixed-schema union (reference writes mixed event classes into one
+    # file, app.py:396-401): unionByName with allowMissingColumns
+    od = _t(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    b = od.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 def _q_topk_per_group(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
@@ -417,6 +445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_customer_stats": _q_region_stats,
         "customers_without_orders": _q_anti_join,
         "rollup_orders": _q_rollup,
+        "cube_orders": _q_cube,
+        "except_distinct_custkeys": _q_except,
+        "union_by_name_mixed": _q_union_by_name,
         "topk_orders_per_priority": _q_topk_per_group,
         "distinct_users_by_type": _q_distinct_users,
         # training-data ops: text analysis + dedup + similarity
@@ -641,6 +672,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_total,
                    count(*)::BIGINT AS n_orders
             FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "cube_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   round(sum(o_totalprice), 2) AS sum_total,
+                   count(*)::BIGINT AS n_orders
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "except_distinct_custkeys": """
+            SELECT DISTINCT o_custkey FROM orders
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000
+        """,
+        "union_by_name_mixed": """
+            SELECT o_orderkey, o_totalprice AS price, NULL::VARCHAR AS priority
+            FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderkey, NULL::DOUBLE AS price, o_orderpriority AS priority
+            FROM orders WHERE o_orderstatus = 'O'
         """,
         "topk_orders_per_priority": """
             SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
