@@ -113,6 +113,33 @@ class SnapshotWriter:
             return df.filter(F.lit(False))
         return df.filter(F.col(SNAPSHOT_COL).isin(*[F.lit(s) for s in committed]))
 
+    def snapshots(self, spark: SparkSession) -> DataFrame | None:
+        """Snapshot log: (snapshot_id, committed_at_unix, n_rows) — the
+        Iceberg snapshots-metadata-table analog."""
+        mf = self.manifest(spark)
+        if mf is None:
+            return None
+        return mf.groupBy(SNAPSHOT_COL).agg(
+            F.min("committed_at_unix").alias("committed_at_unix"),
+            F.sum("row_count").alias("n_rows"),
+        )
+
+    def read_at(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+        """Time travel: the table as of ``snapshot_id`` — every snapshot
+        committed at or before it (Iceberg ``VERSION AS OF`` analog).
+        Raises KeyError for an unknown/uncommitted snapshot id."""
+        snaps = self.snapshots(spark)
+        if snaps is None:
+            raise KeyError(snapshot_id)
+        rows = {r[0]: r[1] for r in snaps.select(SNAPSHOT_COL, "committed_at_unix").collect()}
+        if snapshot_id not in rows:
+            raise KeyError(snapshot_id)
+        cutoff = rows[snapshot_id]
+        visible = [s for s, t in rows.items() if t <= cutoff]
+        return spark.read.parquet(self.data_path).filter(
+            F.col(SNAPSHOT_COL).isin(*[F.lit(s) for s in visible])
+        )
+
 
 def plan_increment(
     available_inputs: Sequence[str], writer: SnapshotWriter, spark: SparkSession

@@ -88,13 +88,18 @@ class SourceRegistry:
             config = json.load(f)
         mappings = {}
         for s in config["sources"]:
-            mf = s.get("mapping_file")
-            if mf:
-                try:
-                    with open(f"{mappings_dir}/{mf}") as f:
-                        mappings[mf] = json.load(f)
-                except FileNotFoundError:
-                    pass  # soft skip (reference bug #1 fixed)
+            # The reference KeyErrors on a missing mapping_file at import
+            # (app.py:38 + sources_config.json:3-12, SURVEY.md bug #1) even
+            # though mappings/windows_sysmon.json exists on disk. We read
+            # the declared file when present and otherwise fall back to the
+            # name convention <source-name with '-'->'_'>.json.
+            mf = s.get("mapping_file") or s["name"].replace("-", "_") + ".json"
+            try:
+                with open(f"{mappings_dir}/{mf}") as f:
+                    mappings[mf] = json.load(f)
+                s.setdefault("mapping_file", mf)
+            except FileNotFoundError:
+                pass
         return cls.from_config(config, mappings, preprocessors)
 
     # -- detection ----------------------------------------------------------

@@ -97,3 +97,51 @@ def test_partial_write_invisible_then_overwritten(spark, tmp_path):
 
     assert w.commit(mapped, "snapX", partition_cols=[]) is True
     assert w.read(spark).count() == 1  # exactly once after recovery
+
+
+def test_end_to_end_nfw_job(spark, tmp_path):
+    import json as _json
+    from amazon_security_lake_transformation_library_spark.sources.nfw import parse_nfw_lines
+    from test_mapping_golden import NFW_EVENT
+
+    out = str(tmp_path / "lake_nfw")
+    lines = [(_json.dumps(NFW_EVENT),), ("this is not json at all {",)]
+    raw = spark.createDataFrame(lines, "value string")
+    res = run_transform_job(
+        spark,
+        _registry(),
+        {"aws-nfw": raw},
+        out,
+        snapshot_id="snapN",
+        parsers={"aws-nfw": parse_nfw_lines},
+    )
+    assert res.mapped_rows == 1
+    assert res.reject_rows == 1  # corrupt JSON line -> persisted reject
+    data = SnapshotWriter(f"{out}/ext/aws-nfw").read(spark).toPandas()
+    # epoch event_timestamp parsed in UTC (reference bug #3 fixed)
+    assert data.loc[0, "eventDay"] == data.loc[0, "eventDay"].strip()
+    assert len(data.loc[0, "eventDay"]) == 8
+
+
+def test_end_to_end_sysmon_job(spark, tmp_path):
+    from amazon_security_lake_transformation_library_spark.sources.sysmon import preprocess_sysmon
+    from test_mapping_golden import SYSMON_DESC, SYSMON_SCHEMA
+
+    out = str(tmp_path / "lake_sysmon")
+    rows = [
+        ("1", "i-1234example56789", SYSMON_DESC),
+        ("22", "i-1234example56789", SYSMON_DESC),  # unmapped EventId
+    ]
+    raw = spark.createDataFrame(rows, SYSMON_SCHEMA)
+    res = run_transform_job(
+        spark,
+        _registry(),
+        {"windows-sysmon": raw},
+        out,
+        snapshot_id="snapS",
+        parsers={"windows-sysmon": preprocess_sysmon},
+    )
+    assert res.mapped_rows == 1
+    assert res.reject_rows == 1  # EventId 22 has no mapping -> quarantined
+    q = SnapshotWriter(f"{out}/quarantine/windows-sysmon").read(spark).toPandas()
+    assert q.loc[0, "reject_reason"] == "no_mapping_for_value"
