@@ -142,6 +142,19 @@ def _q_asof(spark, sf_dir):
     return joined.select("event_id", "user_id", "feature_val")
 
 
+def _q_asof_range(spark, sf_dir):
+    # the range-join fallback strategy must produce identical results to
+    # the union+window primary (same oracle SQL)
+    ev = _t(spark, sf_dir, "events")
+    joined = asof_ops.asof_join_range(
+        ev.select("event_id", "user_id", "ts"),
+        _purchase_build(ev),
+        probe_key=["event_id"],
+        on="user_id", ts="ts", build_cols=["feature_val"],
+    )
+    return joined.select("event_id", "user_id", "feature_val")
+
+
 def _q_session_window(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     sw = ev.groupBy(
@@ -434,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "cumsum_events": _q_cumsum,
         "asof_join_events": _q_asof,
+        "asof_join_events_range": _q_asof_range,
         "session_window_events": _q_session_window,
         # reference-parity scalar ops (SURVEY.md §2.A)
         "enum_case_lookup": _q_enum_case,
@@ -600,6 +614,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "asof_join_events": f"""
+            SELECT e.event_id, e.user_id, b.feature_val
+            FROM events e
+            ASOF LEFT JOIN ({_PURCHASE_BUILD}) b
+              ON e.user_id = b.user_id AND e.ts >= b.ts
+        """,
+        "asof_join_events_range": f"""
             SELECT e.event_id, e.user_id, b.feature_val
             FROM events e
             ASOF LEFT JOIN ({_PURCHASE_BUILD}) b

@@ -145,3 +145,37 @@ def test_end_to_end_sysmon_job(spark, tmp_path):
     assert res.reject_rows == 1  # EventId 22 has no mapping -> quarantined
     q = SnapshotWriter(f"{out}/quarantine/windows-sysmon").read(spark).toPandas()
     assert q.loc[0, "reject_reason"] == "no_mapping_for_value"
+
+
+def test_gzip_file_ingest_with_path_routing(spark, tmp_path):
+    """A2+A5: real .log.gz files on disk, routed to their source by the
+    registry's path-glob matcher, read via the gzip-codec line reader,
+    then the full job."""
+    import gzip
+
+    from amazon_security_lake_transformation_library_spark.sources.lines import read_lines
+
+    reg = _registry()
+    in_dir = tmp_path / "landing" / "some" / "prefix"
+    in_dir.mkdir(parents=True)
+    gz = in_dir / "batch1.log.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(ALB_LINE + "\n")
+        f.write(ALB_LINE + "\n")
+
+    # path routing: the reference's configured (bucket, prefix-glob) pair
+    # must claim this key (sources_config.json:19-23)
+    alb_bucket = "ocsf-transform-infrastructure-s3-staging-log-bucket"
+    assert reg.detect_s3_key(alb_bucket, "alb-logs/batch1.log.gz") == "aws-alb"
+    assert reg.detect_s3_key(alb_bucket, "other/key.json") is None
+    assert reg.detect_s3_key("wrong-bucket", "alb-logs/batch1.log.gz") is None
+
+    raw = read_lines(spark, str(gz))
+    assert raw.count() == 2
+
+    out = str(tmp_path / "lake_gz")
+    res = run_transform_job(
+        spark, reg, {"aws-alb": raw}, out, snapshot_id="snapG",
+        parsers={"aws-alb": parse_alb_lines},
+    )
+    assert res.mapped_rows == 2 and res.reject_rows == 0
