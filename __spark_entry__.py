@@ -403,7 +403,7 @@ def _q_flagship_transcripts(spark, sf_dir):
         gen_conv_features, gen_transcripts,
     )
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.01
-    n_convs = max(20, int(4000 * sf))
+    n_convs = max(20, int(40_000 * sf))
     tr = gen_transcripts(n_convs=n_convs, mean_turns=20, seed=42)
     cf = gen_conv_features(tr)
     tdf = spark.createDataFrame(tr)
@@ -426,7 +426,7 @@ def _q_flagship_salted(spark, sf_dir):
         gen_conv_features, gen_transcripts,
     )
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.01
-    n_convs = max(20, int(4000 * sf))
+    n_convs = max(20, int(40_000 * sf))
     tr = gen_transcripts(n_convs=n_convs, mean_turns=20, seed=42)
     cf = gen_conv_features(tr)
     featd = build_turn_features_salted(

@@ -18,7 +18,6 @@ Everything is seeded (default 42); no wall clock, no external data.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -34,12 +33,13 @@ _ROLES = np.array(["user", "assistant", "tool"])
 BASE_TS = np.datetime64("2024-01-01T00:00:00", "us")
 
 
-def text_for(conv_id: str, turn_idx: int) -> str:
-    """Pure function of (conv_id, turn_idx) -> deterministic token string."""
-    h = hashlib.md5(f"{conv_id}:{turn_idx}".encode()).digest()
-    n = 4 + h[0] % 24
-    words = [_VOCAB[h[(1 + i) % 16] % len(_VOCAB)] for i in range(n)]
-    return f"{conv_id}#{turn_idx} " + " ".join(words)
+def _mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized deterministic hash."""
+    h = h.copy()
+    h ^= h >> np.uint64(31)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(29)
+    return h
 
 
 def gen_transcripts(
@@ -49,7 +49,11 @@ def gen_transcripts(
     hot_frac: float = 0.10,
 ) -> pd.DataFrame:
     """Generate the transcripts table as a pandas DataFrame (sorted by
-    conv_id, turn_idx). Deterministic for a given (n_convs, mean_turns, seed).
+    conv_id, turn_idx). Deterministic for a given (n_convs, mean_turns,
+    seed, hot_frac). Fully vectorized — the per-conversation python loop of
+    the first version dominated wall time past ~10^5 turns; text content is
+    a pure splitmix64 function of (conv_idx, turn_idx) so byte-equality
+    remains checkable anywhere.
     """
     rng = np.random.default_rng(seed)
 
@@ -57,55 +61,77 @@ def gen_transcripts(
         2, (rng.pareto(1.7, n_convs) * mean_turns * 0.7 + 2).astype(np.int64)
     )
     lengths = np.minimum(lengths, mean_turns * 40)
-    total = int(lengths.sum())
+    total0 = int(lengths.sum())
     # hot conversation: ~hot_frac of ALL rows ends up in conv 0
-    hot_len = max(int(hot_frac / (1.0 - hot_frac) * total), mean_turns * 4)
-    lengths[0] = hot_len
+    lengths[0] = max(int(hot_frac / (1.0 - hot_frac) * total0), mean_turns * 4)
+    total = int(lengths.sum())
 
-    frames = []
-    for i, length in enumerate(lengths):
-        cid = f"conv_{i:08d}"
-        t = np.arange(length, dtype=np.int32)
+    starts = np.zeros(n_convs, dtype=np.int64)
+    starts[1:] = np.cumsum(lengths)[:-1]
+    conv_of = np.repeat(np.arange(n_convs, dtype=np.int64), lengths)
+    t = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
-        # roles: user/assistant alternate with deterministic perturbation,
-        # ~15% tool turns
-        r = rng.random(length)
-        roles = np.where(t % 2 == 0, "user", "assistant").astype(object)
-        roles[r < 0.15] = "tool"
-        roles[0] = "user"
+    # roles: user/assistant alternate with perturbation, ~15% tool turns
+    r = rng.random(total)
+    roles = np.where(t % 2 == 0, "user", "assistant").astype(object)
+    roles[r < 0.15] = "tool"
+    roles[t == 0] = "user"
 
-        tools = np.array([None] * length, dtype=object)
-        tool_rows = roles == "tool"
-        tool_ids = rng.integers(0, 12, size=length)
-        tools[tool_rows] = np.array(
-            [f"tool_{k:02d}" for k in tool_ids], dtype=object
-        )[tool_rows]
+    tool_names = np.array([f"tool_{k:02d}" for k in range(12)], dtype=object)
+    tools = np.full(total, None, dtype=object)
+    mask = roles == "tool"
+    tools[mask] = tool_names[rng.integers(0, 12, size=total)[mask]]
 
-        # gaps (seconds): mostly short; ~7% > 30 min (session break); ~5% ties
-        gaps = rng.exponential(45.0, size=length)
-        u = rng.random(length)
-        gaps[u < 0.07] = 1801.0 + rng.exponential(1200.0, size=int((u < 0.07).sum()))
-        gaps[(u >= 0.07) & (u < 0.12)] = 0.0  # equal-ts ties (tie-break turn_idx)
-        gaps[0] = 0.0
-        start_off = float(rng.integers(0, 86_400 * 30))  # conv start within 30 days
-        ts = BASE_TS + ((start_off + np.cumsum(gaps)) * 1e6).astype("timedelta64[us]")
+    # gaps (seconds): mostly short; ~7% > 30 min (session break); ~5% ties
+    gaps = rng.exponential(45.0, size=total)
+    u = rng.random(total)
+    long_mask = u < 0.07
+    gaps[long_mask] = 1801.0 + rng.exponential(1200.0, size=int(long_mask.sum()))
+    gaps[(u >= 0.07) & (u < 0.12)] = 0.0  # equal-ts ties (tie-break turn_idx)
+    gaps[t == 0] = 0.0
+    cg = np.cumsum(gaps)
+    within = cg - np.repeat(cg[starts] - gaps[starts], lengths)
+    start_off = rng.integers(0, 86_400 * 30, size=n_convs).astype(np.float64)
+    ts = BASE_TS + (
+        (np.repeat(start_off, lengths) + within) * 1e6
+    ).astype("timedelta64[us]")
 
-        frames.append(
-            pd.DataFrame(
-                {
-                    "conv_id": cid,
-                    "turn_idx": t,
-                    "role": roles,
-                    "text": [text_for(cid, int(k)) for k in t],
-                    "tool": tools,
-                    "ts": ts,
-                }
-            )
-        )
+    # text: deterministic token sequence from a splitmix64 of (conv, turn)
+    h = _mix(
+        conv_of.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + t.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+        + np.uint64(1)
+    )
+    n_words = (4 + (h % np.uint64(24)).astype(np.int64))
+    vocab = np.array(_VOCAB, dtype=object)
+    max_w = 27
+    word_cols = [
+        vocab[
+            (
+                _mix(h + np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF))
+                % np.uint64(len(vocab))
+            ).astype(np.int64)
+        ]
+        for i in range(max_w)
+    ]
+    words_mat = np.stack(word_cols, axis=1)
+    conv_names = np.array([f"conv_{i:08d}" for i in range(n_convs)], dtype=object)
+    cid = conv_names[conv_of]
+    texts = [
+        f"{c}#{ti} " + " ".join(row[:nw])
+        for c, ti, nw, row in zip(cid, t, n_words, words_mat)
+    ]
 
-    df = pd.concat(frames, ignore_index=True)
-    df["turn_idx"] = df["turn_idx"].astype("int32")
-    return df
+    return pd.DataFrame(
+        {
+            "conv_id": cid,
+            "turn_idx": t.astype("int32"),
+            "role": roles,
+            "text": texts,
+            "tool": tools,
+            "ts": ts,
+        }
+    )
 
 
 def gen_conv_features(transcripts: pd.DataFrame) -> pd.DataFrame:
