@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from amazon_security_lake_transformation_library_spark.functions.timeops import epoch_seconds, eventday
+from amazon_security_lake_transformation_library_spark.functions.timeops import eventday
 from amazon_security_lake_transformation_library_spark.operators import asof as asof_ops
 from amazon_security_lake_transformation_library_spark.operators import dedup as dd
 from amazon_security_lake_transformation_library_spark.operators import features as feat
