@@ -18,9 +18,13 @@ flag of a chunk's first row is ``gap(first.ts, prev_chunk.last.ts)``, so
 per-chunk flag totals = interior flags (pass 1) + boundary flag (carry
 frame) and no second pass over the big table is needed.
 
-The pass-1 frame is persisted before branching into (carry-aggregate,
-join-probe): without it Catalyst recomputes the whole windowed projection
-for each consumer — measured 1.5-2x wall at 1M turns.
+``persist=True`` caches the pass-1 frame before it branches into
+(carry-aggregate, join-probe); the default recomputes the window for each
+consumer instead. With zstd shuffle compression (session default) the
+recompute is CHEAPER than materializing the wide frame — measured 69s vs
+80s at 4 cores and 36s vs 57s at 16 cores on 12.7M turns (BASELINE.md
+§4.2) — because the persisted blocks thrash executor storage memory while
+the recompute rides the already-compressed shuffle. Flip it per workload.
 
 The chunk id must be NON-DECREASING along the window order within each
 entity (``salted.turn_chunk`` / ``salted.time_chunk`` both qualify; equal-ts
@@ -53,7 +57,7 @@ def build_turn_features_salted(
     role_col: str = "role",
     tool_col: str = "tool",
     ts_col: str = "ts",
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """Same output schema/values as ``features.build_turn_features`` but the
     hot entity spreads across tasks. See module docstring for the plan."""

@@ -25,6 +25,11 @@ _DEFAULTS = {
     # keep partition-key types as written (eventDay stays the string
     # 'YYYYMMDD' per the reference's path contract, app.py:404)
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    # zstd shuffle/spill compression: transcript rows are text-heavy and
+    # zstd's ratio cuts cross-executor shuffle bytes ~3x vs lz4 — measured
+    # 2.6x wall on the shuffle-bound window stage at 4 executors
+    # (BASELINE.md §4.2); worth its small CPU premium on this data shape.
+    "spark.io.compression.codec": "zstd",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
