@@ -18,7 +18,7 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import Source, SourceRegistry
@@ -76,18 +76,36 @@ def run_transform_job(
     committed_any = False
     for name, raw in inputs.items():
         source = registry.sources[name]
+        # Single-pass metrics: the mapped/reject split is a disjoint cover
+        # of the input, so observing (total input rows) upstream and
+        # (mapped rows) on the written frame yields both counts from the
+        # ONE write job — no rejects.count() pre-pass, no read-back
+        # (the reference-analog Lambda counts per record for free,
+        # app.py:376-390; here Observation rides the write).
+        obs_in, obs_map = Observation(), Observation()
+        raw_obs = raw.observe(obs_in, F.count(F.lit(1)).alias("n"))
         mapped, rejects = transform_source(
-            spark, source, raw, parsers.get(name), region, account_id
+            spark, source, raw_obs, parsers.get(name), region, account_id
         )
+        mapped = mapped.observe(obs_map, F.count(F.lit(1)).alias("n"))
         w = SnapshotWriter(os.path.join(out_root, "ext", name))
         committed = w.commit(
             mapped, snapshot_id, partition_cols=["region", "accountId", "eventDay"]
         )
-        qw = SnapshotWriter(os.path.join(out_root, "quarantine", name))
-        n_rej = rejects.count()
+        if committed:
+            n_mapped = int(obs_map.get["n"])
+            n_rej = int(obs_in.get["n"]) - n_mapped
+        else:  # resume no-op: counts from manifest lineage, not recompute
+            mf = w.manifest(spark)
+            n_mapped = int(
+                mf.filter(F.col("snapshot_id") == snapshot_id)
+                .agg(F.sum("row_count")).collect()[0][0] or 0
+            )
+            n_rej = 0
         if n_rej:
+            qw = SnapshotWriter(os.path.join(out_root, "quarantine", name))
             qw.commit(rejects, snapshot_id)
-        mapped_total += w.read(spark).filter(F.col("snapshot_id") == snapshot_id).count()
+        mapped_total += n_mapped
         reject_total += n_rej
         committed_any = committed_any or committed
     return JobResult(mapped_total, reject_total, committed_any)

@@ -127,6 +127,9 @@ class SnapshotWriter:
     def read_at(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
         """Time travel: the table as of ``snapshot_id`` — every snapshot
         committed at or before it (Iceberg ``VERSION AS OF`` analog).
+        Visibility is a strict prefix of the (committed_at, snapshot_id)
+        total order — the id tie-break keeps two snapshots that land on the
+        same commit timestamp from observing each other ("future" data).
         Raises KeyError for an unknown/uncommitted snapshot id."""
         snaps = self.snapshots(spark)
         if snaps is None:
@@ -134,8 +137,8 @@ class SnapshotWriter:
         rows = {r[0]: r[1] for r in snaps.select(SNAPSHOT_COL, "committed_at_unix").collect()}
         if snapshot_id not in rows:
             raise KeyError(snapshot_id)
-        cutoff = rows[snapshot_id]
-        visible = [s for s, t in rows.items() if t <= cutoff]
+        cutoff = (rows[snapshot_id], snapshot_id)
+        visible = [s for s, t in rows.items() if (t, s) <= cutoff]
         return spark.read.parquet(self.data_path).filter(
             F.col(SNAPSHOT_COL).isin(*[F.lit(s) for s in visible])
         )

@@ -121,7 +121,21 @@ def _turn_features_with_state(
 ) -> Iterator[pd.DataFrame]:
     """Per-conversation O(1) state: (last_ts_us, session_id, user_cum,
     last_tool). Turns inside a micro-batch are sorted by (ts, turn_idx) —
-    the same tie-break as the batch block; state carries across batches."""
+    the same tie-break as the batch block; state carries across batches.
+
+    Ordering contract ACROSS micro-batches: the watermark does not filter
+    ``applyInPandasWithState`` input, so a turn arriving in a later batch
+    with ``ts`` earlier than the stored ``last_ts_us`` would silently
+    corrupt session_id/user_turn_cum/tool_ffill. Such late rows are DROPPED
+    here (deterministically — same policy as the watermark on the
+    session-window aggregate); run the batch window block to recompute
+    history if late data matters.
+
+    Vectorized: numpy cumsum of gap flags / user indicators with carry-in
+    from state — no per-row Python even in the live-tail path.
+    """
+    import numpy as np
+
     if state.exists:
         last_ts_us, session_id, user_cum, last_tool = state.get
     else:
@@ -130,27 +144,42 @@ def _turn_features_with_state(
     out = []
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-        ts_us = pdf["ts"].astype("int64")  # pandas datetime64[ns] -> ns; /1000 below
-        rows = []
-        for turn_idx, role, ts, tus, tool in zip(
-            pdf["turn_idx"], pdf["role"], pdf["ts"], ts_us, pdf["tool"]
-        ):
-            tus = tus // 1000
-            if last_ts_us is None or tus - last_ts_us > 1_800_000_000:
-                session_id += 1
-            last_ts_us = tus
-            if role == "user":
-                user_cum += 1
-            if isinstance(tool, str):
-                last_tool = tool
-            rows.append((key[0], turn_idx, role, ts, session_id, user_cum, last_tool))
+        tus = (pdf["ts"].astype("int64").to_numpy() // 1000)  # ns -> us
+        if last_ts_us is not None:
+            keep = tus >= last_ts_us
+            if not keep.all():
+                pdf, tus = pdf[keep], tus[keep]  # drop late arrivals
+        if len(pdf) == 0:
+            continue
+        prev = np.empty_like(tus)
+        prev[1:] = tus[:-1]
+        prev[0] = last_ts_us if last_ts_us is not None else np.iinfo("int64").min
+        flags = (tus - prev > 1_800_000_000).astype("int64")
+        if last_ts_us is None:
+            flags[0] = 1
+        sess = session_id + np.cumsum(flags)
+        ucum = user_cum + np.cumsum((pdf["role"] == "user").to_numpy(dtype="int64"))
+        tool_f = pdf["tool"].ffill()
+        if last_tool is not None:
+            tool_f = tool_f.fillna(last_tool)
+
+        session_id = int(sess[-1])
+        user_cum = int(ucum[-1])
+        last_ts_us = int(tus[-1])
+        nn = pdf["tool"].dropna()
+        if len(nn):
+            last_tool = nn.iloc[-1]
         out.append(
             pd.DataFrame(
-                rows,
-                columns=[
-                    "conv_id", "turn_idx", "role", "ts",
-                    "session_id", "user_turn_cum", "tool_ffill",
-                ],
+                {
+                    "conv_id": key[0],
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "role": pdf["role"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "session_id": sess,
+                    "user_turn_cum": ucum,
+                    "tool_ffill": tool_f.to_numpy(),
+                }
             )
         )
 

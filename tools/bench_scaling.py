@@ -65,7 +65,12 @@ def worker(args) -> None:
 
     def job():
         if args.strategy == "salted":
-            featd = build_turn_features_salted(t, time_chunk(chunk_seconds=6 * 3600))
+            # persist=True materializes the pass-1 frame; the nopersist
+            # variant recomputes it per consumer (BASELINE.md §4.2 compares
+            # the two — they must execute DIFFERENT plans)
+            featd = build_turn_features_salted(
+                t, time_chunk(chunk_seconds=6 * 3600), persist=True
+            )
         elif args.strategy == "salted_nopersist":
             featd = build_turn_features_salted(
                 t, time_chunk(chunk_seconds=6 * 3600), persist=False
