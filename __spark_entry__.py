@@ -23,11 +23,18 @@ from amazon_security_lake_transformation_library_spark.functions.timeops import 
 from amazon_security_lake_transformation_library_spark.operators import asof as asof_ops
 from amazon_security_lake_transformation_library_spark.operators import dedup as dd
 from amazon_security_lake_transformation_library_spark.operators import features as feat
+from amazon_security_lake_transformation_library_spark.operators import fused as fused_ops
 from amazon_security_lake_transformation_library_spark.operators import similarity as sim
 from amazon_security_lake_transformation_library_spark.operators import textstats as ts_ops
+from amazon_security_lake_transformation_library_spark.operators.salted import time_chunk
+from amazon_security_lake_transformation_library_spark.synth import transcripts as synth
 
 GAP_S = 1800
 QUERY_VEC_IDS = list(range(10))
+# hybrid router threshold for the synthesized flagship fixture: the hot
+# conversation holds ~10% of rows (>500 at every bench scale), the Pareto
+# tail stays under it -> both paths exercised
+HYBRID_HOT_ROWS = 500
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -395,47 +402,244 @@ def _q_multimodal(spark, sf_dir):
     return mm.fake_decode_meta(blobs)
 
 
+def _flagship_inputs(spark, sf_dir):
+    """Deterministic synthesized transcripts, materialized ONCE to parquet
+    (synth.ensure_fixture) so (a) the job reads a distributed scan instead
+    of shipping rows through the driver, and (b) the DuckDB oracle reads
+    the very same bytes via read_parquet."""
+    d = synth.ensure_fixture(synth.sf_from_dir(sf_dir))
+    return (
+        spark.read.parquet(f"{d}/transcripts.parquet"),
+        spark.read.parquet(f"{d}/conv_features.parquet"),
+    )
+
+
 def _q_flagship_transcripts(spark, sf_dir):
-    # North-star input synthesized deterministically at a size keyed to the
-    # sf directory (no oracle view exists for transcripts -> rows-only
-    # check here; the pandas-oracle allclose gate lives in tests/).
-    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
-        gen_conv_features, gen_transcripts,
-    )
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.01
-    n_convs = max(20, int(40_000 * sf))
-    tr = gen_transcripts(n_convs=n_convs, mean_turns=20, seed=42)
-    cf = gen_conv_features(tr)
-    tdf = spark.createDataFrame(tr)
-    cdf = spark.createDataFrame(cf)
-    featd = feat.build_turn_features(tdf)
-    return asof_ops.asof_join(
-        featd, cdf, on="conv_id", ts="ts", build_cols=["feature_val"]
-    )
+    # North-star flagship: the fused single-window block (ONE Exchange +
+    # Sort for lag/lead, ffill, sessionize, cumsum AND the as-of join —
+    # operators/fused.py; equality with the modular composition is
+    # property-tested in tests/test_fused.py).
+    t, cf = _flagship_inputs(spark, sf_dir)
+    return fused_ops.asof_turn_features(t, cf, gap_seconds=GAP_S)
 
 
 def _q_flagship_salted(spark, sf_dir):
-    # Hot-conversation-safe variant of the flagship block: chunk-and-carry
-    # windows (operators/salted_features.py); equality with the plain block
-    # is property-tested in tests/test_salted_features.py.
-    from amazon_security_lake_transformation_library_spark.operators.salted import time_chunk
-    from amazon_security_lake_transformation_library_spark.operators.salted_features import (
-        build_turn_features_salted,
+    # Hot-conversation-safe variant: chunk-and-carry over the fused union,
+    # so even the as-of fill of the hot conversation spreads across tasks.
+    t, cf = _flagship_inputs(spark, sf_dir)
+    return fused_ops.asof_turn_features_salted(
+        t, cf, time_chunk(chunk_seconds=6 * 3600), gap_seconds=GAP_S
     )
-    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
-        gen_conv_features, gen_transcripts,
+
+
+def _q_flagship_hybrid(spark, sf_dir):
+    # Skew router: hot conv_ids (pre-pass count) -> salted path, Pareto
+    # tail -> plain path; identical output, no salted constant factor on
+    # the tail, no single-task floor on the hot entity.
+    t, cf = _flagship_inputs(spark, sf_dir)
+    return fused_ops.asof_turn_features_hybrid(
+        t, cf, time_chunk(chunk_seconds=6 * 3600),
+        hot_threshold_rows=HYBRID_HOT_ROWS, gap_seconds=GAP_S,
     )
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.01
-    n_convs = max(20, int(40_000 * sf))
-    tr = gen_transcripts(n_convs=n_convs, mean_turns=20, seed=42)
-    cf = gen_conv_features(tr)
-    featd = build_turn_features_salted(
-        spark.createDataFrame(tr), time_chunk(chunk_seconds=6 * 3600)
+
+
+# ------------------------------------------- reference-parity ingest surface
+
+def _alb_line(od: DataFrame):
+    """Deterministic well-formed ALB access-log line per order row —
+    16 real tokens (quote-aware fields with spaces inside, '-' sentinels,
+    a malformed request every 7th row, short-line tail fields absent)."""
+    method = F.element_at(
+        F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT")),
+        (F.col("o_orderkey") % 3 + 1).cast("int"),
     )
-    return asof_ops.asof_join(
-        featd, spark.createDataFrame(cf), on="conv_id", ts="ts",
-        build_cols=["feature_val"],
+    request = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit('"badreq"')
+    ).otherwise(
+        F.format_string(
+            '"%s https://shop.example.com/o/%d?u=%d HTTP/1.1"',
+            method, F.col("o_orderkey"), F.col("o_custkey"),
+        )
     )
+    return F.concat_ws(
+        " ",
+        F.lit("https"),
+        F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("T00:00:00Z")),
+        F.lit("my-elb"),
+        F.format_string(
+            "10.%d.%d.%d:%d",
+            F.col("o_custkey") % 256, (F.col("o_custkey") / 256).cast("long") % 256,
+            F.col("o_orderkey") % 250 + 1, F.col("o_orderkey") % 50000 + 1024,
+        ),
+        F.format_string("192.168.0.%d:8080", F.col("o_custkey") % 200 + 1),
+        F.lit("0.001"), F.lit("0.002"), F.lit("0.000"),
+        F.format_string("%d", F.col("o_orderkey") % 3 * 101 + 200),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("-"))
+        .otherwise(F.format_string("%d", F.col("o_orderkey") % 3 * 101 + 200)),
+        F.format_string("%d", F.col("o_orderkey") % 4096),
+        F.format_string("%d", F.col("o_custkey") % 8192),
+        request,
+        F.format_string('"agent/%d (Linux; x86_64)"', F.col("o_custkey") % 17),
+        F.lit("ECDHE-RSA-AES128-GCM-SHA256"),
+        F.lit("TLSv1.2"),
+    )
+
+
+def _q_alb_parse(spark, sf_dir):
+    # A7-A10: quote-aware tokenizer + ip:port / request-triple splits +
+    # '-' sentinel + short-line padding (sources/alb.py; reference
+    # alb_preprocessor.py:34-110). The oracle re-derives every field
+    # directly from the order columns — the Spark side must tokenize the
+    # constructed line and recover them exactly.
+    from amazon_security_lake_transformation_library_spark.sources.alb import parse_alb_lines
+
+    od = _t(spark, sf_dir, "orders")
+    lines = od.select("o_orderkey", _alb_line(od).alias("value"))
+    parsed = parse_alb_lines(lines, keep_cols=("o_orderkey",))
+    return parsed.select(
+        "o_orderkey", "type", "time", "elb", "client_ip", "client_port",
+        "target_ip", "target_port", "elb_status_code", "target_status_code",
+        "received_bytes", "sent_bytes", "request_method", "request_url",
+        "request_protocol", "request", "user_agent", "ssl_protocol",
+        "conn_trace_id",
+    )
+
+
+def _q_sysmon_kv(spark, sf_dir):
+    # A11: Sysmon Description CRLF/': ' parser with Line{n} fallback keys
+    # (sources/sysmon.py; reference sysmon_preprocessor.py:23-31). Oracle
+    # re-derives the expected map values straight from the event columns.
+    from amazon_security_lake_transformation_library_spark.sources.sysmon import (
+        description_to_map,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ts_str = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSS")
+    desc = F.concat_ws(
+        "\r\n",
+        F.concat(F.lit("UtcTime: "), ts_str),
+        F.format_string("ProcessId: %d", F.col("user_id")),
+        F.format_string("Image: C:\\apps\\%s.exe", F.col("event_type")),
+        F.lit("orphan line without delimiter"),
+    )
+    m = description_to_map(desc)
+    return ev.select(
+        "event_id",
+        F.try_element_at(m, F.lit("UtcTime")).alias("utc_time"),
+        F.try_element_at(m, F.lit("ProcessId")).alias("process_id"),
+        F.try_element_at(m, F.lit("Image")).alias("image"),
+        F.try_element_at(m, F.lit("_line_4")).alias("line4"),
+    )
+
+
+_DEMO_MAPPING = {
+    "custom_source_events": {
+        "source_name": "events_demo",
+        "matched_field": "$.event_type",
+        "timestamp": {"field": "$.ts_str", "format": "%Y-%m-%d %H:%M:%S"},
+        "ocsf_mapping": {
+            "view": {
+                "schema": "web_activity",
+                "schema_mapping": {
+                    "activity_id": 1,
+                    "event_uid": "$.event_id",
+                    "actor": {"user": {"uid": "$.user_id"}},
+                    "severity_id": {
+                        "enum": {
+                            "evaluate": "$.event_type",
+                            "values": {"view": 1, "click": 2},
+                            "other": 99,
+                        }
+                    },
+                    "time": "$.ts_str",
+                },
+            },
+            "click": {
+                "schema": "web_activity",
+                "schema_mapping": {
+                    "activity_id": 2,
+                    "event_uid": "$.event_id",
+                    "actor": {"user": {"uid": "$.user_id"}},
+                    "severity_id": {
+                        "enum": {
+                            "evaluate": "$.event_type",
+                            "values": {"view": 1, "click": 2},
+                            "other": 99,
+                        }
+                    },
+                    "time": "$.ts_str",
+                },
+            },
+        },
+    }
+}
+
+
+def _demo_transform(spark, sf_dir):
+    from amazon_security_lake_transformation_library_spark.functions.mapping_compiler import (
+        MappingCompiler,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+        .alias("ts_str"),
+    )
+    return MappingCompiler(_DEMO_MAPPING).transform(ev)
+
+
+def _q_mapping_dispatch(spark, sf_dir):
+    # A12-A18+A22 through the REAL compiled path: dot locators, literal
+    # stamping, enum lookup, matched_field dispatch, ts parse -> eventday,
+    # envelope columns, mixed-type union (functions/mapping_compiler.py;
+    # reference app.py:112-148, 204-251).
+    res = _demo_transform(spark, sf_dir)
+    return res.mapped.select(
+        "source", "target_schema", "eventday",
+        F.col("activity_id").cast("long").alias("activity_id"),
+        "event_uid",
+        F.col("actor.user.uid").alias("actor_uid"),
+        F.col("severity_id").cast("long").alias("severity_id"),
+        "time",
+    )
+
+
+def _q_mapping_rejects(spark, sf_dir):
+    # A21: reject routing persisted with a reason (fixes the reference's
+    # log-and-drop, app.py:414-415).
+    res = _demo_transform(spark, sf_dir)
+    return res.rejects.groupBy("source", "reject_reason").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------- scale-path dedup / similarity
+
+def _q_simhash_hamming(spark, sf_dir):
+    # Hamming<=3 near-dup pairs via 4-band pigeonhole (EXACT for k < bands:
+    # the oracle is the brute-force Hamming scan and must agree
+    # pair-for-pair while Spark only ever joins band buckets).
+    return dd.simhash_hamming_pairs(_t(spark, sf_dir, "documents"), k=3, n_bands=4)
+
+
+def _q_embedding_near_dup_blocked(spark, sf_dir):
+    # Scale path for dedup_embedding_cosine: IVF-cell blocking with
+    # 2-probe assignment, cosine verify only within blocks.
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs_blocked(emb, threshold=0.35, n_probe=2)
+
+
+def _q_kmeans_centroids(spark, sf_dir):
+    # Lloyd iterations as pure DataFrame ops; exploded (label, d, val) so
+    # the differential gate compares scalars, rounded for cross-engine
+    # bit-stability (see kmeans_centroids docstring).
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, k=8, iters=2)
+    return cents.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("centroid").alias("d", "val"),
+    ).select("label", F.col("d").cast("long").alias("d"),
+             (F.col("val") + F.lit(0.0)).alias("val"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -453,6 +657,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_case_lookup": _q_enum_case,
         "json_dot_locator": _q_json_locator,
         "eventday_counts": _q_eventday,
+        # reference-parity ingest surface (A7-A18, A21-A22) under the
+        # differential gate
+        "alb_parse": _q_alb_parse,
+        "sysmon_description_kv": _q_sysmon_kv,
+        "mapping_dispatch": _q_mapping_dispatch,
+        "mapping_rejects": _q_mapping_rejects,
         # joins / aggregations
         "q1_pricing_summary": _q1_pricing,
         "q3_top_orders": _q3_top_orders,
@@ -470,15 +680,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_hamming": _q_simhash_hamming,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_assign": _q_ivf_assign,
         "ann_ivf_topk": _q_ivf_topk,
+        "ann_kmeans_centroids": _q_kmeans_centroids,
         "dedup_embedding_cosine": _q_embedding_near_dup,
+        "dedup_embedding_cosine_blocked": _q_embedding_near_dup_blocked,
         "multimodal_meta": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
-        # north-star transcripts flagship (rows-only; pandas oracle in tests/)
+        # north-star transcripts flagship (fused block; parquet fixture +
+        # DuckDB ASOF oracle; all three strategies share one oracle)
         "flagship_transcripts": _q_flagship_transcripts,
         "flagship_transcripts_salted": _q_flagship_salted,
+        "flagship_transcripts_hybrid": _q_flagship_hybrid,
     }
 
 
@@ -575,6 +790,178 @@ def _cos(a: str, b: str) -> str:
 
 
 _QUERY_IDS_SQL = "(" + ",".join(str(i) for i in QUERY_VEC_IDS) + ")"
+
+# ------------------------------------------------- flagship transcripts oracle
+
+_TR_W = "PARTITION BY conv_id ORDER BY ts, turn_idx"
+_TR_CUM = _TR_W + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+
+def _flagship_oracle_sql() -> str:
+    """DuckDB oracle for the full fused flagship block. The driver's gate
+    runs at sf0.01; ensure_fixture materializes the identical deterministic
+    parquet the Spark query reads, so both engines see the same bytes."""
+    d = synth.ensure_fixture(0.01)
+    return f"""
+        WITH t AS (SELECT * FROM read_parquet('{d}/transcripts.parquet')),
+        cf AS (SELECT * FROM read_parquet('{d}/conv_features.parquet')),
+        l1 AS (
+          SELECT conv_id, turn_idx, role, text, tool, ts,
+                 length(text) AS text_len,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                 lag(role) OVER ({_TR_W}) AS prev_role,
+                 lag(length(text)) OVER ({_TR_W}) AS prev_text_len,
+                 lead(role) OVER ({_TR_W}) AS next_role,
+                 last_value(tool IGNORE NULLS) OVER ({_TR_CUM}) AS tool_ffill,
+                 sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                   OVER ({_TR_CUM})::BIGINT AS user_turn_cum,
+                 CASE WHEN lag(ts) OVER ({_TR_W}) IS NULL
+                           OR (epoch_us(ts) - epoch_us(lag(ts) OVER ({_TR_W}))) / 1000000.0 > 1800.0
+                      THEN 1 ELSE 0 END AS __flag
+          FROM t
+        ),
+        l2 AS (
+          SELECT * EXCLUDE (__flag),
+                 (sum(__flag) OVER ({_TR_CUM}) - 1)::BIGINT AS session_id
+          FROM l1
+        )
+        SELECT f.conv_id, f.ts, f.turn_idx, f.role, f.text, f.tool,
+               f.text_len, f.n_tokens, f.prev_role, f.prev_text_len,
+               f.next_role, f.tool_ffill, f.session_id, f.user_turn_cum,
+               b.ts AS asof_ts, b.feature_val
+        FROM l2 f ASOF LEFT JOIN cf b
+          ON f.conv_id = b.conv_id AND f.ts >= b.ts
+    """
+
+
+# --------------------------------------------------------- simhash oracles
+
+# hex -> int without a base-conv builtin: positional digit arithmetic over
+# the first 8 md5 hex chars (mirrors Spark's conv(substring(md5,1,8),16,10))
+_HEX2INT = (
+    "list_sum(list_transform(range(1,9), i -> "
+    "((strpos('0123456789abcdef', substr(md5({x}), i, 1)) - 1)::BIGINT "
+    "<< (4 * (8 - i)))))::BIGINT"
+)
+
+_SIMHASH_SIG = f"""
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM (
+  SELECT doc_id, j, sum(((th >> j) & 1) * 2 - 1) AS v
+  FROM (SELECT doc_id, {_HEX2INT.format(x='tok')} AS th
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS j) b
+  GROUP BY 1, 2
+) GROUP BY 1
+"""
+
+# ------------------------------------------------------------- IVF oracles
+
+_IVF_CENTROIDS = f"""
+e AS ({_EMB}),
+x AS (SELECT vec_id, label, unnest(v) AS val, unnest(range(1, 65)) AS d FROM e),
+cd AS (SELECT label AS cell, d, avg(val) AS cv FROM x GROUP BY 1, 2),
+cl AS (SELECT cell, list(cv ORDER BY d) AS centroid FROM cd GROUP BY 1)
+"""
+
+
+def _ivf_topk_oracle_sql(k: int = 5, n_probe: int = 2) -> str:
+    return f"""
+        WITH {_IVF_CENTROIDS},
+        s AS (
+          SELECT e.vec_id, cl.cell::BIGINT AS cell,
+                 {_cos('e.v', 'cl.centroid')} AS c
+          FROM e, cl
+        ),
+        asn AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY c DESC, cell) AS rn
+            FROM s
+          ) WHERE rn = 1
+        ),
+        qv AS (SELECT vec_id AS query_id, v AS q FROM e
+               WHERE vec_id IN {_QUERY_IDS_SQL}),
+        probe AS (
+          SELECT query_id, q, cell FROM (
+            SELECT qv.query_id, qv.q, cl.cell::BIGINT AS cell,
+                   row_number() OVER (PARTITION BY qv.query_id
+                     ORDER BY {_cos('qv.q', 'cl.centroid')} DESC, cl.cell::BIGINT) AS rn
+            FROM qv, cl
+          ) WHERE rn <= {n_probe}
+        ),
+        sc AS (
+          SELECT p.query_id, e.vec_id AS neighbor_id,
+                 {_cos('p.q', 'e.v')} AS cos_sim
+          FROM probe p JOIN asn a ON a.cell = p.cell
+               JOIN e ON e.vec_id = a.vec_id
+          WHERE e.vec_id != p.query_id
+        )
+        SELECT query_id, rank, neighbor_id, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM sc
+        ) WHERE rank <= {k}
+    """
+
+
+def _near_dup_blocked_oracle_sql(threshold: float = 0.35, n_probe: int = 2) -> str:
+    return f"""
+        WITH {_IVF_CENTROIDS},
+        asn AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, cl.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.v', 'cl.centroid')} DESC, cl.cell) AS rn
+            FROM e, cl
+          ) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b, {_cos('ea.v', 'eb.v')} AS cos_sim
+        FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+             JOIN e eb ON eb.vec_id = c.id_b
+        WHERE {_cos('ea.v', 'eb.v')} >= {threshold}
+    """
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd iterations (deterministic: id%k init, rounded means,
+    rounded-cos assignment with cell tie-break — mirrors
+    similarity.kmeans_centroids exactly)."""
+    parts = [
+        f"e AS ({_EMB})",
+        f"a0 AS (SELECT vec_id, (vec_id % {k})::BIGINT AS cell, v FROM e)",
+    ]
+    prev = "a0"
+    for it in range(iters + 1):
+        parts.append(f"""c{it} AS (
+          SELECT cell AS label, list(rv ORDER BY d) AS centroid FROM (
+            SELECT cell, d, round(avg(val), 6) AS rv FROM (
+              SELECT cell, unnest(v) AS val, unnest(range(1, 65)) AS d FROM {prev}
+            ) GROUP BY 1, 2
+          ) GROUP BY 1)""")
+        if it == iters:
+            break
+        parts.append(f"""a{it + 1} AS (
+          SELECT vec_id, cell, v FROM (
+            SELECT e.vec_id, c.label AS cell, e.v,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.v', 'c.centroid')} DESC, c.label) AS rn
+            FROM e, c{it} c
+          ) WHERE rn = 1)""")
+        prev = f"a{it + 1}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT label, unnest(range(0, 64))::BIGINT AS d,
+               unnest(centroid) + 0.0 AS val
+        FROM c{iters}
+    """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -811,7 +1198,73 @@ def oracle_sql() -> dict[str, str]:
                    (1 + octet_length(encode(text)) % 8)::BIGINT AS n_frames
             FROM documents
         """,
-        # dedup_simhash / ann_ivf_topk / flagship_transcripts: intentionally
-        # no SQL oracle (bit-fold / approximate probe / synthesized input);
-        # covered by pytest oracles instead -> driver rows-only check.
+        "dedup_simhash": f"""
+            SELECT simhash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+            FROM ({_SIMHASH_SIG}) GROUP BY 1
+        """,
+        "dedup_simhash_hamming": f"""
+            WITH sh AS ({_SIMHASH_SIG})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "ann_ivf_topk": _ivf_topk_oracle_sql(k=5, n_probe=2),
+        "ann_kmeans_centroids": _kmeans_oracle_sql(k=8, iters=2),
+        "dedup_embedding_cosine_blocked": _near_dup_blocked_oracle_sql(0.35, 2),
+        "alb_parse": """
+            SELECT o_orderkey,
+              'https' AS type,
+              strftime(o_orderdate, '%Y-%m-%d') || 'T00:00:00Z' AS time,
+              'my-elb' AS elb,
+              printf('10.%d.%d.%d', o_custkey % 256, (o_custkey // 256) % 256,
+                     o_orderkey % 250 + 1) AS client_ip,
+              printf('%d', o_orderkey % 50000 + 1024) AS client_port,
+              printf('192.168.0.%d', o_custkey % 200 + 1) AS target_ip,
+              '8080' AS target_port,
+              printf('%d', o_orderkey % 3 * 101 + 200) AS elb_status_code,
+              CASE WHEN o_orderkey % 5 = 0 THEN '-'
+                   ELSE printf('%d', o_orderkey % 3 * 101 + 200) END AS target_status_code,
+              printf('%d', o_orderkey % 4096) AS received_bytes,
+              printf('%d', o_custkey % 8192) AS sent_bytes,
+              CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                   ELSE ['GET','POST','PUT'][(o_orderkey % 3 + 1)::INT] END AS request_method,
+              CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                   ELSE printf('https://shop.example.com/o/%d?u=%d', o_orderkey, o_custkey)
+                   END AS request_url,
+              CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE 'HTTP/1.1' END AS request_protocol,
+              CASE WHEN o_orderkey % 7 = 0 THEN 'badreq' ELSE NULL END AS request,
+              printf('agent/%d (Linux; x86_64)', o_custkey % 17) AS user_agent,
+              'TLSv1.2' AS ssl_protocol,
+              '-' AS conn_trace_id
+            FROM orders
+        """,
+        "sysmon_description_kv": r"""
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS utc_time,
+                   printf('%d', user_id) AS process_id,
+                   printf('C:\apps\%s.exe', event_type) AS image,
+                   'orphan line without delimiter' AS line4
+            FROM events
+        """,
+        "mapping_dispatch": """
+            SELECT 'events_demo' AS source, 'web_activity' AS target_schema,
+                   strftime(ts, '%Y%m%d') AS eventday,
+                   (CASE event_type WHEN 'view' THEN 1 ELSE 2 END)::BIGINT AS activity_id,
+                   event_id::VARCHAR AS event_uid,
+                   user_id::VARCHAR AS actor_uid,
+                   (CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                         ELSE 99 END)::BIGINT AS severity_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS time
+            FROM events WHERE event_type IN ('view', 'click')
+        """,
+        "mapping_rejects": """
+            SELECT 'events_demo' AS source,
+                   'no_mapping_for_value' AS reject_reason,
+                   count(*)::BIGINT AS n
+            FROM events WHERE event_type NOT IN ('view', 'click')
+        """,
+        "flagship_transcripts": _flagship_oracle_sql(),
+        "flagship_transcripts_salted": _flagship_oracle_sql(),
+        "flagship_transcripts_hybrid": _flagship_oracle_sql(),
     }

@@ -272,11 +272,59 @@ def simhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Group docs by exact SimHash collision (near-dup at Hamming 0).
-    Returns (simhash, keep_id, n_dups). For Hamming<=k, re-group on the
-    standard band-rotation trick — same plan shape."""
+    Returns (simhash, keep_id, n_dups). For Hamming<=k see
+    :func:`simhash_hamming_pairs` (band trick)."""
     return (
         ensure_parallelism(df)
         .select(simhash(F.col(text_col)).alias("simhash"), F.col(id_col))
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    k: int = 3,
+    n_bands: int = 4,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= k via the standard SimHash
+    band trick: split each ``bits``-wide signature into ``n_bands``
+    equal-width bands; pigeonhole guarantees any pair within Hamming
+    ``n_bands - 1`` shares at least one identical band, so candidate
+    generation is a band-bucket equi-join (shuffle keyed by (band, slice)
+    — O(n_bands * n_docs) exchanged rows, never all-pairs), and the
+    popcount verify runs only on candidates. EXACT for ``k < n_bands``
+    (the default 3 < 4) — the DuckDB oracle is the brute-force Hamming
+    scan and must agree pair-for-pair.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    assert k < n_bands, "band trick is only exact for k < n_bands"
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sig = ensure_parallelism(df).select(
+        F.col(id_col), simhash(F.col(text_col), bits).alias("sh")
+    )
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit(mask)).alias("slice"),
+        )
+        for b in range(n_bands)
+    ])
+    bb = sig.select(F.col(id_col), F.col("sh"), F.explode(bands).alias("b")).select(
+        id_col, "sh", F.col("b.band_id").alias("band_id"), F.col("b.slice").alias("slice")
+    )
+    a = bb.select("band_id", "slice", F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = bb.select("band_id", "slice", F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band_id", "slice"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= k)
+        .distinct()
     )

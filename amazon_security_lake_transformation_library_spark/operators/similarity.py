@@ -113,6 +113,111 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup: block by IVF cell, verify within
+    blocks — replaces the all-pairs scan of :func:`cosine_near_dup_pairs`
+    with O(cell_size^2 * n_cells) work, the same two-stage shape as
+    MinHash-LSH -> Jaccard.
+
+    Multi-probe blocking: every vector lands in its ``n_probe`` nearest
+    cells, so near-dups straddling a cell boundary still share a block
+    (recall vs the exact scan is property-tested in
+    tests/test_training_ops.py; the candidate generation is deterministic,
+    so the DuckDB oracle reproduces it exactly).
+    """
+    cents = centroids if centroids is not None else centroids_by_label(
+        df, label_col, vec_col
+    )
+    c = F.broadcast(cents.select(F.col(label_col).alias("cell"), "centroid"))
+    scored = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .crossJoin(c)
+        .select(
+            id_col, "cell",
+            F.round(cosine(F.col("v"), F.col("centroid")), 4).alias("cc"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cc").desc(), F.col("cell"))
+    assigned = (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= n_probe)
+        .select(id_col, "cell")
+    )
+    a = assigned.select(F.col("cell"), F.col(id_col).alias("id_a"))
+    b = assigned.select(F.col("cell"), F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.round(cosine(F.col("va"), F.col("vb")), 4) + F.lit(0.0)).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Lloyd's k-means in pure DataFrame ops — centroids for the IVF coarse
+    quantizer when no natural coarse key exists. Deterministic init (cell =
+    ``vec_id % k``), then ``iters`` rounds of assign (broadcast centroids,
+    one scan) -> recompute means (posexplode -> avg, map-side partials).
+    Each round is one job over the corpus; the search plan downstream is
+    unchanged (swap for :func:`centroids_by_label` freely).
+
+    Returns (label, centroid) with ``label`` = cell id, matching
+    :func:`ivf_assign`'s centroid input contract.
+
+    ``round_decimals`` rounds every centroid component after each mean so
+    the iteration is bit-reproducible across engines (summation order in a
+    distributed avg is nondeterministic at the last ulp; rounding pins the
+    values the NEXT round's assignments see — required for the DuckDB
+    oracle, harmless for recall).
+    """
+    def _round(c: DataFrame) -> DataFrame:
+        if round_decimals is None:
+            return c
+        return c.withColumn(
+            "centroid",
+            F.transform(F.col("centroid"), lambda x: F.round(x, round_decimals)),
+        )
+
+    labeled = df.select(
+        F.col(id_col), (F.col(id_col) % k).cast("long").alias("label"), F.col(vec_col)
+    )
+    base = df.select(F.col(id_col), F.col(vec_col))  # shed any input label col
+    cents = _round(centroids_by_label(labeled, "label", vec_col))
+    for _ in range(iters):
+        assigned = ivf_assign(base, cents, id_col, vec_col, "label")
+        relabeled = base.join(
+            assigned.select(id_col, F.col("cell").alias("label")), id_col
+        )
+        cents = _round(centroids_by_label(relabeled, "label", vec_col))
+    return cents
+
+
 def centroids_by_label(
     df: DataFrame,
     label_col: str = "label",
@@ -175,12 +280,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: restrict each query's scan to the ``n_probe`` cells
     nearest the query vector, then exact cosine top-k within those cells.
     Approximate (recall < 1 when the true neighbor lives in an unprobed
-    cell) — the standard IVF trade; the cell restriction is what scales."""
-    cents = centroids_by_label(df, label_col, vec_col)
+    cell) — the standard IVF trade; the cell restriction is what scales.
+    ``centroids``: pass :func:`kmeans_centroids` output to search against
+    learned cells; defaults to the label-mean coarse quantizer."""
+    cents = centroids if centroids is not None else centroids_by_label(
+        df, label_col, vec_col
+    )
     assigned = ivf_assign(df, cents, id_col, vec_col, label_col)
     corpus = df.join(assigned.select(id_col, "cell"), id_col).select(
         F.col(id_col).alias("neighbor_id"),

@@ -51,13 +51,16 @@ def _port_of(c: Column) -> Column:
     )
 
 
-def parse_alb_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
+def parse_alb_lines(
+    df: DataFrame, line_col: str = "value", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Tokenize raw ALB log lines into the preprocessor's output columns.
 
     Output column per reference dict key; a field past the end of a short
     line becomes ``-`` (alb_preprocessor.py:107-108); quoted fields are
     unquoted; ``request`` is split into method/url/protocol when it has
-    exactly 3 parts, else kept raw in ``request``.
+    exactly 3 parts, else kept raw in ``request``. ``keep_cols`` pass
+    through untouched (e.g. a record id for differential testing).
     """
     toks = F.regexp_extract_all(F.col(line_col), F.lit(TOKEN_RE), 0)
 
@@ -94,4 +97,4 @@ def parse_alb_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
             out.append(F.when(~ok & (v != "-"), v).alias("request"))
         else:
             out.append(v.alias(name))
-    return df.select(*out)
+    return df.select(*[F.col(c) for c in keep_cols], *out)

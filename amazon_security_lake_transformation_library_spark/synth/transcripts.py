@@ -18,6 +18,8 @@ Everything is seeded (default 42); no wall clock, no external data.
 
 from __future__ import annotations
 
+import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -151,6 +153,54 @@ def gen_conv_features(transcripts: pd.DataFrame) -> pd.DataFrame:
     # tie-break 'latest build row wins')
     out = out.groupby(["conv_id", "ts"], as_index=False, sort=True).last()
     return out.reset_index(drop=True)
+
+
+FIXTURE_ROOT = "/tmp/asltl_fixtures"
+
+
+def n_convs_for_sf(sf: float) -> int:
+    """Conversation count keyed to the driver testdata scale factor —
+    shared by the flagship query and its oracle so both read the exact
+    same deterministic fixture."""
+    return max(20, int(40_000 * sf))
+
+
+def sf_from_dir(sf_dir: str, default: float = 0.01) -> float:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return default
+
+
+def fixture_dir(sf: float) -> str:
+    return f"{FIXTURE_ROOT}/transcripts_n{n_convs_for_sf(sf)}"
+
+
+def ensure_fixture(sf: float, mean_turns: int = 20, seed: int = 42) -> str:
+    """Materialize the synthesized transcripts + conv_features tables to
+    parquet once per scale (atomic rename; content is a pure function of
+    the arguments, so concurrent writers converge on identical bytes).
+
+    This is what lets (a) the flagship query read a distributed parquet
+    scan instead of shipping rows through the driver, and (b) the DuckDB
+    oracle read the very same input via ``read_parquet``.
+    """
+    d = fixture_dir(sf)
+    if os.path.exists(os.path.join(d, "_OK")):
+        return d
+    tmp = f"{d}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    tr = gen_transcripts(n_convs=n_convs_for_sf(sf), mean_turns=mean_turns, seed=seed)
+    write_parquet(tr, os.path.join(tmp, "transcripts.parquet"))
+    write_parquet(gen_conv_features(tr), os.path.join(tmp, "conv_features.parquet"))
+    with open(os.path.join(tmp, "_OK"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(tmp, d)
+    except OSError:  # a concurrent writer won the rename; theirs is identical
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
 
 
 def write_parquet(df: pd.DataFrame, path: str, row_group_size: int = 100_000) -> None:

@@ -41,6 +41,14 @@ def parse_args(argv=None):
                    help="explicit snapshot id (idempotent re-runs reuse it)")
     p.add_argument("--buckets", type=int, default=0,
                    help="repartition output into N conv_id buckets before write")
+    p.add_argument("--strategy", default="hybrid",
+                   choices=["hybrid", "fused", "fused_salted", "modular"],
+                   help="physical strategy for the feature+as-of block "
+                        "(hybrid = hot entities salted, tail plain — the "
+                        "skew-safe default)")
+    p.add_argument("--hot-threshold", type=int, default=1_000_000,
+                   help="rows per entity above which the hybrid router "
+                        "takes the salted path")
     return p.parse_args(argv)
 
 
@@ -49,6 +57,12 @@ def main(argv=None) -> int:
 
     from amazon_security_lake_transformation_library_spark.operators.asof import asof_join
     from amazon_security_lake_transformation_library_spark.operators.features import build_turn_features
+    from amazon_security_lake_transformation_library_spark.operators.fused import (
+        asof_turn_features,
+        asof_turn_features_hybrid,
+        asof_turn_features_salted,
+    )
+    from amazon_security_lake_transformation_library_spark.operators.salted import time_chunk
     from amazon_security_lake_transformation_library_spark.plans.writer import SnapshotWriter
     from amazon_security_lake_transformation_library_spark.session import get_spark
     from amazon_security_lake_transformation_library_spark.synth.transcripts import (
@@ -71,11 +85,30 @@ def main(argv=None) -> int:
         return 2
 
     transcripts = spark.read.parquet(args.input)
-    featd = build_turn_features(transcripts, gap_seconds=args.gap_seconds)
     if args.features:
         build = spark.read.parquet(args.features)
-        featd = asof_join(featd, build, on="conv_id", ts="ts",
-                          build_cols=["feature_val"])
+        chunk = time_chunk(chunk_seconds=6 * 3600)
+        if args.strategy == "hybrid":
+            featd = asof_turn_features_hybrid(
+                transcripts, build, chunk,
+                hot_threshold_rows=args.hot_threshold,
+                gap_seconds=args.gap_seconds,
+            )
+        elif args.strategy == "fused":
+            featd = asof_turn_features(
+                transcripts, build, gap_seconds=args.gap_seconds
+            )
+        elif args.strategy == "fused_salted":
+            featd = asof_turn_features_salted(
+                transcripts, build, chunk, gap_seconds=args.gap_seconds
+            )
+        else:  # modular: two window passes — kept for plan comparison
+            featd = asof_join(
+                build_turn_features(transcripts, gap_seconds=args.gap_seconds),
+                build, on="conv_id", ts="ts", build_cols=["feature_val"],
+            )
+    else:
+        featd = build_turn_features(transcripts, gap_seconds=args.gap_seconds)
 
     if args.output:
         from amazon_security_lake_transformation_library_spark.plans.writer import new_snapshot_id

@@ -203,6 +203,71 @@ def test_cosine_near_dup_pairs(emb_df):
     assert out.iloc[0]["cos_sim"] == pytest.approx(want, abs=1e-9)
 
 
+def test_cosine_near_dup_blocked_recall(emb_df):
+    df, vecs = emb_df
+    exact = sim.cosine_near_dup_pairs(df, threshold=0.35).toPandas()
+    blocked = sim.cosine_near_dup_pairs_blocked(df, threshold=0.35, n_probe=2).toPandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    blocked_pairs = set(zip(blocked["id_a"], blocked["id_b"]))
+    # blocked is a subset of exact (verify step is the same cosine)...
+    assert blocked_pairs <= exact_pairs
+    # ...the planted near-dup (same cell by construction) always survives...
+    assert (3, 7) in blocked_pairs
+    # ...and 2-probe blocking keeps recall high on this fixture
+    assert len(blocked_pairs) >= 0.6 * len(exact_pairs)
+
+
+def test_kmeans_centroids_and_recall(emb_df):
+    df, vecs = emb_df
+    cents = sim.kmeans_centroids(df, k=4, iters=2)
+    cpdf = cents.toPandas()
+    assert 1 <= len(cpdf) <= 4 and all(len(c) == 16 for c in cpdf["centroid"])
+
+    # recall@5 of cell-probed search against brute force, reported per
+    # VERDICT item 10; full probe (n_probe = n_cells) must be exact
+    n_cells = len(cpdf)
+    out = (
+        sim.ivf_topk(df, [3, 11], k=5, n_probe=n_cells, centroids=cents)
+        .toPandas()
+    )
+    hits = 0
+    for qid in (3, 11):
+        got = set(out[out["query_id"] == qid]["neighbor_id"])
+        exp = {i for i, _ in _np_topk(vecs, qid, 5)}
+        hits += len(got & exp)
+    assert hits == 10  # recall@5 == 1.0 at full probe
+
+    out1 = sim.ivf_topk(df, [3], k=5, n_probe=1, centroids=cents).toPandas()
+    got1 = set(out1["neighbor_id"])
+    exp1 = {i for i, _ in _np_topk(vecs, 3, 5)}
+    assert len(got1 & exp1) >= 2  # 1-probe recall stays useful
+
+
+def _np_simhash(text: str, bits: int = 32) -> int:
+    votes = [0] * bits
+    for tok in text.split(" "):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        for j in range(bits):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    return sum(1 << j for j in range(bits) if votes[j] > 0)
+
+
+def test_simhash_hamming_pairs_exact_vs_bruteforce(spark, docs_df):
+    out = dd.simhash_hamming_pairs(docs_df, k=3, n_bands=4).toPandas()
+    got = {(a, b): h for a, b, h in zip(out["doc_a"], out["doc_b"], out["hamming"])}
+    sigs = {i: _np_simhash(t) for i, t in DOCS}
+    want = {}
+    for i, _ in DOCS:
+        for j, _ in DOCS:
+            if i < j:
+                ham = bin(sigs[i] ^ sigs[j]).count("1")
+                if ham <= 3:
+                    want[(i, j)] = ham
+    # band trick is EXACT for k < n_bands: pair sets and distances agree
+    assert got == want
+    assert (0, 2) in got and got[(0, 2)] == 0  # exact dup pair
+
+
 # ------------------------------------------------------------ multimodal
 
 def test_fake_decode_meta(spark):

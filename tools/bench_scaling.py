@@ -35,6 +35,11 @@ def worker(args) -> None:
     from amazon_security_lake_transformation_library_spark.operators.features import (
         build_turn_features,
     )
+    from amazon_security_lake_transformation_library_spark.operators.fused import (
+        asof_turn_features,
+        asof_turn_features_hybrid,
+        asof_turn_features_salted,
+    )
     from amazon_security_lake_transformation_library_spark.operators.salted import time_chunk
     from amazon_security_lake_transformation_library_spark.operators.salted_features import (
         build_turn_features_salted,
@@ -64,20 +69,28 @@ def worker(args) -> None:
     t.count()  # warm scan + wait for executor registration
 
     def job():
-        if args.strategy == "salted":
-            # persist=True materializes the pass-1 frame; the nopersist
-            # variant recomputes it per consumer (BASELINE.md §4.2 compares
-            # the two — they must execute DIFFERENT plans)
-            featd = build_turn_features_salted(
-                t, time_chunk(chunk_seconds=6 * 3600), persist=True
-            )
-        elif args.strategy == "salted_nopersist":
-            featd = build_turn_features_salted(
-                t, time_chunk(chunk_seconds=6 * 3600), persist=False
+        chunk = time_chunk(chunk_seconds=6 * 3600)
+        if args.strategy == "fused":
+            out = asof_turn_features(t, f)
+        elif args.strategy == "fused_salted":
+            out = asof_turn_features_salted(t, f, chunk)
+        elif args.strategy == "hybrid":
+            # threshold: anything above ~2 task-partitions' worth of rows
+            # routes to the salted path; the synthetic hot conv qualifies
+            out = asof_turn_features_hybrid(
+                t, f, chunk, hot_threshold_rows=args.hot_threshold
             )
         else:
-            featd = build_turn_features(t)
-        out = asof_join(featd, f, on="conv_id", ts="ts", build_cols=["feature_val"])
+            if args.strategy == "salted":
+                # persist=True materializes the pass-1 frame; the nopersist
+                # variant recomputes it per consumer (BASELINE.md §4.2
+                # compares the two — they must execute DIFFERENT plans)
+                featd = build_turn_features_salted(t, chunk, persist=True)
+            elif args.strategy == "salted_nopersist":
+                featd = build_turn_features_salted(t, chunk, persist=False)
+            else:
+                featd = build_turn_features(t)
+            out = asof_join(featd, f, on="conv_id", ts="ts", build_cols=["feature_val"])
         if args.sink == "parquet":
             out.write.mode("overwrite").parquet(f"{args.data}/out_{args.cpus}.parquet")
             return spark.read.parquet(f"{args.data}/out_{args.cpus}.parquet").count()
@@ -109,7 +122,8 @@ def main() -> None:
     p.add_argument("--levels", default="4,16",
                    help="total cores per level; each level runs cores/4 "
                         "four-core executor JVMs (N vs 4N executors)")
-    p.add_argument("--strategies", default="plain,salted")
+    p.add_argument("--strategies", default="fused,hybrid")
+    p.add_argument("--hot-threshold", type=int, default=200_000)
     p.add_argument("--sink", default="noop", choices=["noop", "parquet"])
     # worker-mode flags
     p.add_argument("--worker", action="store_true")
@@ -152,7 +166,8 @@ def main() -> None:
         for cpus in levels:
             cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                    "--cpus", str(cpus), "--data", data, "--strategy", strat,
-                   "--runs", str(args.runs), "--sink", args.sink]
+                   "--runs", str(args.runs), "--sink", args.sink,
+                   "--hot-threshold", str(args.hot_threshold)]
             out = subprocess.run(cmd, capture_output=True, text=True, check=True)
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             walls[cpus] = rec["wall"]
