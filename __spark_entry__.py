@@ -623,10 +623,14 @@ def _q_simhash_hamming(spark, sf_dir):
 
 
 def _q_embedding_near_dup_blocked(spark, sf_dir):
-    # Scale path for dedup_embedding_cosine: IVF-cell blocking with
-    # 2-probe assignment, cosine verify only within blocks.
+    # Scale path for dedup_embedding_cosine: k-means-cell blocking (k=64,
+    # so cell population — and the quadratic within-cell verify — shrinks
+    # as k grows with corpus size) with 2-probe assignment.
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.cosine_near_dup_pairs_blocked(emb, threshold=0.35, n_probe=2)
+    cents = sim.kmeans_centroids(emb, k=64, iters=1)
+    return sim.cosine_near_dup_pairs_blocked(
+        emb, threshold=0.35, n_probe=2, centroids=cents
+    )
 
 
 def _q_kmeans_centroids(spark, sf_dir):
@@ -906,32 +910,11 @@ def _ivf_topk_oracle_sql(k: int = 5, n_probe: int = 2) -> str:
     """
 
 
-def _near_dup_blocked_oracle_sql(threshold: float = 0.35, n_probe: int = 2) -> str:
-    return f"""
-        WITH {_IVF_CENTROIDS},
-        asn AS (
-          SELECT vec_id, cell FROM (
-            SELECT e.vec_id, cl.cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY {_cos('e.v', 'cl.centroid')} DESC, cl.cell) AS rn
-            FROM e, cl
-          ) WHERE rn <= {n_probe}
-        ),
-        cand AS (
-          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        )
-        SELECT c.id_a, c.id_b, {_cos('ea.v', 'eb.v')} AS cos_sim
-        FROM cand c JOIN e ea ON ea.vec_id = c.id_a
-             JOIN e eb ON eb.vec_id = c.id_b
-        WHERE {_cos('ea.v', 'eb.v')} >= {threshold}
-    """
-
-
-def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
-    """Unrolled Lloyd iterations (deterministic: id%k init, rounded means,
-    rounded-cos assignment with cell tie-break — mirrors
-    similarity.kmeans_centroids exactly)."""
+def _kmeans_cte(k: int, iters: int) -> tuple[list[str], str]:
+    """Unrolled Lloyd iterations as WITH-clause parts (deterministic: id%k
+    init, rounded means, rounded-cos assignment with cell tie-break —
+    mirrors similarity.kmeans_centroids exactly). Returns (parts,
+    final-centroid-CTE-name)."""
     parts = [
         f"e AS ({_EMB})",
         f"a0 AS (SELECT vec_id, (vec_id % {k})::BIGINT AS cell, v FROM e)",
@@ -954,12 +937,43 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
             FROM e, c{it} c
           ) WHERE rn = 1)""")
         prev = f"a{it + 1}"
+    return parts, f"c{iters}"
+
+
+def _near_dup_blocked_oracle_sql(
+    threshold: float = 0.35, n_probe: int = 2, k: int = 64, iters: int = 1
+) -> str:
+    parts, cfinal = _kmeans_cte(k, iters)
+    parts.append(f"cl AS (SELECT label AS cell, centroid FROM {cfinal})")
+    parts.append(f"""asn AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, cl.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.v', 'cl.centroid')} DESC, cl.cell) AS rn
+            FROM e, cl
+          ) WHERE rn <= {n_probe})""")
+    parts.append("""cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT c.id_a, c.id_b, {_cos('ea.v', 'eb.v')} AS cos_sim
+        FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+             JOIN e eb ON eb.vec_id = c.id_b
+        WHERE {_cos('ea.v', 'eb.v')} >= {threshold}
+    """
+    )
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    parts, cfinal = _kmeans_cte(k, iters)
     return (
         "WITH " + ",\n".join(parts)
         + f"""
         SELECT label, unnest(range(0, 64))::BIGINT AS d,
                unnest(centroid) + 0.0 AS val
-        FROM c{iters}
+        FROM {cfinal}
     """
     )
 
@@ -1211,7 +1225,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_topk": _ivf_topk_oracle_sql(k=5, n_probe=2),
         "ann_kmeans_centroids": _kmeans_oracle_sql(k=8, iters=2),
-        "dedup_embedding_cosine_blocked": _near_dup_blocked_oracle_sql(0.35, 2),
+        "dedup_embedding_cosine_blocked": _near_dup_blocked_oracle_sql(
+            0.35, 2, k=64, iters=1
+        ),
         "alb_parse": """
             SELECT o_orderkey,
               'https' AS type,

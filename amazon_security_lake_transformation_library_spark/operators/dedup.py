@@ -40,11 +40,13 @@ from .textstats import fingerprint, tokens
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition when the input arrives under-partitioned
     (e.g. one small parquet file -> one task serializing a CPU-bound
-    projection). No-op when the scan already has enough splits — at real
-    scale the file source provides them and this never shuffles."""
+    projection). No-op when the scan already has enough file splits — at
+    real scale the file source provides them and this never shuffles.
+    Uses ``inputFiles()`` (pure metadata, no RDD materialization) as the
+    split proxy; non-file inputs (in-memory test frames) repartition."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

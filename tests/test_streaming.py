@@ -77,6 +77,44 @@ def test_stateful_features_match_batch(spark, stream_input, tmp_path):
         )
 
 
+def test_stateful_features_drop_late_rows(spark, tmp_path):
+    """A turn arriving in a LATER micro-batch with ts earlier than the
+    stored state's last_ts is dropped (documented policy) instead of
+    silently corrupting session/cumsum/ffill state."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "late_in")
+    os.makedirs(root)
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(rows, name):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(root, name))
+
+    mk([("c", 0, "user", "a", None, base),
+        ("c", 1, "assistant", "b", "tool_01", base + pd.Timedelta(seconds=100))],
+       "part-0.parquet")
+    mk([("c", 9, "user", "late", "tool_99", base - pd.Timedelta(seconds=50)),
+        ("c", 2, "user", "c", None, base + pd.Timedelta(seconds=200))],
+       "part-1.parquet")
+
+    stream = sp.read_turn_stream(spark, root, max_files_per_trigger=1)
+    feats = sp.stateful_turn_features(stream, watermark="100 days")
+    _run_to_memory(feats, "late_stream", str(tmp_path))
+    got = spark.sql("SELECT * FROM late_stream").toPandas()
+    assert sorted(got["turn_idx"]) == [0, 1, 2]  # turn 9 (late) dropped
+    row2 = got[got["turn_idx"] == 2].iloc[0]
+    assert row2["user_turn_cum"] == 2            # late user turn not counted
+    assert row2["tool_ffill"] == "tool_01"       # late tool not carried
+
+
 def test_sessionized_stream_matches_batch_session_window(spark, stream_input, tmp_path):
     # append mode emits a session only once the watermark passes its end:
     # with a 1s watermark every session except those ending within 1s of
