@@ -53,6 +53,14 @@ from .salted import hot_entities
 _SIDE = "__side"
 _B = "__asof_payload"
 _CHUNK = "__salt_chunk"
+_CK = "__entity_hash"
+
+# Leading 64-bit hash of the entity as the FIRST partition/sort key: long
+# entity ids that share a byte prefix (conv_00000123 vs conv_00004567)
+# defeat the sort's 8-byte prefix comparator and degrade the radix/prefix
+# sort into per-pair full string compares — the hash key restores an
+# almost-always-discriminating prefix. Same co-location (hash is a pure
+# function of the entity), dropped before output.
 
 
 def _union_frame(
@@ -119,8 +127,8 @@ def asof_turn_features(
     single Exchange + Sort over probe+build rows."""
     u = _union_frame(
         transcripts, conv_features, entity, ts, list(build_cols), strict, asof_ts_col
-    )
-    w = Window.partitionBy(entity).orderBy(ts, _SIDE, turn_col)
+    ).withColumn(_CK, F.xxhash64(F.col(entity)))
+    w = Window.partitionBy(_CK, entity).orderBy(ts, _SIDE, turn_col)
     wp = w.rowsBetween(Window.unboundedPreceding, -1)
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -192,18 +200,23 @@ def asof_turn_features_salted(
     ``salted.time_chunk``) so that equal-ts build/probe ties never split
     across chunks.
     """
-    u = _union_frame(
-        transcripts, conv_features, entity, ts, list(build_cols), strict, asof_ts_col
-    ).withColumn(_CHUNK, chunk)
+    u = (
+        _union_frame(
+            transcripts, conv_features, entity, ts, list(build_cols), strict,
+            asof_ts_col,
+        )
+        .withColumn(_CHUNK, chunk)
+        .withColumn(_CK, F.xxhash64(F.col(entity)))
+    )
 
-    w = Window.partitionBy(entity, _CHUNK).orderBy(ts, _SIDE, turn_col)
+    w = Window.partitionBy(_CK, entity, _CHUNK).orderBy(ts, _SIDE, turn_col)
     wp = w.rowsBetween(Window.unboundedPreceding, -1)
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # "next probe row within chunk" as a RUNNING frame over the REVERSED
     # order (desc mirrors asc exactly: nulls_first <-> nulls_last) — costs
     # one extra in-partition sort but avoids the O(partition^2)
     # UnboundedFollowingWindowFunctionFrame rescan (see plain variant).
-    w_desc = Window.partitionBy(entity, _CHUNK).orderBy(
+    w_desc = Window.partitionBy(_CK, entity, _CHUNK).orderBy(
         F.col(ts).desc(), F.col(_SIDE).desc(), F.col(turn_col).desc()
     )
     wp_desc = w_desc.rowsBetween(Window.unboundedPreceding, -1)
@@ -213,6 +226,10 @@ def asof_turn_features_salted(
     user_ind = F.when(is_probe & (F.col(role_col) == "user"), 1).otherwise(0)
 
     # ---- pass 1: per-(entity, chunk) partials (the only big-table window)
+    # Window-node ordering discipline: the DESC window is emitted in its
+    # OWN select FIRST, then both ASC selects follow adjacently — so the
+    # physical plan is Sort(desc), Window, Sort(asc), Window, Window
+    # (2 sorts, 1 exchange); interleaving them could cost a third sort.
     prev_probe = F.last(
         F.when(is_probe, F.struct(
             F.col(ts).alias("ts_v"),
@@ -225,11 +242,14 @@ def asof_turn_features_salted(
 
     d = u.select(
         "*",
+        F.last(F.when(is_probe, F.col(role_col)), ignorenulls=True)
+        .over(wp_desc).alias("__next_role_p"),
+    )
+    d = d.select(
+        "*",
         text_len.alias("text_len"),
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
         prev_probe.alias("__prev_probe"),
-        F.last(F.when(is_probe, F.col(role_col)), ignorenulls=True)
-        .over(wp_desc).alias("__next_role_p"),
         F.last(F.col(tool_col), ignorenulls=True).over(wc).alias("__ffill_p"),
         F.last(F.col(_B), ignorenulls=True).over(wc).alias("__fill_p"),
         F.sum(user_ind).over(wc).alias("__user_cum_p"),
@@ -267,7 +287,7 @@ def asof_turn_features_salted(
         F.when(F.col(_B).isNotNull(),
                F.struct(F.col(ts).alias("ts_v"), F.col(_B).alias("v")))
     )
-    sums = d.groupBy(entity, _CHUNK).agg(
+    sums = d.groupBy(_CK, entity, _CHUNK).agg(
         F.sum(user_ind).alias("__user_sum"),
         F.max(F.col("__flag_cum_int")).alias("__flag_int_sum"),
         probe_first.alias("__first_probe"),
@@ -290,6 +310,7 @@ def asof_turn_features_salted(
     chunk_flags = F.col("__flag_int_sum") + bflag
 
     carries = sums.select(
+        _CK,
         entity,
         _CHUNK,
         F.sum("__user_sum").over(wb_prev).alias("__user_carry"),
@@ -304,7 +325,7 @@ def asof_turn_features_salted(
         (F.sum(chunk_flags).over(wb) - chunk_flags).alias("__flag_carry"),
     )
 
-    j = d.join(carries, [entity, _CHUNK])
+    j = d.join(carries, [_CK, entity, _CHUNK])
 
     # ---- combine: rows before their chunk's first probe edge take carries
     no_prev_in_chunk = F.col("__prev_probe").isNull()

@@ -78,6 +78,24 @@ def test_hybrid_equals_plain(spark, transcripts_df, conv_features_df, threshold)
     )
 
 
+def test_fused_strict_matches_modular_strict(spark, transcripts_df, conv_features_df):
+    """strict=True (< instead of <=): a build row AT the probe ts must NOT
+    be visible. The synthetic fixture samples build rows exactly at turn
+    timestamps, so strict vs non-strict genuinely differ here."""
+    fused_strict = asof_turn_features(transcripts_df, conv_features_df, strict=True)
+    modular_strict = asof_join(
+        build_turn_features(transcripts_df), conv_features_df,
+        on="conv_id", ts="ts", build_cols=["feature_val"], strict=True,
+    )
+    _cmp(fused_strict, modular_strict)
+    # and strict really differs from non-strict on this fixture
+    a = spark_to_pandas_sorted(fused_strict, KEYS)
+    b = spark_to_pandas_sorted(
+        asof_turn_features(transcripts_df, conv_features_df), KEYS
+    )
+    assert not a["feature_val"].equals(b["feature_val"])
+
+
 def test_fused_single_exchange_on_big_table(spark, transcripts_df, conv_features_df):
     """The point of the fusion: exactly ONE Exchange and ONE Sort (the
     modular plan has two of each), and no O(partition^2)

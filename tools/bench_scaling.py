@@ -51,18 +51,26 @@ def worker(args) -> None:
     # cannot scale here: the sandbox throttles per-PROCESS CPU to ~4-5
     # cores, measured in BASELINE.md §4; separate processes scale).
     workers = args.cpus // 4
+    extra = {
+        "spark.executor.memory": "11g",
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        # RAM-backed shuffle/spill dirs: every executor here shares ONE
+        # sandbox SSD, which saturates and masks compute scaling — on a
+        # real cluster each node has its own local disks
+        "spark.local.dir": f"/dev/shm/spark-scaling-{workers}w",
+    }
+    if args.event_log:
+        os.makedirs(args.event_log, exist_ok=True)
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.dir"] = args.event_log
+        # plain JSON so tools/stage_report.py can read it offline (no
+        # zstd codec available outside the JVM in this sandbox)
+        extra["spark.eventLog.compress"] = "false"
     spark = get_spark(
         f"scaling-{workers}w",
         master=f"local-cluster[{workers},4,12288]",
         shuffle_partitions=2 * args.cpus,
-        extra_conf={
-            "spark.executor.memory": "11g",
-            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
-            # RAM-backed shuffle/spill dirs: every executor here shares ONE
-            # sandbox SSD, which saturates and masks compute scaling — on a
-            # real cluster each node has its own local disks
-            "spark.local.dir": f"/dev/shm/spark-scaling-{workers}w",
-        },
+        extra_conf=extra,
     )
     t = spark.read.parquet(f"{args.data}/transcripts.parquet")
     f = spark.read.parquet(f"{args.data}/conv_features.parquet")
@@ -125,6 +133,10 @@ def main() -> None:
     p.add_argument("--strategies", default="fused,hybrid")
     p.add_argument("--hot-threshold", type=int, default=200_000)
     p.add_argument("--sink", default="noop", choices=["noop", "parquet"])
+    p.add_argument("--event-log", default=None,
+                   help="directory for Spark event logs (per-stage evidence "
+                        "for the scaling-ceiling argument; parse with "
+                        "tools/stage_report.py)")
     # worker-mode flags
     p.add_argument("--worker", action="store_true")
     p.add_argument("--cpus", type=int)
@@ -168,6 +180,9 @@ def main() -> None:
                    "--cpus", str(cpus), "--data", data, "--strategy", strat,
                    "--runs", str(args.runs), "--sink", args.sink,
                    "--hot-threshold", str(args.hot_threshold)]
+            if args.event_log:
+                cmd += ["--event-log",
+                        os.path.join(args.event_log, f"{strat}_{cpus}")]
             out = subprocess.run(cmd, capture_output=True, text=True, check=True)
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             walls[cpus] = rec["wall"]
