@@ -146,11 +146,15 @@ def cosine_near_dup_pairs_blocked(
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cc").desc(), F.col("cell"))
+    # persist: consumed twice by the bucket self-join below; without it the
+    # whole assignment lineage (incl. a k-means centroid chain when the
+    # caller passes one) re-executes per side. 2 longs x n_probe rows/vec —
+    # columnar-cached this is tiny next to the vectors themselves.
     assigned = (
         scored.select("*", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= n_probe)
         .select(id_col, "cell")
-    )
+    ).persist()
     a = assigned.select(F.col("cell"), F.col(id_col).alias("id_a"))
     b = assigned.select(F.col("cell"), F.col(id_col).alias("id_b"))
     cand = (

@@ -32,23 +32,32 @@ ALB_FIELDS = [
 # quote-aware token regex (alb_preprocessor.py:47)
 TOKEN_RE = r'(?:[^\s"]+|"[^"]*")+'
 
-_IP = r"^(.*):([^:]*)$"  # rsplit(':', 1) equivalent
-
-
 def _strip_quotes(c: Column) -> Column:
-    return F.regexp_replace(c, '^"|"$', "")
+    # strip at most ONE leading and ONE trailing quote, independently
+    # (exactly regexp_replace(c, '^\"|\"$', '') — but substring arithmetic,
+    # so the per-token transform below stays out of the regex engine)
+    no_head = F.when(
+        c.startswith('"'), c.substr(F.lit(2), F.length(c))
+    ).otherwise(c)
+    return F.when(
+        no_head.endswith('"'), no_head.substr(F.lit(1), F.length(no_head) - 1)
+    ).otherwise(no_head)
+
+
+def _rsplit_port(c: Column) -> Column:
+    # rsplit(':', 1)[1] — everything after the LAST ':'
+    return F.substring_index(c, ":", -1)
 
 
 def _ip_of(c: Column) -> Column:
-    return F.when(c == "-", "-").otherwise(
-        F.when(c.rlike(":"), F.regexp_extract(c, _IP, 1)).otherwise("-")
+    # rsplit(':', 1)[0] — plain substring arithmetic, no regex backtracking
+    return F.when((c == "-") | ~c.contains(":"), "-").otherwise(
+        c.substr(F.lit(1), F.length(c) - F.length(_rsplit_port(c)) - 1)
     )
 
 
 def _port_of(c: Column) -> Column:
-    return F.when(c == "-", "-").otherwise(
-        F.when(c.rlike(":"), F.regexp_extract(c, _IP, 2)).otherwise("-")
-    )
+    return F.when((c == "-") | ~c.contains(":"), "-").otherwise(_rsplit_port(c))
 
 
 def parse_alb_lines(
@@ -62,11 +71,23 @@ def parse_alb_lines(
     exactly 3 parts, else kept raw in ``request``. ``keep_cols`` pass
     through untouched (e.g. a record id for differential testing).
     """
-    toks = F.regexp_extract_all(F.col(line_col), F.lit(TOKEN_RE), 0)
+    # Tokenize AND unquote in a dedicated projection so the regex scan and
+    # the quote-strip provably run ONCE per row (one array transform), not
+    # once per positional field; the 30 extractions below then just index
+    # a materialized clean array (robust against codegen
+    # subexpression-elimination limits on fan-outs this wide).
+    df = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.transform(
+            F.regexp_extract_all(F.col(line_col), F.lit(TOKEN_RE), 0),
+            _strip_quotes,
+        ).alias("__toks"),
+    )
+    toks = F.col("__toks")
 
     raw: dict[str, Column] = {}
     for i, name in enumerate(ALB_FIELDS):
-        v = _strip_quotes(F.coalesce(F.try_element_at(toks, F.lit(i + 1)), F.lit("-")))
+        v = F.coalesce(F.try_element_at(toks, F.lit(i + 1)), F.lit("-"))
         raw[name] = v
 
     out: list[Column] = []
