@@ -247,27 +247,30 @@ def simhash(text: Column, bits: int = 32) -> Column:
     toks = tokens(text)
     th = F.transform(toks, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
     zeros = F.array_repeat(F.lit(0).cast("long"), bits)
-    # bit positions are unrolled as Python-side literals (shift amounts must
-    # be compile-time ints); the fold itself stays a single Column expression
+    # bit positions as a RUNTIME sequence, not Python-side unrolling: the
+    # expression tree stays O(1) in `bits` (an earlier 32-wide unrolled
+    # version spent 3-6 s per query just building/analyzing the plan)
+    pos = F.sequence(F.lit(0), F.lit(bits - 1))
     votes = F.aggregate(
         th,
         zeros,
         lambda acc, h: F.zip_with(
             acc,
-            # vote_j = 2*bit_j - 1 via arithmetic shift — branch-free
-            F.array(*[
-                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-                for j in range(bits)
-            ]),
+            # vote_j = 2*bit_j - 1 — branch-free
+            F.transform(pos, lambda j: (F.getbit(h, j) * 2 - 1).cast("long")),
             lambda a, v: a + v,
         ),
     )
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        out = out + F.when(
-            F.element_at(votes, j + 1) > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+    # pack: sum_j (votes[j] > 0) * 2^j  (2^j exact in double for j < 53)
+    powers = F.transform(pos, lambda j: F.pow(F.lit(2.0), j).cast("long"))
+    return F.aggregate(
+        F.zip_with(
+            votes, powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_dedup(
@@ -307,9 +310,12 @@ def simhash_hamming_pairs(
     assert k < n_bands, "band trick is only exact for k < n_bands"
     width = bits // n_bands
     mask = (1 << width) - 1
+    # persist: both sides of the band self-join scan `sig`; without it the
+    # md5+bit-vote fold runs twice per doc. (id, sh) is 2 longs per doc —
+    # negligible next to the text it summarizes.
     sig = ensure_parallelism(df).select(
         F.col(id_col), simhash(F.col(text_col), bits).alias("sh")
-    )
+    ).persist()
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
