@@ -216,9 +216,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for candidate (doc_a, doc_b)
     pairs — the verify stage after LSH. Two broadcast-able joins pull the
-    shingle sets onto the pair rows; similarity is computed row-local."""
-    shingles = df.select(
-        F.col(id_col), ngram_set(F.col(text_col), n).alias("sh")
+    shingle sets onto the pair rows; similarity is computed row-local.
+
+    Shingle sets are computed ONLY for docs that appear in a candidate
+    pair (semi-join restriction) and persisted for the two join sides —
+    at corpus scale the candidate set is a small fraction of the corpus,
+    so this avoids shingling everything twice."""
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    shingles = (
+        df.join(cand_ids, id_col, "semi")
+        .select(F.col(id_col), ngram_set(F.col(text_col), n).alias("sh"))
+        .persist()
     )
     a = shingles.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = shingles.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
