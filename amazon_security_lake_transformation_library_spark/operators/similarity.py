@@ -212,13 +212,22 @@ def kmeans_centroids(
         F.col(id_col), (F.col(id_col) % k).cast("long").alias("label"), F.col(vec_col)
     )
     base = df.select(F.col(id_col), F.col(vec_col))  # shed any input label col
-    cents = _round(centroids_by_label(labeled, "label", vec_col))
+    # localCheckpoint per round (k rows — trivial to materialize) once the
+    # recursion is deep enough to matter: without it the lineage nests one
+    # full assign+mean plan per iteration and driver-side
+    # analysis/optimization grows superlinearly in `iters`. At iters <= 1
+    # the plan is shallow and the eager checkpoint jobs' fixed latency
+    # costs more than they save, so stay fully lazy there.
+    def _cp(c: DataFrame) -> DataFrame:
+        return c.localCheckpoint() if iters >= 2 else c
+
+    cents = _cp(_round(centroids_by_label(labeled, "label", vec_col)))
     for _ in range(iters):
         assigned = ivf_assign(base, cents, id_col, vec_col, "label")
         relabeled = base.join(
             assigned.select(id_col, F.col("cell").alias("label")), id_col
         )
-        cents = _round(centroids_by_label(relabeled, "label", vec_col))
+        cents = _cp(_round(centroids_by_label(relabeled, "label", vec_col)))
     return cents
 
 

@@ -107,17 +107,61 @@ def quality_score_bp(text: Column) -> Column:
     return F.floor(raw * 10000 + 0.5).cast("long")
 
 
+def _isin_pred(words: list[str]):
+    return lambda x: x.isin(*words)
+
+
 def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document stats block — one projection, no shuffle, codegen'd."""
+    """Per-document stats block — two stacked projections, no shuffle,
+    codegen'd. The token array and stopword hit counts are materialized
+    once in the first projection; the composite stats (which reference
+    them up to four times each) index those instead of re-splitting the
+    text per stat. Values are identical to computing each stat
+    independently (same formulas, same rounding)."""
     t = F.col(text_col)
-    return df.select(
+    base = df.select(
         F.col(id_col),
-        F.length(t).cast("long").alias("n_chars"),
-        token_count(t).alias("n_tokens"),
-        subword_estimate(t).alias("n_subwords"),
-        punct_ratio(t).alias("punct_ratio"),
-        stopword_ratio(t).alias("stopword_ratio"),
-        lang_id(t).alias("lang_pred"),
-        fingerprint(t).alias("fingerprint"),
-        quality_score_bp(t).alias("quality_bp"),
+        t.alias("__t"),
+        tokens(t).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.col("__t"),
+        F.size("__toks").cast("long").alias("__ntok"),
+        # NB: filter lambdas must be UNARY — a second parameter (even a
+        # default) makes pyspark pass the element INDEX into it
+        *[
+            F.size(
+                F.filter(F.col("__toks"), _isin_pred(STOPWORDS[lang]))
+            ).cast("long").alias(f"__sw_{lang}")
+            for lang in ("en", "es", "de")
+        ],
+    )
+    tt, ntok = F.col("__t"), F.col("__ntok")
+    en, es, de = (F.col(f"__sw_{lang}") for lang in ("en", "es", "de"))
+    stop_ratio = F.round(en / F.greatest(ntok, F.lit(1)), 4)
+    pratio = punct_ratio(tt)
+    lang_pred = (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+    len_score = F.least(ntok / F.lit(64.0), F.lit(1.0))
+    mean_tok = F.length(tt) / F.greatest(ntok, F.lit(1))
+    tok_score = F.when((mean_tok >= 3) & (mean_tok <= 10), 1.0).otherwise(0.5)
+    stop_score = F.least(stop_ratio * 4, F.lit(1.0))
+    quality = F.floor(
+        (0.4 * len_score + 0.2 * tok_score + 0.2 * stop_score + 0.2 * (1 - pratio))
+        * 10000 + 0.5
+    ).cast("long")
+    return base.select(
+        F.col(id_col),
+        F.length(tt).cast("long").alias("n_chars"),
+        ntok.alias("n_tokens"),
+        subword_estimate(tt).alias("n_subwords"),
+        pratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        lang_pred.alias("lang_pred"),
+        fingerprint(tt).alias("fingerprint"),
+        quality.alias("quality_bp"),
     )
