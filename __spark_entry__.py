@@ -14,6 +14,7 @@ normalizes IEEE negative zero, so Spark and DuckDB agree bit-for-bit.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -809,10 +810,15 @@ _TR_CUM = _TR_W + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
 
 def _flagship_oracle_sql() -> str:
-    """DuckDB oracle for the full fused flagship block. The driver's gate
-    runs at sf0.01; ensure_fixture materializes the identical deterministic
-    parquet the Spark query reads, so both engines see the same bytes."""
-    d = synth.ensure_fixture(0.01)
+    """DuckDB oracle for the full fused flagship block. ensure_fixture
+    materializes the identical deterministic parquet the Spark query reads,
+    so both engines see the same bytes. The fixture scale defaults to the
+    driver gate's sf0.01 and is overridable via $SPARK_GRAFT_ORACLE_SF —
+    set it to the sf you pass the Spark query when running the differential
+    at any other scale, or the hashes compare different-sized inputs."""
+    d = synth.ensure_fixture(
+        float(os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01"))
+    )
     return f"""
         WITH t AS (SELECT * FROM read_parquet('{d}/transcripts.parquet')),
         cf AS (SELECT * FROM read_parquet('{d}/conv_features.parquet')),

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..caching import persist_tracked
 from .textstats import fingerprint, tokens
 
 
@@ -42,13 +43,19 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     (e.g. one small parquet file -> one task serializing a CPU-bound
     projection). No-op when the scan already has enough file splits — at
     real scale the file source provides them and this never shuffles.
-    Uses ``inputFiles()`` (pure metadata, no RDD materialization) as the
-    split proxy; non-file inputs (in-memory test frames) repartition."""
+    Uses ``inputFiles()`` (pure metadata, no RDD materialization) as a fast
+    pre-check; when files are few, falls back to the planned scan's actual
+    partition count — a handful of LARGE splittable parquet files still
+    yields many scan splits via maxPartitionBytes and must not trigger a
+    corpus-wide shuffle. Non-file inputs (in-memory test frames)
+    repartition."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+    if len(df.inputFiles()) >= target:
+        return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------- exact
@@ -175,8 +182,9 @@ def minhash_candidate_pairs(
     # Materialize the bucket table: it is tiny (3 cols) next to the text it
     # derives from, and the self-join would otherwise recompute the whole
     # shingle+md5 pipeline for BOTH sides.
-    bb = minhash_band_buckets(df, text_col, id_col, n_hashes, band_size).persist(
-        StorageLevel.MEMORY_AND_DISK
+    bb = persist_tracked(
+        minhash_band_buckets(df, text_col, id_col, n_hashes, band_size),
+        StorageLevel.MEMORY_AND_DISK,
     )
     a = bb.select("band_id", "bucket", F.col(id_col).alias("doc_a"))
     b = bb.select("band_id", "bucket", F.col(id_col).alias("doc_b"))
@@ -230,8 +238,8 @@ def ngram_jaccard_pairs(
     shingles = (
         df.join(cand_ids, id_col, "semi")
         .select(F.col(id_col), ngram_set(F.col(text_col), n).alias("sh"))
-        .persist()
     )
+    shingles = persist_tracked(shingles)
     a = shingles.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = shingles.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -325,9 +333,9 @@ def simhash_hamming_pairs(
     # persist: both sides of the band self-join scan `sig`; without it the
     # md5+bit-vote fold runs twice per doc. (id, sh) is 2 longs per doc —
     # negligible next to the text it summarizes.
-    sig = ensure_parallelism(df).select(
+    sig = persist_tracked(ensure_parallelism(df).select(
         F.col(id_col), simhash(F.col(text_col), bits).alias("sh")
-    ).persist()
+    ))
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),

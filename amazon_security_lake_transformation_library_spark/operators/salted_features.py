@@ -40,6 +40,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..caching import persist_tracked
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.timeops import epoch_seconds
@@ -93,7 +95,7 @@ def build_turn_features_salted(
         ).alias("__chunk_n"),
     )
     if persist:
-        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        d = persist_tracked(d, StorageLevel.MEMORY_AND_DISK)
 
     # ---- per-chunk summaries -> prefix-combined carries ------------------
     # (groupBy keys == pass-1 partitioning -> no big-table exchange)

@@ -32,6 +32,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
+
 
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
@@ -150,11 +152,11 @@ def cosine_near_dup_pairs_blocked(
     # whole assignment lineage (incl. a k-means centroid chain when the
     # caller passes one) re-executes per side. 2 longs x n_probe rows/vec —
     # columnar-cached this is tiny next to the vectors themselves.
-    assigned = (
+    assigned = persist_tracked(
         scored.select("*", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= n_probe)
         .select(id_col, "cell")
-    ).persist()
+    )
     a = assigned.select(F.col("cell"), F.col(id_col).alias("id_a"))
     b = assigned.select(F.col("cell"), F.col(id_col).alias("id_b"))
     cand = (

@@ -92,19 +92,31 @@ def run_transform_job(
         committed = w.commit(
             mapped, snapshot_id, partition_cols=["region", "accountId", "eventDay"]
         )
+        qw = SnapshotWriter(os.path.join(out_root, "quarantine", name))
         if committed:
             n_mapped = int(obs_map.get["n"])
             n_rej = int(obs_in.get["n"]) - n_mapped
+            if n_rej:
+                qw.commit(rejects, snapshot_id)
         else:  # resume no-op: counts from manifest lineage, not recompute
             mf = w.manifest(spark)
             n_mapped = int(
                 mf.filter(F.col("snapshot_id") == snapshot_id)
                 .agg(F.sum("row_count")).collect()[0][0] or 0
             )
-            n_rej = 0
-        if n_rej:
-            qw = SnapshotWriter(os.path.join(out_root, "quarantine", name))
-            qw.commit(rejects, snapshot_id)
+            # A crash between the ext commit and the quarantine commit must
+            # not lose rejects on retry: report n_rej from the quarantine
+            # manifest when present, else recompute + commit them now.
+            if snapshot_id in qw.committed_snapshots(spark):
+                n_rej = int(
+                    qw.manifest(spark)
+                    .filter(F.col("snapshot_id") == snapshot_id)
+                    .agg(F.sum("row_count")).collect()[0][0] or 0
+                )
+            else:
+                n_rej = rejects.count()
+                if n_rej:
+                    qw.commit(rejects, snapshot_id)
         mapped_total += n_mapped
         reject_total += n_rej
         committed_any = committed_any or committed

@@ -153,10 +153,15 @@ def _turn_features_with_state(
             continue
         prev = np.empty_like(tus)
         prev[1:] = tus[:-1]
-        prev[0] = last_ts_us if last_ts_us is not None else np.iinfo("int64").min
+        prev[0] = tus[0]  # placeholder — flags[0] is set by the branch below
         flags = (tus - prev > 1_800_000_000).astype("int64")
-        if last_ts_us is None:
-            flags[0] = 1
+        # first row: new session iff no prior state, else gap vs carried
+        # last_ts_us — explicit branch, not sentinel arithmetic (an int64-min
+        # sentinel makes tus[0]-prev[0] wrap and only looked right because
+        # flags[0] was then overwritten)
+        flags[0] = 1 if last_ts_us is None else int(
+            tus[0] - last_ts_us > 1_800_000_000
+        )
         sess = session_id + np.cumsum(flags)
         ucum = user_cum + np.cumsum((pdf["role"] == "user").to_numpy(dtype="int64"))
         tool_f = pdf["tool"].ffill()

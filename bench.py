@@ -22,6 +22,7 @@ from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
+from amazon_security_lake_transformation_library_spark import caching
 from amazon_security_lake_transformation_library_spark.session import get_spark
 
 # Headline set: every driver query except the intentionally-quadratic
@@ -57,6 +58,10 @@ def main() -> None:
         ).mode("overwrite").save()
         n = obs.get["n"]
         times[name] = round(time.time() - t0, 3)
+        # release operator-internal cached intermediates (LSH buckets, IVF
+        # assignments, ...) so cached blocks don't accumulate across the
+        # suite — each query is timed self-contained, including its persists
+        caching.release_all()
         if name == "flagship_transcripts":
             flagship_rows = n
 

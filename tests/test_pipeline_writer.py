@@ -179,3 +179,28 @@ def test_gzip_file_ingest_with_path_routing(spark, tmp_path):
         parsers={"aws-alb": parse_alb_lines},
     )
     assert res.mapped_rows == 2 and res.reject_rows == 0
+
+
+def test_resume_recovers_lost_quarantine(spark, tmp_path):
+    """Crash after the ext commit but before the quarantine commit: the
+    retry must re-commit the rejects and report their count (not 0)."""
+    import shutil
+
+    out = str(tmp_path / "lake4")
+    raw = spark.createDataFrame(
+        [(ALB_LINE,), ("garbage line only",)], "value string"
+    )
+    reg = _registry()
+    kw = dict(parsers={"aws-alb": parse_alb_lines})
+    r1 = run_transform_job(spark, reg, {"aws-alb": raw}, out, "snapA", **kw)
+    assert r1.reject_rows == 1
+    # simulate the crash window: ext commit landed, quarantine never did
+    shutil.rmtree(f"{out}/quarantine/aws-alb")
+    r2 = run_transform_job(spark, reg, {"aws-alb": raw}, out, "snapA", **kw)
+    assert not r2.committed
+    assert r2.reject_rows == 1  # recomputed + recommitted, not pinned to 0
+    assert SnapshotWriter(f"{out}/quarantine/aws-alb").read(spark).count() == 1
+    # plain resume with quarantine intact: count comes from its manifest
+    r3 = run_transform_job(spark, reg, {"aws-alb": raw}, out, "snapA", **kw)
+    assert r3.reject_rows == 1
+    assert SnapshotWriter(f"{out}/quarantine/aws-alb").read(spark).count() == 1
