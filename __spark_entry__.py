@@ -621,6 +621,191 @@ def _q_mapping_rejects(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- ingest I/O surface (A1-A6)
+
+# Inline two-source routing config (sources_config.json shape): exercises
+# metadata-field Kinesis routing and prefix-glob S3 routing without a
+# dependency on the reference checkout at query time.
+_INGEST_CONFIG = {
+    "sources": [
+        {
+            "name": "aws-alb",
+            "input_paths": {
+                "kinesis": {"enabled": True, "metadata_field": "source"},
+                "s3": {
+                    "enabled": True,
+                    "source_buckets": [
+                        {"bucket_name": "ingest", "prefix": "logs/alb/*"}
+                    ],
+                },
+            },
+        },
+        {
+            "name": "windows-sysmon",
+            "input_paths": {
+                "kinesis": {"enabled": True, "metadata_field": "source"},
+                "s3": {
+                    "enabled": True,
+                    "source_buckets": [
+                        {"bucket_name": "ingest", "prefix": "sysmon/archive/*"}
+                    ],
+                },
+            },
+        },
+    ]
+}
+
+
+def _ingest_registry():
+    from amazon_security_lake_transformation_library_spark.sources.registry import SourceRegistry
+
+    return SourceRegistry.from_config(_INGEST_CONFIG, mappings={})
+
+
+def _q_kinesis_decode(spark, sf_dir):
+    """A1+A3+A4: base64 Kinesis payload decode (app.py:331), s3:TestEvent
+    control filter (app.py:262-264), metadata-field source routing
+    (app.py:151-175). Records synthesized from events; the differential
+    pits Spark base64/unbase64/from_json against DuckDB
+    to_base64/from_base64/json — encode AND decode must agree
+    cross-engine."""
+    from pyspark.sql import types as T
+
+    from amazon_security_lake_transformation_library_spark.sources import lines as ln
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    payload = F.concat(
+        F.lit('{"source":"'),
+        F.when(eid % 2 == 0, F.lit("aws-alb")).otherwise(F.lit("windows-sysmon")),
+        F.lit('","message":"evt-'),
+        eid.cast("string"),
+        F.lit('"}'),
+    )
+    rec = ev.select(
+        "event_id",
+        F.base64(F.encode(payload, "UTF-8")).alias("data"),
+        F.when(eid % 11 == 0, F.lit("s3:TestEvent")).alias("Event"),
+    )
+    rec = ln.drop_control_events(rec)
+    dec = ln.decode_kinesis(rec)
+    schema = T.StructType(
+        [T.StructField("source", T.StringType()), T.StructField("message", T.StringType())]
+    )
+    parsed = F.from_json(F.col("payload"), schema)
+    return dec.select(
+        "event_id",
+        F.col("data").alias("b64"),
+        "payload",
+        _ingest_registry().kinesis_source_col(parsed, has_metadata=False).alias("src"),
+        parsed.getField("message").alias("message"),
+    )
+
+
+def _q_s3_key_routing(spark, sf_dir):
+    """A2(url-decode)+A5: URL-decoded object keys (app.py:272) + prefix-glob
+    source routing (app.py:84-89,178-201) as plan-time Column expressions
+    over a synthesized key table. Unrouted keys yield NULL src (detect
+    returns None)."""
+    from amazon_security_lake_transformation_library_spark.sources import lines as ln
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    raw_key = (
+        F.when(eid % 7 == 0, F.concat(F.lit("other%2Fmisc%2Ff"), eid.cast("string")))
+        .when(
+            eid % 2 == 0,
+            F.concat(
+                F.lit("logs%2Falb%2Fyear%3D2024%2Ffile%20"),
+                eid.cast("string"),
+                F.lit(".log.gz"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("sysmon%2Farchive%2Fevt%20"), eid.cast("string"), F.lit(".json.gz")
+            )
+        )
+    )
+    keys = ev.select("event_id", raw_key.alias("raw_key"))
+    dec = ln.url_decode_key(F.col("raw_key"))
+    return keys.select(
+        "event_id",
+        "raw_key",
+        dec.alias("key"),
+        _ingest_registry().s3_source_col(F.lit("ingest"), dec).alias("src"),
+    )
+
+
+def _q_json_fallback(spark, sf_dir):
+    """A6: typed JSON-lines parse with the reference's {"rawData": line}
+    fallback for corrupt lines (app.py:304-308) — corrupt rows keep the
+    raw line, parsed rows get typed columns."""
+    from pyspark.sql import types as T
+
+    from amazon_security_lake_transformation_library_spark.sources import lines as ln
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    line = F.when(
+        eid % 7 == 0, F.concat(F.lit("not json "), eid.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit('{"a":'), eid.cast("string"), F.lit(',"b":"x'), eid.cast("string"), F.lit('"}')
+        )
+    )
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    return ln.parse_json_lines(
+        ev.select("event_id", line.alias("value")), schema, keep_cols=("event_id",)
+    )
+
+
+_GZ_FIXTURE_DIR = "/tmp/spark_graft_ingest_gz"
+_GZ_FILES, _GZ_LINES_PER_FILE = 3, 5000
+
+
+def _ensure_gz_fixture() -> str:
+    """Deterministic gzip'd line files (A2): both engines must decode the
+    same bytes — Spark via the text source codec, DuckDB via read_csv
+    compression detection."""
+    import gzip
+
+    os.makedirs(_GZ_FIXTURE_DIR, exist_ok=True)
+    for k in range(_GZ_FILES):
+        p = f"{_GZ_FIXTURE_DIR}/lines-{k}.log.gz"
+        if not os.path.exists(p):
+            buf = "".join(
+                f"{k * _GZ_LINES_PER_FILE + i},payload-{k * _GZ_LINES_PER_FILE + i},"
+                f"{(k * _GZ_LINES_PER_FILE + i) * 7 % 1000}\n"
+                for i in range(_GZ_LINES_PER_FILE)
+            )
+            tmp = p + ".tmp"
+            with gzip.open(tmp, "wt") as f:
+                f.write(buf)
+            os.replace(tmp, p)
+    return _GZ_FIXTURE_DIR
+
+
+def _q_gzip_line_scan(spark, sf_dir):
+    """A2: gzip'd line-file scan (app.py:283-295) — codec decompression +
+    line split happen inside the distributed text source, one task per
+    file (bigger-than-split gz files stay single-task: gzip is not
+    splittable, which is why the reference's one-object-per-Lambda shape
+    maps to one-file-per-task here)."""
+    from amazon_security_lake_transformation_library_spark.sources.lines import read_lines
+
+    d = _ensure_gz_fixture()
+    raw = read_lines(spark, f"{d}/*.log.gz")
+    parts = F.split(F.col("value"), ",")
+    return raw.select(
+        parts.getItem(0).cast("long").alias("line_id"),
+        parts.getItem(1).alias("payload"),
+        parts.getItem(2).cast("long").alias("num"),
+    )
+
+
 # --------------------------------------------- scale-path dedup / similarity
 
 def _q_simhash_hamming(spark, sf_dir):
@@ -675,6 +860,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sysmon_description_kv": _q_sysmon_kv,
         "mapping_dispatch": _q_mapping_dispatch,
         "mapping_rejects": _q_mapping_rejects,
+        # ingest I/O surface (A1-A6) under the differential gate
+        "kinesis_decode": _q_kinesis_decode,
+        "s3_key_routing": _q_s3_key_routing,
+        "json_fallback": _q_json_fallback,
+        "gzip_line_scan": _q_gzip_line_scan,
         # joins / aggregations
         "q1_pricing_summary": _q1_pricing,
         "q3_top_orders": _q3_top_orders,
@@ -1292,6 +1482,68 @@ def oracle_sql() -> dict[str, str]:
                    'no_mapping_for_value' AS reject_reason,
                    count(*)::BIGINT AS n
             FROM events WHERE event_type NOT IN ('view', 'click')
+        """,
+        "kinesis_decode": """
+            WITH k AS (
+              SELECT event_id,
+                     '{"source":"'
+                       || CASE WHEN event_id % 2 = 0 THEN 'aws-alb'
+                               ELSE 'windows-sysmon' END
+                       || '","message":"evt-' || event_id || '"}' AS payload,
+                     CASE WHEN event_id % 11 = 0 THEN 's3:TestEvent' END AS ev
+              FROM events
+            )
+            SELECT event_id,
+                   to_base64(encode(payload)) AS b64,
+                   decode(from_base64(to_base64(encode(payload)))) AS payload,
+                   payload->>'$.source' AS src,
+                   payload->>'$.message' AS message
+            FROM k
+            WHERE ev IS NULL OR ev <> 's3:TestEvent'
+        """,
+        "s3_key_routing": """
+            WITH k AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 7 = 0
+                            THEN 'other%2Fmisc%2Ff' || event_id
+                          WHEN event_id % 2 = 0
+                            THEN 'logs%2Falb%2Fyear%3D2024%2Ffile%20'
+                                 || event_id || '.log.gz'
+                          ELSE 'sysmon%2Farchive%2Fevt%20'
+                                 || event_id || '.json.gz' END AS raw_key
+              FROM events
+            ), d AS (
+              SELECT event_id, raw_key,
+                     replace(replace(replace(raw_key, '%2F', '/'),
+                                     '%20', ' '), '%3D', '=') AS key
+              FROM k
+            )
+            SELECT event_id, raw_key, key,
+                   CASE WHEN regexp_matches(key, '^logs/alb/.*$')
+                          THEN 'aws-alb'
+                        WHEN regexp_matches(key, '^sysmon/archive/.*$')
+                          THEN 'windows-sysmon' END AS src
+            FROM d
+        """,
+        "json_fallback": """
+            WITH l AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 7 = 0 THEN 'not json ' || event_id
+                          ELSE '{"a":' || event_id || ',"b":"x'
+                               || event_id || '"}' END AS line
+              FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN json_valid(line) THEN (line->>'$.a')::BIGINT END AS a,
+                   CASE WHEN json_valid(line) THEN line->>'$.b' END AS b,
+                   CASE WHEN NOT json_valid(line) THEN line END AS "rawData"
+            FROM l
+        """,
+        "gzip_line_scan": f"""
+            SELECT line_id, payload, num
+            FROM read_csv('{_ensure_gz_fixture()}/*.log.gz', header=false,
+                          columns={{'line_id': 'BIGINT', 'payload': 'VARCHAR',
+                                    'num': 'BIGINT'}})
         """,
         "flagship_transcripts": _flagship_oracle_sql(),
         "flagship_transcripts_salted": _flagship_oracle_sql(),

@@ -27,13 +27,16 @@ def read_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
 
 
 def parse_json_lines(
-    df: DataFrame, schema: T.StructType, line_col: str = "value"
+    df: DataFrame,
+    schema: T.StructType,
+    line_col: str = "value",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Typed JSON parse with the reference's raw fallback (app.py:304-308):
-    output columns = schema fields + ``rawData`` (non-null only when the
-    line failed to parse). PERMISSIVE from_json yields a struct of NULLs
-    for corrupt lines, so failure is detected via the standard
-    columnNameOfCorruptRecord idiom."""
+    output columns = ``keep_cols`` passthrough + schema fields + ``rawData``
+    (non-null only when the line failed to parse). PERMISSIVE from_json
+    yields a struct of NULLs for corrupt lines, so failure is detected via
+    the standard columnNameOfCorruptRecord idiom."""
     corrupt = "__corrupt"
     aug = T.StructType([*schema.fields, T.StructField(corrupt, T.StringType())])
     parsed = F.from_json(
@@ -44,6 +47,7 @@ def parse_json_lines(
         F.when(ok, parsed.getField(f.name)).alias(f.name) for f in schema.fields
     ]
     return df.select(
+        *[F.col(c) for c in keep_cols],
         *cols,
         F.when(~ok, F.col(line_col)).alias("rawData"),
     )

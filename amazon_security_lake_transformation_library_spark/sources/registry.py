@@ -115,6 +115,25 @@ class SourceRegistry:
                         return s.name
         return None
 
+    def s3_source_col(self, bucket: Column, key: Column) -> Column:
+        """Plan-time Column analog of :meth:`detect_s3_key` (app.py:178-201)
+        for when keys arrive as DATA (e.g. an inventory / SQS-notification
+        table) rather than as the file listing: ordered first-match CASE
+        over the configured (bucket, prefix-glob) routes. NULL for
+        unrouted keys — same contract as detect_s3_key returning None."""
+        routes = [
+            (s.name, b["bucket_name"], prefix_glob_to_regex(b["prefix"]))
+            for s in self.sources.values()
+            for b in s.s3_buckets
+            if b.get("bucket_name") and b.get("prefix")
+        ]
+        expr = F.lit(None).cast("string")
+        for name, bname, pat in reversed(routes):
+            expr = F.when(
+                (bucket == F.lit(bname)) & key.rlike(pat), F.lit(name)
+            ).otherwise(expr)
+        return expr
+
     def kinesis_source_col(self, payload: Column, has_metadata: bool = True) -> Column:
         """Column-level source detection for decoded Kinesis payload structs
         (app.py:151-175): metadata-field equality, including nested
