@@ -89,17 +89,26 @@ def fake_frame_sample(
     SQL oracle can recompute it."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            n = pdf[payload_col].map(len).astype("int64")
+            n = pdf[payload_col].map(len).to_numpy(dtype="int64")
             n_frames = 1 + n % 8
-            doc_ids = pdf[id_col].astype("int64")
-            rows = {"doc_id": [], "frame_idx": [], "frame_off": []}
-            for doc_id, nb, nf in zip(doc_ids, n, n_frames):
-                for j in range(int(nf)):
-                    rows["doc_id"].append(int(doc_id))
-                    rows["frame_idx"].append(j)
-                    rows["frame_off"].append((int(nb) * (j + 1)) % 997)
-            yield pd.DataFrame(rows)
+            doc_ids = pdf[id_col].to_numpy(dtype="int64")
+            # Vectorized one-to-many expansion: repeat per-doc values,
+            # ragged arange for frame_idx (global arange minus each row's
+            # repeated segment start) — no Python loop in the batch body.
+            total = int(n_frames.sum())
+            starts = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
+            frame_idx = np.arange(total, dtype="int64") - starts
+            nb_rep = np.repeat(n, n_frames)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids, n_frames),
+                    "frame_idx": frame_idx,
+                    "frame_off": (nb_rep * (frame_idx + 1)) % 997,
+                }
+            )
 
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
 

@@ -235,3 +235,28 @@ def test_type_uid_fix_mode(spark):
     fixed = MappingCompiler(_load("windows_sysmon.json"), fix_type_uid=True).transform(df)
     assert stock.mapped.collect()[0]["type_uid"] == 100701  # hardcoded
     assert fixed.mapped.collect()[0]["type_uid"] == 100702  # 1007*100 + 2
+
+
+def test_alb_fast_tokenizer_equals_strict(spark):
+    """The default quote-split tokenizer must match the reference-regex
+    strict path on well-formed, short, malformed, empty-quoted, and
+    unbalanced-quote lines (the documented divergences need an embedded
+    unspaced quote run or a tab, which the ALB format never emits)."""
+    rows = [
+        (ALB_LINE,),
+        ("http 2018-07-02T22:23:00.186641Z my-elb 1.2.3.4:55 -",),
+        ('http x y - - 0.1 0.1 0.1 200 200 0 0 "BROKEN" "ua"',),
+        ('a "" b "c d" e"',),
+        ('"x y" "" tail',),
+        ("",),
+        ("   ",),
+        ('"unterminated c d',),
+        ('x "a" "b',),
+        ('trail" q',),
+        ("a  double  spaces   z",),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    fast = parse_alb_lines(df)
+    strict = parse_alb_lines(df, strict_tokens=True)
+    assert fast.exceptAll(strict).count() == 0
+    assert strict.exceptAll(fast).count() == 0
