@@ -806,6 +806,55 @@ def _q_gzip_line_scan(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------ BPE subword tokenizer
+
+_BPE_FIX_DIR = "/tmp/spark_graft_bpe_oracle"
+
+
+def _ensure_bpe_oracle(sf_dir: str) -> str:
+    """Precomputed-fixture oracle: DuckDB cannot run BPE, so the expected
+    column is materialized by the SAME pure-Python encoder
+    (operators/bpe.py, deterministic embedded merges table) over the SAME
+    parquet bytes via pandas — no Spark involved. The differential then
+    gates the Spark/Arrow plumbing: pandas_udf batch shape, NULL
+    handling, dtype, and executor-side module distribution."""
+    import pyarrow.parquet as pq
+
+    from amazon_security_lake_transformation_library_spark.operators import bpe
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{_BPE_FIX_DIR}/{tag}.parquet"
+    if not os.path.exists(out):
+        os.makedirs(_BPE_FIX_DIR, exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        t["n_subwords_bpe"] = bpe.bpe_subword_count_pd(t["text"])
+        tmp = out + ".tmp"
+        t[["doc_id", "n_subwords_bpe"]].to_parquet(tmp)
+        os.replace(tmp, out)
+    return out
+
+
+def _q_doc_bpe_subwords(spark, sf_dir):
+    """Real subword tokenizer stage (plug-in for textstats' chars/4
+    estimate): BPE over a deterministic learned merges table, executed as
+    an Arrow-batched pandas_udf — the one intentional Python stage in the
+    text path."""
+    from amazon_security_lake_transformation_library_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe.bpe_subword_count(F.col("text")).alias("n_subwords_bpe")
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01")
+    fix = _ensure_bpe_oracle(f"/root/testdata/sf{sf}")
+    return f"SELECT doc_id, n_subwords_bpe FROM read_parquet('{fix}')"
+
+
 # --------------------------------------------- scale-path dedup / similarity
 
 def _q_simhash_hamming(spark, sf_dir):
@@ -816,13 +865,19 @@ def _q_simhash_hamming(spark, sf_dir):
 
 
 def _q_embedding_near_dup_blocked(spark, sf_dir):
-    # Scale path for dedup_embedding_cosine: k-means-cell blocking (k=64,
-    # so cell population — and the quadratic within-cell verify — shrinks
-    # as k grows with corpus size) with 2-probe assignment.
+    # Scale path for dedup_embedding_cosine: k-means-cell blocking with
+    # multi-probe assignment. Parameter rule: k ~ sqrt(N) cells (cell
+    # population — and the quadratic within-cell verify — stays ~sqrt(N));
+    # n_probe/k sets the probed fraction of space, which bounds recall in
+    # the LOW-cosine threshold regime. This fixture has no true dup
+    # clusters (max pairwise cos 0.51), the worst case for IVF blocking:
+    # (k=16, n_probe=4) measures 0.971 recall vs the exact scan at
+    # threshold 0.35 (recall curve pinned in tests/test_training_ops.py;
+    # on planted near-identical dups, fine blocking recalls ~1.0).
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim.kmeans_centroids(emb, k=64, iters=1)
+    cents = sim.kmeans_centroids(emb, k=16, iters=1)
     return sim.cosine_near_dup_pairs_blocked(
-        emb, threshold=0.35, n_probe=2, centroids=cents
+        emb, threshold=0.35, n_probe=4, centroids=cents
     )
 
 
@@ -878,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_by_type": _q_distinct_users,
         # training-data ops: text analysis + dedup + similarity
         "doc_stats": _q_doc_stats,
+        "doc_bpe_subwords": _q_doc_bpe_subwords,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1429,7 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_topk_oracle_sql(k=5, n_probe=2),
         "ann_kmeans_centroids": _kmeans_oracle_sql(k=8, iters=2),
         "dedup_embedding_cosine_blocked": _near_dup_blocked_oracle_sql(
-            0.35, 2, k=64, iters=1
+            0.35, 4, k=16, iters=1
         ),
         "alb_parse": """
             SELECT o_orderkey,
@@ -1483,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM events WHERE event_type NOT IN ('view', 'click')
         """,
+        "doc_bpe_subwords": _bpe_oracle_sql(),
         "kinesis_decode": """
             WITH k AS (
               SELECT event_id,

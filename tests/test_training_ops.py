@@ -306,3 +306,131 @@ def test_decode_image_stub_gates_on_pillow(spark):
     if not has_pil:
         with pytest.raises(NotImplementedError):
             mm.decode_image(df)
+
+
+# ------------------------------------------------------------------ BPE
+
+def test_bpe_merges_deterministic_and_real():
+    from amazon_security_lake_transformation_library_spark.operators import bpe
+
+    # learning is deterministic: same corpus -> same table, and the table
+    # contains genuinely-learned multi-char merges (not a stub)
+    again = bpe.learn_merges(bpe._CORPUS, 200)
+    assert again == bpe.DEFAULT_MERGES
+    assert len(bpe.DEFAULT_MERGES) == 200
+    assert any(len(a + b) > 2 for a, b in bpe.DEFAULT_MERGES)
+    # 'the' is the most frequent corpus word -> encodes to ONE subword
+    import pandas as pd
+
+    toks = bpe.bpe_tokens_pd(pd.Series(["the"]))[0]
+    assert toks == ["the" + bpe.END]
+
+
+def test_bpe_count_bounds_and_monotonicity():
+    import pandas as pd
+
+    from amazon_security_lake_transformation_library_spark.operators import bpe
+
+    texts = pd.Series(
+        ["the quick brown fox", "tokenization of words", "zzzqqqxyzzy unseen",
+         "", None, "a b c d e"]
+    )
+    counts = bpe.bpe_subword_count_pd(texts)
+    for t, c in zip(texts, counts):
+        if not t:
+            assert c == 0
+            continue
+        n_words = len(t.split())
+        n_chars = sum(len(w) for w in t.split())
+        # each word is >=1 subword and <= chars+1 (END marker) subwords
+        assert n_words <= c <= n_chars + n_words
+    # more merges can only compress further (monotone non-increasing)
+    few = bpe.bpe_subword_count_pd(texts, merges=bpe.DEFAULT_MERGES[:20])
+    assert (counts.fillna(0) <= few.fillna(0)).all()
+
+
+def test_bpe_pandas_udf_matches_pandas_path(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_security_lake_transformation_library_spark.operators import bpe
+
+    rows = [(1, "the quick brown fox"), (2, ""), (3, None),
+            (4, "tokenization helps language models")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe.bpe_subword_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    import pandas as pd
+
+    exp = bpe.bpe_subword_count_pd(pd.Series([t for _, t in rows]))
+    for (doc_id, _), e in zip(rows, exp):
+        assert got[doc_id] == e
+
+
+# ----------------------------------------------- blocked near-dup recall
+
+def test_blocked_near_dup_recall_curve_random_fixture(spark):
+    """Recall vs the exact scan on the RANDOM sf0.01 embeddings — the
+    worst case for IVF blocking (no true dup clusters, max pairwise cos
+    0.51, so threshold-0.35 'near-dups' are just the tail of a random
+    similarity distribution). The documented default (k=16, n_probe=4)
+    must still reach recall >= 0.9; recall must grow monotonically with
+    n_probe and never invent pairs."""
+    from amazon_security_lake_transformation_library_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    cents = sim.kmeans_centroids(emb, k=16, iters=1)
+    recalls = {}
+    for p in (1, 2, 4):
+        got = {
+            (r.id_a, r.id_b)
+            for r in sim.cosine_near_dup_pairs_blocked(
+                emb, threshold=0.35, n_probe=p, centroids=cents
+            ).collect()
+        }
+        assert got <= exact  # blocking can only MISS pairs, never add
+        recalls[p] = len(got & exact) / len(exact)
+    assert recalls[1] <= recalls[2] <= recalls[4]  # probe sets nest
+    assert recalls[4] >= 0.9, recalls
+
+
+def test_blocked_near_dup_recall_planted_duplicates(spark):
+    """The realistic case: planted near-identical duplicates (cos > 0.95).
+    True near-dups land in the same nearest cells, so even fine blocking
+    with the function-default n_probe=2 recalls ~all of them."""
+    import numpy as np
+
+    from amazon_security_lake_transformation_library_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(80, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # original + 2 noisy copies
+            v = b + rng.normal(scale=0.02, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.95).collect()
+    }
+    assert len(exact) >= 80  # the plant worked
+    cents = sim.kmeans_centroids(emb, k=16, iters=2)
+    got = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs_blocked(
+            emb, threshold=0.95, n_probe=2, centroids=cents
+        ).collect()
+    }
+    assert got <= exact
+    assert len(got & exact) / len(exact) >= 0.9
