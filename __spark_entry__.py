@@ -424,6 +424,24 @@ def _q_flagship_transcripts(spark, sf_dir):
     return fused_ops.asof_turn_features(t, cf, gap_seconds=GAP_S)
 
 
+def _q_flagship_bucketed(spark, sf_dir):
+    """Storage-partitioned flagship (SURVEY.md §4.2): the fixture is
+    re-written ONCE per scale as conv_id-bucketed ts-sorted tables; the
+    feature block + as-of then run with ZERO Exchange (plan pinned in
+    tests/test_plans_quality.py) — the layout the engine would keep the
+    10^12-turn Iceberg table in, where the write-once shuffle amortizes
+    over every feature build."""
+    from amazon_security_lake_transformation_library_spark.plans import bucketed
+
+    t, cf = _flagship_inputs(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tt, ct = f"transcripts_bk_{tag}", f"conv_features_bk_{tag}"
+    bucketed.ensure_flagship_tables(
+        spark, t, cf, tt, ct, path_root=f"/tmp/spark_graft_bucketed/{tag}"
+    )
+    return bucketed.flagship_bucketed(spark, tt, ct, gap_seconds=GAP_S)
+
+
 def _q_flagship_salted(spark, sf_dir):
     # Hot-conversation-safe variant: chunk-and-carry over the fused union,
     # so even the as-of fill of the hot conversation spreads across tasks.
@@ -950,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # north-star transcripts flagship (fused block; parquet fixture +
         # DuckDB ASOF oracle; all three strategies share one oracle)
         "flagship_transcripts": _q_flagship_transcripts,
+        "flagship_transcripts_bucketed": _q_flagship_bucketed,
         "flagship_transcripts_salted": _q_flagship_salted,
         "flagship_transcripts_hybrid": _q_flagship_hybrid,
     }
@@ -1603,6 +1622,7 @@ def oracle_sql() -> dict[str, str]:
                                     'num': 'BIGINT'}})
         """,
         "flagship_transcripts": _flagship_oracle_sql(),
+        "flagship_transcripts_bucketed": _flagship_oracle_sql(),
         "flagship_transcripts_salted": _flagship_oracle_sql(),
         "flagship_transcripts_hybrid": _flagship_oracle_sql(),
     }

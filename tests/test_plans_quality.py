@@ -67,3 +67,40 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert snaps == {"s1": 5, "s2": 3}
     with pytest.raises(KeyError):
         w.read_at(spark, "nope")
+
+
+def test_bucketed_flagship_zero_exchange(spark, tmp_path):
+    """SURVEY.md §4.2 storage-partitioned flagship: over conv_id-bucketed,
+    ts-sorted tables (one file per bucket) the ENTIRE flagship — window
+    feature block + sort-merge as-of + latest-build dedup — plans with
+    ZERO Exchange of any kind: the layout did the shuffle at write time.
+    Only one local Sort survives (the post-join dedup order); the window
+    consumes the files' sortBy order directly."""
+    from amazon_security_lake_transformation_library_spark.operators import fused
+    from amazon_security_lake_transformation_library_spark.plans import bucketed
+    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
+        gen_conv_features,
+        gen_transcripts,
+        write_parquet,
+    )
+
+    d = str(tmp_path)
+    tp = gen_transcripts(200)
+    write_parquet(tp, f"{d}/t.parquet")
+    write_parquet(gen_conv_features(tp), f"{d}/cf.parquet")
+    t = spark.read.parquet(f"{d}/t.parquet")
+    cf = spark.read.parquet(f"{d}/cf.parquet")
+    bucketed.ensure_flagship_tables(
+        spark, t, cf, "tb_plan_test", "cfb_plan_test", path_root=f"{d}/tables"
+    )
+    out = bucketed.flagship_bucketed(spark, "tb_plan_test", "cfb_plan_test")
+
+    plan = _plan(out)
+    assert plan.count("Exchange") == 0, plan
+    assert "SortMergeJoin" in plan
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+    # and the zero-shuffle plan is not a different answer: identical rows
+    # to the fused in-memory flagship on the same inputs
+    ref = fused.asof_turn_features(t, cf).select(*out.columns)
+    assert out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(out).count() == 0
