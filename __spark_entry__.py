@@ -34,7 +34,10 @@ GAP_S = 1800
 QUERY_VEC_IDS = list(range(10))
 # hybrid router threshold for the synthesized flagship fixture: the hot
 # conversation holds ~10% of rows (>500 at every bench scale), the Pareto
-# tail stays under it -> both paths exercised
+# tail stays under it -> both paths exercised. TEST THRESHOLD ONLY — the
+# library default (fused.asof_turn_features_hybrid hot_threshold_rows=1M)
+# is the scale-sane per-task row budget; 500 exists so the sf0.01 gate
+# covers both router branches.
 HYBRID_HOT_ROWS = 500
 
 

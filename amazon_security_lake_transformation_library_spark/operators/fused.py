@@ -71,19 +71,30 @@ def _union_frame(
     build_cols: Sequence[str],
     strict: bool,
     asof_ts_col: str,
+    shared: Sequence[str] = (),
 ) -> DataFrame:
     """Tag-union both sides with aligned schemas. ``build`` must be unique
-    per (entity, ts) — same contract as ``asof.asof_join``."""
+    per (entity, ts) — same contract as ``asof.asof_join``. ``shared``
+    names probe columns that ``build`` ALSO carries (e.g. an entity-level
+    routing flag): they union through as real values on both sides instead
+    of being nulled on the build side — required when the chunk expression
+    reads them (build rows must land in the same chunk sequence as their
+    entity's probe rows or the as-of carry would read the future)."""
     payload = F.struct(
         F.col(ts).alias(asof_ts_col), *[F.col(c) for c in build_cols]
     ).alias(_B)
+    shared_set = set(shared)
     probe_rest = [c for c in probe.columns if c not in {entity, ts}]
     build_side = build.select(
         F.col(entity),
         F.col(ts),
         F.lit(2 if strict else 0).alias(_SIDE),
         payload,
-        *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_rest],
+        *[
+            F.col(c) if c in shared_set
+            else F.lit(None).cast(probe.schema[c].dataType).alias(c)
+            for c in probe_rest
+        ],
     )
     probe_side = probe.select(
         F.col(entity),
@@ -189,21 +200,25 @@ def asof_turn_features_salted(
     role_col: str = "role",
     tool_col: str = "tool",
     turn_col: str = "turn_idx",
+    shared_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Hot-entity-safe fused block: chunk-and-carry over the union frame,
     so lag/lead/ffill/sessionize AND the as-of fill of a hot conversation
     all spread across tasks. Same output as :func:`asof_turn_features`
     (property-tested); cost = ONE big-table shuffle on (entity, chunk) + a
-    tiny carry frame (one row per chunk) + the join back.
+    3-column probe-side pre-pass for session-break totals + a tiny carry
+    frame (one row per chunk) + the join back.
 
-    ``chunk`` must be an order-respecting function of ``ts`` ONLY (e.g.
-    ``salted.time_chunk``) so that equal-ts build/probe ties never split
-    across chunks.
+    ``chunk`` must be an order-respecting function of ``ts`` per entity
+    (e.g. ``salted.time_chunk``, or a per-entity conditional over it — see
+    the hybrid) so that equal-ts build/probe ties never split across
+    chunks; any non-ts columns it reads must be listed in ``shared_cols``
+    and be present on BOTH inputs.
     """
     u = (
         _union_frame(
             transcripts, conv_features, entity, ts, list(build_cols), strict,
-            asof_ts_col,
+            asof_ts_col, shared=shared_cols,
         )
         .withColumn(_CHUNK, chunk)
         .withColumn(_CK, F.xxhash64(F.col(entity)))
@@ -212,24 +227,18 @@ def asof_turn_features_salted(
     w = Window.partitionBy(_CK, entity, _CHUNK).orderBy(ts, _SIDE, turn_col)
     wp = w.rowsBetween(Window.unboundedPreceding, -1)
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # "next probe row within chunk" as a RUNNING frame over the REVERSED
-    # order (desc mirrors asc exactly: nulls_first <-> nulls_last) — costs
-    # one extra in-partition sort but avoids the O(partition^2)
-    # UnboundedFollowingWindowFunctionFrame rescan (see plain variant).
-    w_desc = Window.partitionBy(_CK, entity, _CHUNK).orderBy(
-        F.col(ts).desc(), F.col(_SIDE).desc(), F.col(turn_col).desc()
-    )
-    wp_desc = w_desc.rowsBetween(Window.unboundedPreceding, -1)
 
     is_probe = F.col(_SIDE) != (2 if strict else 0)
     text_len = F.length(F.col(text_col))
     user_ind = F.when(is_probe & (F.col(role_col) == "user"), 1).otherwise(0)
 
     # ---- pass 1: per-(entity, chunk) partials (the only big-table window)
-    # Window-node ordering discipline: the DESC window is emitted in its
-    # OWN select FIRST, then both ASC selects follow adjacently — so the
-    # physical plan is Sort(desc), Window, Sort(asc), Window, Window
-    # (2 sorts, 1 exchange); interleaving them could cost a third sort.
+    # ONE sort direction only: next_role is NOT computed here — it becomes
+    # a plain lead() AFTER the probe filter (below), where the child is
+    # already partitioned AND sorted, same as the plain fused variant. The
+    # r2 desc-window formulation paid a second full-width in-partition
+    # sort of the union frame; dropping it is the single largest cut to
+    # the salted constant factor (r3).
     prev_probe = F.last(
         F.when(is_probe, F.struct(
             F.col(ts).alias("ts_v"),
@@ -241,11 +250,6 @@ def asof_turn_features_salted(
     gap_p = epoch_seconds(F.col(ts)) - epoch_seconds(F.col("__prev_probe.ts_v"))
 
     d = u.select(
-        "*",
-        F.last(F.when(is_probe, F.col(role_col)), ignorenulls=True)
-        .over(wp_desc).alias("__next_role_p"),
-    )
-    d = d.select(
         "*",
         text_len.alias("text_len"),
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
@@ -266,10 +270,24 @@ def asof_turn_features_salted(
     d = d.select("*", F.sum(flag_int).over(wc).alias("__flag_cum_int"))
 
     # ---- per-chunk summaries -> prefix-combined carries ------------------
+    # r3 restructure: NOTHING here reads the pass-1 window output anymore,
+    # so `d` has exactly ONE consumer (the join below) and its
+    # scan+shuffle+sort lineage never executes twice (r2's d-derived agg
+    # recomputed a narrowed copy of the whole branch: measured 13.7s map +
+    # 37.6s sort/window of the 104s single-executor wall).
+    #  * raw summaries (user count, first/last probe, last tool/build):
+    #    plain aggregates over the PRE-window union — map-side partial
+    #    aggregation means the shuffle moves ~one row per (entity, chunk),
+    #    not the corpus;
+    #  * interior session-break totals: a window over a 3-column scan of
+    #    the probe side only (entity, ts, turn — no text, no union; build
+    #    rows can never be the previous PROBE row, so per-chunk totals are
+    #    identical to counting inside pass 1 — pinned by the salted==plain
+    #    property suite).
     probe_last = F.max(
         F.when(is_probe, F.struct(
             F.col(ts).alias("ts_v"), F.col(turn_col).alias("ti"),
-            F.col(role_col).alias("role"), F.col("text_len").alias("tlen"),
+            F.col(role_col).alias("role"), text_len.alias("tlen"),
         ))
     )
     probe_first = F.min(
@@ -287,13 +305,38 @@ def asof_turn_features_salted(
         F.when(F.col(_B).isNotNull(),
                F.struct(F.col(ts).alias("ts_v"), F.col(_B).alias("v")))
     )
-    sums = d.groupBy(_CK, entity, _CHUNK).agg(
+    sums_raw = u.groupBy(_CK, entity, _CHUNK).agg(
         F.sum(user_ind).alias("__user_sum"),
-        F.max(F.col("__flag_cum_int")).alias("__flag_int_sum"),
         probe_first.alias("__first_probe"),
         probe_last.alias("__last_probe"),
         tool_last.alias("__ltool"),
         fill_last.alias("__lfill"),
+    )
+
+    tfl = (
+        transcripts.withColumn(_CHUNK, chunk)
+        .withColumn(_CK, F.xxhash64(F.col(entity)))
+        .select(_CK, entity, _CHUNK, ts, turn_col)
+    )
+    wtp = (
+        Window.partitionBy(_CK, entity, _CHUNK)
+        .orderBy(ts, turn_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_ts_t = F.last(F.col(ts), ignorenulls=True).over(wtp)
+    gap_t = epoch_seconds(F.col(ts)) - epoch_seconds(prev_ts_t)
+    flag_t = F.when(
+        prev_ts_t.isNotNull() & (gap_t > float(gap_seconds)), 1
+    ).otherwise(0)
+    flag_sums = (
+        tfl.select(_CK, entity, _CHUNK, flag_t.alias("__fl"))
+        .groupBy(_CK, entity, _CHUNK)
+        .agg(F.sum("__fl").alias("__flag_int_sum"))
+    )
+    # left join + 0-fill: a chunk holding only build rows has raw
+    # summaries (its build value must carry forward) but no probe flags
+    sums = sums_raw.join(flag_sums, [_CK, entity, _CHUNK], "left").withColumn(
+        "__flag_int_sum", F.coalesce(F.col("__flag_int_sum"), F.lit(0))
     )
 
     wb = Window.partitionBy(entity).orderBy(_CHUNK)
@@ -327,6 +370,15 @@ def asof_turn_features_salted(
 
     j = d.join(carries, [_CK, entity, _CHUNK])
 
+    # next_role: lead over probe-only rows within the chunk — the filtered
+    # join output is still partitioned by (ck, entity, chunk) and sorted
+    # by (ts, side, turn), so this window adds NO exchange and NO sort
+    # (plan pinned in tests/test_salted.py); the chunk's last probe row
+    # falls through to the cross-chunk carry.
+    j = j.filter(is_probe).select(
+        "*", F.lead(F.col(role_col)).over(w).alias("__next_role_p")
+    )
+
     # ---- combine: rows before their chunk's first probe edge take carries
     no_prev_in_chunk = F.col("__prev_probe").isNull()
     prev_role = F.when(no_prev_in_chunk, F.col("__prev_carry.role")).otherwise(
@@ -339,7 +391,7 @@ def asof_turn_features_salted(
     session_cum = F.col("__flag_cum_int") + F.col("__bflag") + F.col("__flag_carry")
     fill = F.coalesce(F.col("__fill_p"), F.col("__fill_carry"))
 
-    return j.filter(is_probe).select(
+    return j.select(
         entity, ts,
         *[c for c in transcripts.columns if c not in {entity, ts}],
         "text_len", "n_tokens",
@@ -366,29 +418,34 @@ def asof_turn_features_hybrid(
     build_cols: Sequence[str] = ("feature_val",),
     **kw,
 ) -> DataFrame:
-    """Skew router: entities above ``hot_threshold_rows`` take the salted
-    (chunk-and-carry) path, the long tail takes the plain single-window
-    path — so unskewed data never pays the salted constant factor and hot
-    entities never serialize into one task. One extra hash-agg pre-pass
-    over the probe side (map-side partials, tiny result, broadcast).
+    """Skew router: entities above ``hot_threshold_rows`` get time-chunked
+    (chunk-and-carry spreads them across tasks), the long tail gets a
+    single constant chunk — for which the chunk machinery degenerates to
+    the plain fused semantics (one chunk == one window partition, empty
+    carries). One extra hash-agg pre-pass over the probe side (map-side
+    partials, tiny result, broadcast).
+
+    r3 one-pipeline form: the r2 router split rows into TWO full pipelines
+    (plain on the tail + salted on the hot slice + union), which scanned
+    and shuffled the big table twice — measured SLOWER than plain-with-
+    floor at sandbox scale (87s vs 43s at 1 executor). Routing at the
+    chunk EXPRESSION keeps one scan and one big-table shuffle; the hot
+    flag unions through both sides (``shared_cols``) so a hot entity's
+    build rows land in the same chunk sequence as its probe rows.
 
     Output is identical to :func:`asof_turn_features` on the whole input
-    (property-tested): the two paths partition the entity space.
+    (property-tested).
     """
     hot = hot_entities(transcripts, entity, hot_threshold_rows).select(
         entity, F.lit(True).alias("__hot")
     )
     t = transcripts.join(F.broadcast(hot), entity, "left")
     cf = conv_features.join(F.broadcast(hot), entity, "left")
-    t_hot = t.filter(F.col("__hot").isNotNull()).drop("__hot")
-    t_tail = t.filter(F.col("__hot").isNull()).drop("__hot")
-    cf_hot = cf.filter(F.col("__hot").isNotNull()).drop("__hot")
-    cf_tail = cf.filter(F.col("__hot").isNull()).drop("__hot")
-
-    plain = asof_turn_features(
-        t_tail, cf_tail, gap_seconds, entity, ts, build_cols, **kw
+    cond_chunk = (
+        F.when(F.col("__hot"), chunk).otherwise(F.lit(0)).cast("long")
     )
-    salted = asof_turn_features_salted(
-        t_hot, cf_hot, chunk, gap_seconds, entity, ts, build_cols, **kw
+    out = asof_turn_features_salted(
+        t, cf, cond_chunk, gap_seconds, entity, ts, build_cols,
+        shared_cols=("__hot",), **kw
     )
-    return plain.unionByName(salted)
+    return out.drop("__hot")

@@ -42,10 +42,13 @@ def parse_args(argv=None):
     p.add_argument("--buckets", type=int, default=0,
                    help="repartition output into N conv_id buckets before write")
     p.add_argument("--strategy", default="hybrid",
-                   choices=["hybrid", "fused", "fused_salted", "modular"],
+                   choices=["hybrid", "fused", "fused_salted", "modular",
+                            "bucketed"],
                    help="physical strategy for the feature+as-of block "
                         "(hybrid = hot entities salted, tail plain — the "
-                        "skew-safe default)")
+                        "skew-safe default; bucketed = rewrite inputs as "
+                        "conv_id-bucketed sorted tables once, then run the "
+                        "whole block with zero Exchange)")
     p.add_argument("--hot-threshold", type=int, default=1_000_000,
                    help="rows per entity above which the hybrid router "
                         "takes the salted path")
@@ -101,6 +104,24 @@ def main(argv=None) -> int:
         elif args.strategy == "fused_salted":
             featd = asof_turn_features_salted(
                 transcripts, build, chunk, gap_seconds=args.gap_seconds
+            )
+        elif args.strategy == "bucketed":
+            # storage-partitioned: pay one bucketed-sorted rewrite of the
+            # inputs, then the window block + as-of SMJ plan with ZERO
+            # Exchange (plans/bucketed.py; wall below includes the rewrite
+            # — on a standing lakehouse table it is already paid)
+            from amazon_security_lake_transformation_library_spark.plans import (
+                bucketed as bk,
+            )
+
+            root = tempfile.mkdtemp(prefix="bucketed_tables_")
+            bk.ensure_flagship_tables(
+                spark, transcripts, build,
+                "transcripts_job_bk", "conv_features_job_bk", path_root=root,
+            )
+            featd = bk.flagship_bucketed(
+                spark, "transcripts_job_bk", "conv_features_job_bk",
+                gap_seconds=args.gap_seconds,
             )
         else:  # modular: two window passes — kept for plan comparison
             featd = asof_join(

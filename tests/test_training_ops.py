@@ -434,3 +434,26 @@ def test_blocked_near_dup_recall_planted_duplicates(spark):
     }
     assert got <= exact
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_tracked_persist_release(spark):
+    """Operators register their load-bearing persists; release_all drops
+    them (long sessions must not accumulate cached blocks) and released
+    frames still recompute correctly."""
+    from amazon_security_lake_transformation_library_spark import caching
+    from amazon_security_lake_transformation_library_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    caching.release_all()  # clean slate
+    pairs = dd.minhash_candidate_pairs(docs)
+    n = pairs.count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0  # operator persisted its buckets
+    released = caching.release_all()
+    assert released >= 1
+    assert jsc.getPersistentRDDs().size() == 0
+    assert pairs.count() == n  # recompute after release is still correct
+    assert caching.release_all() == 0  # idempotent
