@@ -270,53 +270,31 @@ def asof_turn_features_salted(
     d = d.select("*", F.sum(flag_int).over(wc).alias("__flag_cum_int"))
 
     # ---- per-chunk summaries -> prefix-combined carries ------------------
-    # r3 restructure: NOTHING here reads the pass-1 window output anymore,
-    # so `d` has exactly ONE consumer (the join below) and its
-    # scan+shuffle+sort lineage never executes twice (r2's d-derived agg
-    # recomputed a narrowed copy of the whole branch: measured 13.7s map +
-    # 37.6s sort/window of the 104s single-executor wall).
-    #  * raw summaries (user count, first/last probe, last tool/build):
-    #    plain aggregates over the PRE-window union — map-side partial
-    #    aggregation means the shuffle moves ~one row per (entity, chunk),
-    #    not the corpus;
-    #  * interior session-break totals: a window over a 3-column scan of
-    #    the probe side only (entity, ts, turn — no text, no union; build
-    #    rows can never be the previous PROBE row, so per-chunk totals are
-    #    identical to counting inside pass 1 — pinned by the salted==plain
-    #    property suite).
-    probe_last = F.max(
-        F.when(is_probe, F.struct(
-            F.col(ts).alias("ts_v"), F.col(turn_col).alias("ti"),
-            F.col(role_col).alias("role"), text_len.alias("tlen"),
-        ))
-    )
-    probe_first = F.min(
-        F.when(is_probe, F.struct(
-            F.col(ts).alias("ts_v"), F.col(turn_col).alias("ti"),
-            F.col(role_col).alias("role"),
-        ))
-    )
-    tool_last = F.max(
-        F.when(F.col(tool_col).isNotNull(),
-               F.struct(F.col(ts).alias("ts_v"), F.col(turn_col).alias("ti"),
-                        F.col(tool_col).alias("v")))
-    )
-    fill_last = F.max(
-        F.when(F.col(_B).isNotNull(),
-               F.struct(F.col(ts).alias("ts_v"), F.col(_B).alias("v")))
-    )
-    sums_raw = u.groupBy(_CK, entity, _CHUNK).agg(
-        F.sum(user_ind).alias("__user_sum"),
-        probe_first.alias("__first_probe"),
-        probe_last.alias("__last_probe"),
-        tool_last.alias("__ltool"),
-        fill_last.alias("__lfill"),
-    )
-
+    # r3 restructure: NOTHING here reads the pass-1 window output, so `d`
+    # has exactly ONE consumer and its scan+shuffle+sort lineage never
+    # executes twice (r2's d-derived agg recomputed a narrowed copy of the
+    # whole branch: measured ~50s of the 104s single-executor wall).
+    #
+    # Plan-shape discipline learned from the r3 event logs:
+    #  * struct min/max over the raw union plans as SortAggregate and
+    #    inserts its OWN full-width Sort of the corpus — so the probe-side
+    #    summaries are computed in the NARROW pre-pass below, whose window
+    #    sort already orders the rows by the grouping keys (SortAggregate
+    #    then streams with no extra sort);
+    #  * build rows can never be the previous PROBE row, so per-chunk
+    #    break totals from the probe side alone equal the pass-1 interior
+    #    counts (pinned by the salted==plain property suite).
+    #
+    # Probe branch: (entity, ts, turn, role, tool, length(text)) — no text
+    # payload, no union — one narrow shuffle + sort; every per-chunk probe
+    # summary AND the session-break totals ride it.
     tfl = (
         transcripts.withColumn(_CHUNK, chunk)
         .withColumn(_CK, F.xxhash64(F.col(entity)))
-        .select(_CK, entity, _CHUNK, ts, turn_col)
+        .select(
+            _CK, entity, _CHUNK, ts, turn_col, role_col, tool_col,
+            F.length(F.col(text_col)).alias("__tlen"),
+        )
     )
     wtp = (
         Window.partitionBy(_CK, entity, _CHUNK)
@@ -328,15 +306,51 @@ def asof_turn_features_salted(
     flag_t = F.when(
         prev_ts_t.isNotNull() & (gap_t > float(gap_seconds)), 1
     ).otherwise(0)
-    flag_sums = (
-        tfl.select(_CK, entity, _CHUNK, flag_t.alias("__fl"))
+    probe_sums = (
+        tfl.select("*", flag_t.alias("__fl"))
         .groupBy(_CK, entity, _CHUNK)
-        .agg(F.sum("__fl").alias("__flag_int_sum"))
+        .agg(
+            F.sum("__fl").alias("__flag_int_sum"),
+            F.sum(
+                F.when(F.col(role_col) == "user", 1).otherwise(0)
+            ).alias("__user_sum"),
+            F.min(F.struct(
+                F.col(ts).alias("ts_v"), F.col(turn_col).alias("ti"),
+                F.col(role_col).alias("role"),
+            )).alias("__first_probe"),
+            F.max(F.struct(
+                F.col(ts).alias("ts_v"), F.col(turn_col).alias("ti"),
+                F.col(role_col).alias("role"), F.col("__tlen").alias("tlen"),
+            )).alias("__last_probe"),
+            F.max(F.when(
+                F.col(tool_col).isNotNull(),
+                F.struct(F.col(ts).alias("ts_v"), F.col(turn_col).alias("ti"),
+                         F.col(tool_col).alias("v")),
+            )).alias("__ltool"),
+        )
     )
-    # left join + 0-fill: a chunk holding only build rows has raw
-    # summaries (its build value must carry forward) but no probe flags
-    sums = sums_raw.join(flag_sums, [_CK, entity, _CHUNK], "left").withColumn(
-        "__flag_int_sum", F.coalesce(F.col("__flag_int_sum"), F.lit(0))
+    # Build branch: one row per (entity, ts) by contract — a tiny agg.
+    build_sums = (
+        conv_features.withColumn(_CHUNK, chunk)
+        .withColumn(_CK, F.xxhash64(F.col(entity)))
+        .groupBy(_CK, entity, _CHUNK)
+        .agg(F.max(F.struct(
+            F.col(ts).alias("ts_v"),
+            F.struct(
+                F.col(ts).alias(asof_ts_col),
+                *[F.col(c) for c in build_cols],
+            ).alias("v"),
+        )).alias("__lfill"))
+    )
+    # full outer: a chunk may hold only probe rows or only build rows (a
+    # build-only chunk's value must still carry forward)
+    sums = probe_sums.join(
+        build_sums, [_CK, entity, _CHUNK], "full"
+    ).select(
+        _CK, entity, _CHUNK,
+        F.coalesce(F.col("__flag_int_sum"), F.lit(0)).alias("__flag_int_sum"),
+        F.coalesce(F.col("__user_sum"), F.lit(0)).alias("__user_sum"),
+        "__first_probe", "__last_probe", "__ltool", "__lfill",
     )
 
     wb = Window.partitionBy(entity).orderBy(_CHUNK)
@@ -368,16 +382,18 @@ def asof_turn_features_salted(
         (F.sum(chunk_flags).over(wb) - chunk_flags).alias("__flag_carry"),
     )
 
-    j = d.join(carries, [_CK, entity, _CHUNK])
-
-    # next_role: lead over probe-only rows within the chunk — the filtered
-    # join output is still partitioned by (ck, entity, chunk) and sorted
-    # by (ts, side, turn), so this window adds NO exchange and NO sort
-    # (plan pinned in tests/test_salted.py); the chunk's last probe row
-    # falls through to the cross-chunk carry.
-    j = j.filter(is_probe).select(
+    # next_role BEFORE the carries join: lead over probe-only rows within
+    # the chunk — the filtered pass-1 output is still partitioned by
+    # (ck, entity, chunk) and sorted by (ts, side, turn), so this window
+    # adds NO exchange and NO sort. Ordering matters: a SortMergeJoin only
+    # preserves join-KEY ordering, so a lead placed after the join forced
+    # a second full-width Sort of the joined frame (the r3 event logs'
+    # 5x CPU inflation at 4 executors); before the join it is free. The
+    # chunk's last probe row falls through to the cross-chunk carry.
+    d = d.filter(is_probe).select(
         "*", F.lead(F.col(role_col)).over(w).alias("__next_role_p")
     )
+    j = d.join(carries, [_CK, entity, _CHUNK])
 
     # ---- combine: rows before their chunk's first probe edge take carries
     no_prev_in_chunk = F.col("__prev_probe").isNull()
