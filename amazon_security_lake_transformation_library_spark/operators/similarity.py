@@ -214,14 +214,20 @@ def kmeans_centroids(
         F.col(id_col), (F.col(id_col) % k).cast("long").alias("label"), F.col(vec_col)
     )
     base = df.select(F.col(id_col), F.col(vec_col))  # shed any input label col
-    # localCheckpoint per round (k rows — trivial to materialize) once the
-    # recursion is deep enough to matter: without it the lineage nests one
-    # full assign+mean plan per iteration and driver-side
-    # analysis/optimization grows superlinearly in `iters`. At iters <= 1
-    # the plan is shallow and the eager checkpoint jobs' fixed latency
-    # costs more than they save, so stay fully lazy there.
+    # Truncate lineage per round once the recursion is deep enough to
+    # matter: without it the plan nests one full assign+mean subtree per
+    # iteration and driver-side analysis grows superlinearly in `iters`.
+    # The centroid table is k rows — a driver-sized quantizer table (FAISS
+    # trains its coarse quantizer on a sample for the same reason) — so
+    # collect + recreate is the cheapest truncation and, unlike
+    # localCheckpoint, leaves no persistent RDD behind for long sessions
+    # to accumulate (see caching.release_all's contract). At iters <= 1
+    # the plan is shallow and eager materialization costs more than it
+    # saves, so stay fully lazy there.
     def _cp(c: DataFrame) -> DataFrame:
-        return c.localCheckpoint() if iters >= 2 else c
+        if iters < 2:
+            return c
+        return df.sparkSession.createDataFrame(c.collect(), c.schema)
 
     cents = _cp(_round(centroids_by_label(labeled, "label", vec_col)))
     for _ in range(iters):

@@ -447,13 +447,17 @@ def test_tracked_persist_release(spark):
         [(i, f"alpha beta gamma delta doc {i % 3}") for i in range(30)],
         "doc_id long, text string",
     )
-    caching.release_all()  # clean slate
+    caching.release_all()  # clean slate of operator-owned persists
+    jsc = spark.sparkContext._jsc.sc()
+    # test fixtures cache() their input frames for the module's lifetime;
+    # the operator contract is that release_all returns the session to
+    # whatever baseline it found, not to an absolute zero
+    base = jsc.getPersistentRDDs().size()
     pairs = dd.minhash_candidate_pairs(docs)
     n = pairs.count()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0  # operator persisted its buckets
+    assert jsc.getPersistentRDDs().size() > base  # operator persisted its buckets
     released = caching.release_all()
     assert released >= 1
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() == base
     assert pairs.count() == n  # recompute after release is still correct
     assert caching.release_all() == 0  # idempotent
