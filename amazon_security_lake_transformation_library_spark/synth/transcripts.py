@@ -49,6 +49,7 @@ def gen_transcripts(
     mean_turns: int = 20,
     seed: int = 42,
     hot_frac: float = 0.10,
+    text_repeat: int = 1,
 ) -> pd.DataFrame:
     """Generate the transcripts table as a pandas DataFrame (sorted by
     conv_id, turn_idx). Deterministic for a given (n_convs, mean_turns,
@@ -119,10 +120,18 @@ def gen_transcripts(
     words_mat = np.stack(word_cols, axis=1)
     conv_names = np.array([f"conv_{i:08d}" for i in range(n_convs)], dtype=object)
     cid = conv_names[conv_of]
+    # text_repeat > 1 widens each turn's text toward realistic KB-scale
+    # payloads (default rows average ~100 B; real transcripts are KBs).
+    # Width only multiplies the payload the wide pipeline carries — the
+    # narrow pre-pass of the salted/hybrid strategies is width-invariant,
+    # which is exactly the trade bench_scaling's --text-repeat cell
+    # measures. Deterministic: same words, repeated.
     texts = [
         f"{c}#{ti} " + " ".join(row[:nw])
         for c, ti, nw, row in zip(cid, t, n_words, words_mat)
     ]
+    if text_repeat > 1:
+        texts = [" ".join([s] * text_repeat) for s in texts]
 
     return pd.DataFrame(
         {

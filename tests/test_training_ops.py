@@ -370,6 +370,61 @@ def test_bpe_pandas_udf_matches_pandas_path(spark):
         assert got[doc_id] == e
 
 
+# ------------------------------------------------- trigram language-ID
+
+HELD_OUT = {
+    "en": "measurements of the system show that the results are stable over time",
+    "es": "las mediciones del sistema muestran que los resultados son estables",
+    "de": "die messungen des systems zeigen dass die ergebnisse stabil bleiben",
+    "fr": "les mesures du systeme montrent que les resultats restent stables",
+    "it": "le misurazioni del sistema mostrano che i risultati restano stabili",
+    "pt": "as medicoes do sistema mostram que os resultados permanecem estaveis",
+}
+
+
+def test_langid_profiles_deterministic_and_heldout_accuracy():
+    """Profiles are a pure function of the corpus; held-out sentences (not
+    in SAMPLES) classify correctly; degenerate inputs return 'und'."""
+    from amazon_security_lake_transformation_library_spark.operators import langid as L
+
+    p1, p2 = L.train_profiles(L.SAMPLES), L.train_profiles(L.SAMPLES)
+    assert sorted(p1) == sorted(p2)
+    assert all(np.array_equal(p1[k], p2[k]) for k in p1)
+
+    got = L.classify_batch(pd.Series(list(HELD_OUT.values())), p1)
+    assert list(got) == list(HELD_OUT)  # all six correct
+    assert list(L.classify_batch(pd.Series(["", "zq", None]), p1)) == ["und"] * 3
+
+
+def test_langid_batch_shape_invariance():
+    """Same answers whether the batch holds 1 document or all of them —
+    the hashed-trigram count matrix must not couple rows."""
+    from amazon_security_lake_transformation_library_spark.operators import langid as L
+
+    profs = L.train_profiles(L.SAMPLES)
+    texts = list(HELD_OUT.values()) + ["", "short"]
+    whole = list(L.classify_batch(pd.Series(texts), profs))
+    singles = [L.classify_batch(pd.Series([t]), profs).iloc[0] for t in texts]
+    assert whole == singles
+
+
+def test_langid_spark_udf_matches_pandas_path(spark):
+    from amazon_security_lake_transformation_library_spark.operators import langid as L
+
+    profs = L.train_profiles(L.SAMPLES)
+    rows = [(i, t) for i, t in enumerate(HELD_OUT.values())] + [(98, ""), (99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", L.lang_id_ngram(F.col("text"), profs).alias("lang")
+        ).collect()
+    }
+    exp = L.classify_batch(pd.Series([t for _, t in rows]), profs)
+    for (doc_id, _), e in zip(rows, exp):
+        assert got[doc_id] == e
+
+
 # ----------------------------------------------- blocked near-dup recall
 
 def test_blocked_near_dup_recall_curve_random_fixture(spark):

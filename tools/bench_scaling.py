@@ -126,6 +126,11 @@ def main() -> None:
     p.add_argument("--n-convs", type=int, default=40_000)
     p.add_argument("--mean-turns", type=int, default=20)
     p.add_argument("--hot-frac", type=float, default=0.10)
+    p.add_argument("--text-repeat", type=int, default=1,
+                   help="widen each turn's text payload (x the ~100B "
+                        "default) toward realistic KB-scale rows; the "
+                        "salted/hybrid narrow pre-pass is width-invariant "
+                        "so their premium over plain shrinks as this grows")
     p.add_argument("--runs", type=int, default=2)
     p.add_argument("--levels", default="4,16",
                    help="total cores per level; each level runs cores/4 "
@@ -154,6 +159,8 @@ def main() -> None:
 
     data = (f"{tempfile.gettempdir()}/scaling_{args.n_convs}_{args.mean_turns}"
             f"_{args.hot_frac}")
+    if args.text_repeat != 1:
+        data += f"_w{args.text_repeat}"
     meta_path = os.path.join(data, "meta.json")
     if os.path.exists(meta_path):
         meta = json.load(open(meta_path))
@@ -161,7 +168,8 @@ def main() -> None:
     else:
         os.makedirs(data, exist_ok=True)
         pdf = gen_transcripts(n_convs=args.n_convs, mean_turns=args.mean_turns,
-                              hot_frac=args.hot_frac)
+                              hot_frac=args.hot_frac,
+                              text_repeat=args.text_repeat)
         write_parquet(pdf, f"{data}/transcripts.parquet")
         write_parquet(gen_conv_features(pdf), f"{data}/conv_features.parquet")
         n_rows = len(pdf)
