@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from amazon_security_lake_transformation_library_spark.functions.timeops import eventday
 from amazon_security_lake_transformation_library_spark.operators import asof as asof_ops
+from amazon_security_lake_transformation_library_spark.operators import datasetops as dso
 from amazon_security_lake_transformation_library_spark.operators import dedup as dd
 from amazon_security_lake_transformation_library_spark.operators import features as feat
 from amazon_security_lake_transformation_library_spark.operators import fused as fused_ops
@@ -876,6 +877,69 @@ def _bpe_oracle_sql() -> str:
     return f"SELECT doc_id, n_subwords_bpe FROM read_parquet('{fix}')"
 
 
+# ------------------------------------------------- dataset-assembly surface
+
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test split at USER granularity
+    over the events stream: every event of a user carries the same label
+    regardless of partitioning or cluster size. Pure projection — the
+    md5-threshold CASE pipelines inside the scan (datasetops.split_assign)."""
+    ev = _t(spark, sf_dir, "events")
+    return dso.split_assign(ev, "user_id").select("event_id", "user_id", "split")
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Data-mixture rebalancing: deterministically downsample English docs
+    to 25% while keeping every other language — hash-threshold keep rule,
+    monotone in the rate, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dso.sample_stratified(
+        docs, "lang", {"en": 0.25}, entity_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk pretraining packer: documents laid end-to-end per
+    source shard (ordered by doc_id), sequence id = floor(running token
+    offset / 2048). One hash exchange + one in-partition running window."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return dso.pack_greedy(sized, "source", "doc_id", "n_tokens", budget=2048)
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """Sliding-window context chunking (size 64 tokens, stride 48): the
+    long-document preparation step. Explode-only plan — no shuffle."""
+    return dso.chunk_tokens(_t(spark, sf_dir, "documents"), size=64, stride=48)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Train/eval contamination report via shared word 8-grams (even
+    doc_ids play train, odd play eval): fingerprint explode -> distinct ->
+    semi-equi-join on fp -> per-doc count. Never an all-pairs doc join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dso.decontaminate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _q_doc_quantiles(spark, sf_dir):
+    """Exact continuous percentiles of document length per language
+    (F.percentile == DuckDB quantile_cont interpolation), rounded to the
+    gate's float contract. The approx scale path (percentile_approx) is
+    pytest-gated against these exact values (tests/test_datasetops gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    aggs = [
+        F.round(F.percentile(F.col("n_chars"), F.lit(q)), 4).alias(name)
+        for q, name in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    ]
+    return docs.groupBy("lang").agg(*aggs)
+
+
 # --------------------------------------------- scale-path dedup / similarity
 
 def _q_simhash_hamming(spark, sf_dir):
@@ -955,6 +1019,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops: text analysis + dedup + similarity
         "doc_stats": _q_doc_stats,
         "doc_bpe_subwords": _q_doc_bpe_subwords,
+        # dataset assembly: splits / mixtures / packing / chunking /
+        # decontamination / exact quantiles
+        "dataset_split_events": _q_dataset_split,
+        "sample_stratified_docs": _q_sample_stratified,
+        "pack_sequences": _q_pack_sequences,
+        "doc_chunks": _q_doc_chunks,
+        "decontaminate_docs": _q_decontaminate,
+        "doc_length_quantiles": _q_doc_quantiles,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1562,6 +1634,82 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type NOT IN ('view', 'click')
         """,
         "doc_bpe_subwords": _bpe_oracle_sql(),
+        # dataset-assembly surface: thresholds are the hex forms of
+        # floor(frac * 65536) — 0.8 -> 'cccc', 0.9 -> 'e666', 0.25 ->
+        # '4000'; 'g' sorts after every hex digit (rate >= 1 keeps all)
+        "dataset_split_events": """
+            SELECT event_id, user_id,
+                   CASE WHEN substr(md5('split-v1' || user_id::VARCHAR), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5('split-v1' || user_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM events
+        """,
+        "sample_stratified_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('sample-v1' || doc_id::VARCHAR), 1, 4)
+                  < (CASE WHEN lang = 'en' THEN '4000' ELSE 'g' END)
+        """,
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, source, n_tokens,
+                   coalesce(sum(n_tokens) OVER w, 0)::BIGINT AS offset_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER w, 0) / 2048.0) AS BIGINT) AS seq_id
+            FROM d
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        "doc_chunks": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), m AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     CASE WHEN len(toks) <= 64 THEN 1
+                          ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS INT)
+                     END AS n_chunks
+              FROM d
+            ), u AS (
+              SELECT doc_id, toks, n,
+                     unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+              FROM m
+            )
+            SELECT doc_id, chunk_idx, chunk_idx * 48 AS chunk_start,
+                   least(64, n - chunk_idx * 48) AS chunk_len,
+                   array_to_string(
+                     list_slice(toks, chunk_idx * 48 + 1,
+                                chunk_idx * 48 + least(64, n - chunk_idx * 48)),
+                     ' ') AS chunk_text
+            FROM u
+        """,
+        "decontaminate_docs": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(0, len(toks) - 7))) AS i,
+                     toks
+              FROM d
+            ), fp AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+              FROM g
+            )
+            SELECT e.doc_id, count(DISTINCT e.fp)::BIGINT AS n_shared
+            FROM (SELECT * FROM fp WHERE doc_id % 2 = 1) e
+            JOIN (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0) t USING (fp)
+            GROUP BY e.doc_id
+        """,
+        "doc_length_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99
+            FROM documents GROUP BY lang
+        """,
         "kinesis_decode": """
             WITH k AS (
               SELECT event_id,

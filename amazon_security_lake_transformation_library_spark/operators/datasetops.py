@@ -1,0 +1,268 @@
+"""Dataset-assembly operators for LLM training pipelines: deterministic
+leakage-safe splits, data-mixture sampling, concat-and-chunk sequence
+packing, sliding-window document chunking, and train/eval decontamination.
+
+These extend the training-data surface next to textstats/dedup/similarity.
+Reference analog: none — the reference library has no record-to-record
+operators at all (SURVEY.md §2.B "joins: — none", "aggregations: — none");
+this module is part of the north-rule/LLM-pipeline extension surface.
+
+Every operator here is designed for the 100 TB shape first:
+
+* ``split_assign`` / ``sample_stratified`` are PURE PROJECTIONS — a hash
+  of the entity key against fixed hex thresholds. Zero shuffle, zero
+  state, embarrassingly parallel, and the assignment of an entity is
+  identical on any cluster size or partitioning (the property that makes
+  a split reproducible across reruns and backfills).
+* ``pack_greedy`` is the standard concat-and-chunk pretraining packer,
+  run PER GROUP (shard): one hash-exchange on the group key + one
+  in-partition sort, i.e. exactly the window shape Catalyst already
+  optimizes; no global order, no driver state.
+* ``chunk_tokens`` is explode-only (no shuffle): rows widen by the
+  chunk factor inside the scan stage.
+* ``decontaminate`` is the two-stage candidate shape every dedup op in
+  this repo uses: bounded fingerprint generation (explode), hash-agg
+  distinct on the small (train) side, then a SEMI join — never a
+  cross product, and the train fingerprint set can be broadcast when it
+  fits (AQE decides; at benchmark-suite scale it always broadcasts).
+
+Splits are hash-threshold based: ``md5(salt || entity)`` is uniform on
+[0, 16^4) over its first four hex nibbles, so a fraction ``f`` maps to
+the lexicographic threshold ``format(floor(f * 65536), '04x')``. The
+comparison stays in STRING space (lowercase hex in every engine), which
+keeps the oracle a one-line ANSI-SQL CASE expression — no hex→int cast
+portability trap.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket4",
+    "split_assign",
+    "sample_stratified",
+    "pack_greedy",
+    "chunk_tokens",
+    "ngram_fingerprints",
+    "decontaminate",
+]
+
+
+def hash_bucket4(entity: Column, salt: str) -> Column:
+    """First 4 hex nibbles of md5(salt || entity) — a uniform, engine-
+    portable bucket in string space ('0000'..'ffff'). ``entity`` must
+    already be a string column (cast upstream so the byte representation
+    is explicit and matches the oracle)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), entity)), 1, 4)
+
+
+def _thresholds(fractions: Mapping[str, float]) -> list[tuple[str, str]]:
+    """[(label, upper_hex_threshold_exclusive)] in declaration order. The
+    final label is the CASE ``otherwise`` branch, so its threshold is
+    never compared (returned as 'ffff' for readability only)."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, cum = [], 0.0
+    for label, frac in fractions.items():
+        cum += frac
+        out.append((label, format(min(int(cum * 65536), 65535), "04x")))
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    entity_col: str,
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, leakage-safe dataset split at ENTITY granularity.
+
+    Every row whose ``entity_col`` hashes into the same bucket receives
+    the same split label — so all turns of a conversation / all events of
+    a user land in one split, the property that prevents cross-split
+    leakage through shared context. Changing ``salt`` re-rolls the split;
+    nothing else (row order, partitioning, cluster size) can.
+
+    Scale shape: pure narrow projection (md5 + CASE) — no shuffle, no
+    aggregation; at 100 TB this pipelines inside the scan stage.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = hash_bucket4(F.col(entity_col).cast("string"), salt)
+    expr: Column | None = None
+    pairs = _thresholds(fractions)
+    for label, upper in pairs[:-1]:
+        cond = bucket < F.lit(upper)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last_label = pairs[-1][0]
+    expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
+    return df.withColumn(out_col, expr)
+
+
+def sample_stratified(
+    df: DataFrame,
+    stratum_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 1.0,
+    entity_col: str | None = None,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic hash-threshold sampling with a per-stratum rate —
+    the data-mixture rebalancing op (e.g. downsample the dominant
+    language while keeping the tail intact). ``entity_col`` defaults to
+    the stratum row itself; pass an id column to sample at entity
+    granularity. Keep-decision = bucket < format(rate * 65536, '04x'),
+    so the sample is reproducible and monotone in the rate (raising a
+    rate only ADDS rows — incremental-friendly).
+
+    Scale shape: pure projection + filter, no shuffle.
+    """
+    def hexthr(rate: float) -> str:
+        # 'g' sorts after every hex digit, so rate >= 1.0 keeps ALL
+        # buckets (a 'ffff' threshold would drop the bucket equal to it)
+        return "g" if rate >= 1.0 else format(int(rate * 65536), "04x")
+
+    entity = F.col(entity_col or stratum_col).cast("string")
+    bucket = hash_bucket4(entity, salt)
+    thr: Column = F.lit(hexthr(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == F.lit(stratum), F.lit(hexthr(rate))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def pack_greedy(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    seq_col: str = "seq_id",
+    offset_col: str = "offset_tokens",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM-pretraining
+    packer): within each group, documents are laid end-to-end in
+    ``order_col`` order; a document's training sequence is
+    ``floor(offset_before / budget)`` where ``offset_before`` is the
+    running token count of everything packed ahead of it. Documents may
+    straddle a boundary — exactly what a token-stream packer does before
+    slicing fixed windows.
+
+    Scale shape: ONE hash exchange on ``group_col`` + one in-partition
+    sort (a running-frame window, streamed by Spark's WindowExec with no
+    O(n²) frame). Packing per group/shard, never globally — the global
+    variant would serialize the corpus through one task.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn(offset_col, before).withColumn(
+        seq_col, F.floor(F.col(offset_col) / budget).cast("long")
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Sliding-window document chunking: split ``text_col`` on single
+    spaces into tokens and emit one row per (size, stride) window —
+    the context-window preparation step for long-document training /
+    embedding. The final window is the ragged tail (``chunk_len`` ≤
+    size); a document shorter than ``size`` yields exactly one chunk.
+
+    Scale shape: explode-only — token arrays and windows are computed
+    inside the scan stage projection; no shuffle, no Python.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # number of stride steps whose window start < n, covering the tail:
+    # n <= size -> 1 chunk; else 1 + ceil((n - size) / stride)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int")
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        toks.alias("_toks"),
+        n.alias("n_tokens"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    chunk_len = F.least(F.lit(size), F.col("n_tokens") - F.col("chunk_start"))
+    return base.select(
+        id_col,
+        *keep_cols,
+        "chunk_idx",
+        "chunk_start",
+        chunk_len.cast("int").alias("chunk_len"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_len), " "
+        ).alias("chunk_text"),
+    )
+
+
+def ngram_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """(id, fp) — md5 fingerprint of every word n-gram of the document.
+    A document shorter than ``n`` tokens emits no fingerprints (too short
+    to claim contamination on). Explode-only projection; the fingerprint
+    space bounds every downstream join."""
+    toks = F.split(F.col(text_col), " ")
+    n_grams = F.greatest(F.lit(0), F.size(toks) - F.lit(n - 1))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), n_grams.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_i"),
+            F.col("_toks"),
+        )
+        .select(
+            id_col,
+            F.md5(F.array_join(F.slice(F.col("_toks"), F.col("_i"), n), " ")).alias("fp"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval contamination report: for every eval document sharing at
+    least one word ``n``-gram with ANY train document, return its id and
+    the number of DISTINCT shared fingerprints (the evidence strength).
+    The caller anti-joins eval against this frame to decontaminate.
+
+    Scale shape: two explode projections + one distinct hash-agg on the
+    train side + one equi-join on ``fp`` + one count agg. The train
+    fingerprint set is the only thing shuffled twice, and it is the
+    DISTINCT set (bounded by train corpus grams); no all-pairs doc join
+    ever forms — doc ids only meet through shared fingerprints.
+    """
+    tf = ngram_fingerprints(train, text_col, id_col, n).select("fp").distinct()
+    ef = ngram_fingerprints(eval_df, text_col, id_col, n)
+    return (
+        ef.join(tf, "fp")
+        .groupBy(id_col)
+        .agg(F.count_distinct("fp").alias("n_shared"))
+    )
