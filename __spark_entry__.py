@@ -927,6 +927,37 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+EWMA_HL_S = 3 * 86400.0  # 3-day halflife over the 30-day events fixture
+
+
+def _q_ewma_events(spark, sf_dir):
+    """Time-decayed EWMA of event value per user (JVM window form): the
+    reference-weight cancellation makes it two running sums sharing one
+    Exchange+Sort — the feature-store 'decayed activity' op with zero
+    Python. Envelope: exact while an entity spans < ~1000 halflives."""
+    ev = _t(spark, sf_dir, "events")
+    out = feat.ewma_time_decay(
+        ev, "user_id", "ts", "value", EWMA_HL_S, order_tiebreak="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", F.round(F.col("ewma"), 4).alias("ewma")
+    )
+
+
+def _q_ewma_events_grouped(spark, sf_dir):
+    """Same semantics via applyInPandas (grouped-map Arrow UDF surface):
+    pandas' renormalizing ewm(times=...) scan — numerically stable for
+    unbounded entity time ranges. Hash-checked against the SAME DuckDB
+    oracle as the JVM form: two independent algorithms, one answer."""
+    ev = _t(spark, sf_dir, "events")
+    out = feat.ewma_time_decay_grouped(
+        ev, "user_id", "ts", "value", EWMA_HL_S, order_tiebreak="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", F.round(F.col("ewma"), 4).alias("ewma")
+    )
+
+
 def _q_doc_quantiles(spark, sf_dir):
     """Exact continuous percentiles of document length per language
     (F.percentile == DuckDB quantile_cont interpolation), rounded to the
@@ -1027,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "decontaminate_docs": _q_decontaminate,
         "doc_length_quantiles": _q_doc_quantiles,
+        "ewma_events": _q_ewma_events,
+        "ewma_events_grouped": _q_ewma_events_grouped,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1329,6 +1362,22 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
         FROM {cfinal}
     """
     )
+
+
+_EWMA_ORACLE = f"""
+    SELECT event_id, user_id,
+           round(sum(u * value) OVER w / sum(u) OVER w, 4) AS ewma
+    FROM (
+      SELECT event_id, value, ts, user_id,
+             pow(2, (epoch_us(ts) - first_value(epoch_us(ts)) OVER w2)
+                    / 1e6 / {EWMA_HL_S}) AS u
+      FROM events
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1710,6 +1759,11 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.99), 4) AS p99
             FROM documents GROUP BY lang
         """,
+        # both EWMA forms (JVM window / applyInPandas) hash against this
+        # one oracle: adjusted ewm with halflife weights, reference weight
+        # cancelled (u_j = 2^((t_j - t_first)/halflife))
+        "ewma_events": _EWMA_ORACLE,
+        "ewma_events_grouped": _EWMA_ORACLE,
         "kinesis_decode": """
             WITH k AS (
               SELECT event_id,

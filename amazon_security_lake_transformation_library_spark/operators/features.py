@@ -157,3 +157,85 @@ def build_turn_features(
         (F.sum(flag).over(wc) - F.lit(1)).cast("long").alias("session_id"),
         F.sum((F.col(role_col) == "user").cast("long")).over(wc).alias("user_turn_cum"),
     )
+
+
+# ------------------------------------------------ time-decayed EWMA features
+
+def ewma_time_decay(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    val_col: str,
+    halflife_seconds: float,
+    order_tiebreak: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-decayed moving average over IRREGULAR timestamps —
+    the standard "decayed activity" feature of a point-in-time feature
+    store: ``ewma_i = Σ_j≤i w_j·x_j / Σ_j≤i w_j`` with
+    ``w_j = 0.5^((t_i - t_j)/halflife)`` (pandas ``ewm(times=...)``
+    adjusted form).
+
+    JVM scale path. The per-row reference weight cancels in the ratio:
+    with ``u_j = 2^((t_j - t_first)/h)`` (t_first = the entity's first
+    event), ``ewma_i = Σ u_j·x_j / Σ u_j`` over the RUNNING frame — two
+    cumulative sums sharing the block's one Exchange+Sort, zero Python.
+
+    Numerical envelope: ``u`` overflows double once an entity spans more
+    than ~1000 halflives (2^1023). Within that envelope (any bounded
+    feature window — days of events at an hours-scale halflife) this is
+    exact; beyond it use :func:`ewma_time_decay_grouped`, the
+    applyInPandas recurrence that renormalizes as it scans and has no
+    range limit. Both produce identical values (tests pin equality and
+    the overflow boundary).
+    """
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    wc = cumulative_window(entity, order)
+    t = epoch_seconds(ts_col)
+    u = F.pow(F.lit(2.0), (t - F.first(t).over(wc)) / F.lit(float(halflife_seconds)))
+    return df.withColumn(
+        out_col,
+        F.sum(u * F.col(val_col)).over(wc) / F.sum(u).over(wc),
+    )
+
+
+def ewma_time_decay_grouped(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    val_col: str,
+    halflife_seconds: float,
+    order_tiebreak: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """``applyInPandas`` form of :func:`ewma_time_decay` — the grouped-map
+    UDF surface (SURVEY.md §2.B): one Arrow batch per entity, pandas'
+    renormalizing ``ewm(times=...)`` scan inside. Numerically stable for
+    UNBOUNDED entity time ranges (no 2^(range/halflife) term), at the
+    cost of one Python stage; prefer the JVM form inside its envelope.
+
+    Scale shape: the same single hash-exchange on the entity key; each
+    group must fit one worker's memory (the constraint of every grouped
+    pandas op — hot entities beyond that belong to the salted paths).
+    """
+    import pandas as pd  # local import: executors need it, driver may not
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    # copy, don't .add(): DataFrame caches its schema object and
+    # StructType.add mutates in place
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    hl = pd.Timedelta(seconds=float(halflife_seconds))
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order)
+        pdf[out_col] = (
+            pdf[val_col]
+            .ewm(halflife=hl, times=pd.DatetimeIndex(pdf[ts_col]))
+            .mean()
+        )
+        return pdf
+
+    return df.groupBy(entity).applyInPandas(fn, schema=schema)
