@@ -26,6 +26,7 @@ from amazon_security_lake_transformation_library_spark.operators import dataseto
 from amazon_security_lake_transformation_library_spark.operators import dedup as dd
 from amazon_security_lake_transformation_library_spark.operators import features as feat
 from amazon_security_lake_transformation_library_spark.operators import fused as fused_ops
+from amazon_security_lake_transformation_library_spark.operators import repetition as rep
 from amazon_security_lake_transformation_library_spark.operators import similarity as sim
 from amazon_security_lake_transformation_library_spark.operators import textstats as ts_ops
 from amazon_security_lake_transformation_library_spark.operators.salted import time_chunk
@@ -877,6 +878,79 @@ def _bpe_oracle_sql() -> str:
     return f"SELECT doc_id, n_subwords_bpe FROM read_parquet('{fix}')"
 
 
+# ------------------------------------- repetition / corpus-quality surface
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style per-document repetition signals (repetition.py): the
+    Spark side computes every signal with a shuffle-free sorted-run fold
+    inside the row; the oracle deliberately uses the classical
+    UNNEST -> GROUP BY gram algorithm, so the gate compares two
+    independent algorithms, not one transliterated query."""
+    return rep.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_line_stats(spark, sf_dir):
+    """Duplicate-line signals over synthesized multi-line documents (the
+    fixture's text is single-line; folding each run of 5 words into a
+    line exercises the real line machinery deterministically)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_lines = F.greatest(
+        F.ceil(F.size(ws) / F.lit(5.0)).cast("int"), F.lit(1)
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * F.lit(5) + F.lit(1), 5)),
+    )
+    multi = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return rep.line_stats(multi)
+
+
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus-wide exact top-20 word bigrams: one gram-keyed exchange with
+    map-side partial agg + TakeOrderedAndProject."""
+    return rep.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 smoothed TF-IDF terms per document: explode -> (doc, term)
+    hash agg, broadcast document-frequency join, WindowGroupLimit top-k."""
+    return rep.tf_idf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _pii_raw_col() -> F.Column:
+    """Deterministic PII-bearing text derived from the documents fixture:
+    a 40-char prefix plus doc_id-keyed email / IPv4 / account-number
+    injections, so the scrubber sees both clean and dirty rows."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.substring("text", 1, 40),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact u"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" from 192.168."), (d % 200).cast("string"), F.lit(".25")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" acct "), F.lpad((d * 937).cast("string"), 8, "0")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _q_scrub_pii(spark, sf_dir):
+    """Redaction pass (textstats.scrub_pii): mask email/IPv4/long-digit
+    spans and count matches on the original text — one codegen'd
+    projection, no shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _pii_raw_col().alias("text"))
+    return ts_ops.scrub_pii(raw)
+
+
 # ------------------------------------------------- dataset-assembly surface
 
 def _q_dataset_split(spark, sf_dir):
@@ -1050,6 +1124,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops: text analysis + dedup + similarity
         "doc_stats": _q_doc_stats,
         "doc_bpe_subwords": _q_doc_bpe_subwords,
+        # corpus-quality / repetition / redaction surface (Gopher signals,
+        # corpus heavy hitters, TF-IDF, PII scrub)
+        "repetition_stats": _q_repetition_stats,
+        "line_stats": _q_line_stats,
+        "top_ngrams": _q_top_ngrams,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "scrub_pii": _q_scrub_pii,
         # dataset assembly: splits / mixtures / packing / chunking /
         # decontamination / exact quantiles
         "dataset_split_events": _q_dataset_split,
@@ -1380,6 +1461,71 @@ _EWMA_ORACLE = f"""
 """
 
 
+def _rep_gram_cte(n: int) -> str:
+    """Classical per-doc n-gram frequency CTE pair for the repetition
+    oracle: explode grams, GROUP BY (doc, gram), re-aggregate per doc —
+    deliberately the algorithm the Spark operator does NOT use."""
+    return f"""
+g{n} AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - {n} + 2),
+         i -> array_to_string(ws[i:i+{n}-1], ' '))) AS gram
+  FROM w WHERE len(ws) >= {n}
+),
+c{n} AS (
+  SELECT doc_id, max(c * l) AS topc,
+         coalesce(sum(c * l) FILTER (c >= 2), 0) AS dupc
+  FROM (SELECT doc_id, gram, count(*)::BIGINT AS c, length(gram)::BIGINT AS l
+        FROM g{n} GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)"""
+
+
+_REPETITION_STATS_SQL = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,"
+    " greatest(length(text), 1)::DOUBLE AS nc FROM documents),"
+    + ",".join(_rep_gram_cte(n) for n in (2, 3, 4, 5, 8, 10))
+    + """
+SELECT w.doc_id,
+  len(ws)::BIGINT AS n_words,
+  round((len(ws) - len(list_distinct(ws))) / greatest(len(ws), 1), 4) + 0.0 AS dup_word_frac,
+  round(coalesce(c2.topc, 0) / nc, 4) + 0.0 AS top2_char_frac,
+  round(coalesce(c3.topc, 0) / nc, 4) + 0.0 AS top3_char_frac,
+  round(coalesce(c4.topc, 0) / nc, 4) + 0.0 AS top4_char_frac,
+  round(least(coalesce(c5.dupc, 0) / nc, 1.0), 4) + 0.0 AS dup5_char_frac,
+  round(least(coalesce(c8.dupc, 0) / nc, 1.0), 4) + 0.0 AS dup8_char_frac,
+  round(least(coalesce(c10.dupc, 0) / nc, 1.0), 4) + 0.0 AS dup10_char_frac
+FROM w LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+       LEFT JOIN c4 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+       LEFT JOIN c8 USING (doc_id) LEFT JOIN c10 USING (doc_id)
+"""
+)
+
+_LINE_STATS_SQL = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    l AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 range(0, greatest(cast(ceil(len(ws) / 5.0) AS BIGINT), 1)),
+                 i -> array_to_string(ws[i*5+1 : i*5+5], ' ')),
+               x -> length(trim(x)) > 0) AS ls
+      FROM w),
+    c AS (SELECT doc_id, line, count(*)::BIGINT AS c, length(line)::BIGINT AS ln
+          FROM (SELECT doc_id, unnest(ls) AS line FROM l) GROUP BY doc_id, line),
+    a AS (SELECT doc_id,
+                 coalesce(sum(c * ln) FILTER (c >= 2), 0) AS dupc,
+                 sum(c * ln) AS totc
+          FROM c GROUP BY doc_id)
+    SELECT l.doc_id,
+           len(ls)::BIGINT AS n_lines,
+           round((len(ls) - len(list_distinct(ls))) / greatest(len(ls), 1), 4)
+             + 0.0 AS dup_line_frac,
+           round(coalesce(a.dupc, 0) / greatest(coalesce(a.totc, 0), 1)::DOUBLE, 4)
+             + 0.0 AS dup_line_char_frac
+    FROM l LEFT JOIN a USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lag_lead_events": f"""
@@ -1683,6 +1829,63 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type NOT IN ('view', 'click')
         """,
         "doc_bpe_subwords": _bpe_oracle_sql(),
+        # repetition oracles intentionally use the classical explode ->
+        # GROUP BY gram algorithm (vs Spark's in-row sorted-run fold):
+        # two independent implementations under one hash gate
+        "repetition_stats": _REPETITION_STATS_SQL,
+        "line_stats": _LINE_STATS_SQL,
+        "top_ngrams": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            g AS (SELECT unnest(list_transform(range(1, len(ws)),
+                         i -> array_to_string(ws[i:i+1], ' '))) AS gram
+                  FROM w WHERE len(ws) >= 2)
+            SELECT gram, count(*)::BIGINT AS cnt FROM g
+            GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+        """,
+        "tfidf_top_terms": """
+            WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                           FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+                   WHERE length(term) > 0 GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf, df_docs,
+                     round(tf * (ln((n_docs + 1)::DOUBLE / (df_docs + 1)::DOUBLE)
+                                 + 1.0), 4) + 0.0 AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tf, df_docs, tfidf FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term) AS rk
+              FROM scored
+            ) WHERE rk <= 3
+        """,
+        "scrub_pii": r"""
+            WITH r AS (
+              SELECT doc_id,
+                     substring(text, 1, 40)
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' contact u' || doc_id::VARCHAR || '@example.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN ' from 192.168.' || (doc_id % 200)::VARCHAR || '.25'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' acct ' || lpad((doc_id * 937)::VARCHAR, 8, '0')
+                             ELSE '' END AS raw
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                       '[0-9]{4,}', '<NUM>', 'g') AS masked,
+                   len(regexp_extract_all(raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(raw,
+                       '(?:[0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(raw, '[0-9]{4,}'))::BIGINT AS n_number
+            FROM r
+        """,
         # dataset-assembly surface: thresholds are the hex forms of
         # floor(frac * 65536) — 0.8 -> 'cccc', 0.9 -> 'e666', 0.25 ->
         # '4000'; 'g' sorts after every hex digit (rate >= 1 keeps all)
