@@ -357,6 +357,19 @@ def _q_simhash(spark, sf_dir):
     return dd.simhash_dedup(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Cluster-resolve step on top of the MinHash-LSH pairs: connected
+    components via min-label propagation + pointer jumping (graph.py); the
+    oracle computes the same fixpoint with a DuckDB recursive CTE —
+    transitive closure on a different engine with a different algorithm.
+    keep=true marks the one canonical doc per near-duplicate group."""
+    from amazon_security_lake_transformation_library_spark.operators import graph as g
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    return g.dedup_clusters(docs, pairs)
+
+
 def _norm_zero(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn(col, F.col(col) + F.lit(0.0))
 
@@ -1146,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_hamming": _q_simhash_hamming,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_assign": _q_ivf_assign,
         "ann_ivf_topk": _q_ivf_topk,
@@ -1692,6 +1706,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_minhash_lsh": _MINHASH_PAIRS,
+        # same fixpoint as graph.connected_components, via transitive
+        # closure in a recursive CTE (different algorithm, different engine)
+        "dedup_clusters": f"""
+            WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS})),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+            reach AS (
+              SELECT a AS n, a AS m FROM e
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+            ),
+            comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n)
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id,
+                   (d.doc_id = coalesce(c.component, d.doc_id)) AS keep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.n
+        """,
         "dedup_ngram_jaccard": f"""
             WITH sh AS (
               SELECT doc_id,

@@ -1,0 +1,161 @@
+"""Connected components over candidate-pair graphs — the cluster-resolve
+step every dedup family needs after pair generation (MinHash-LSH, SimHash
+banding, embedding blocking all emit PAIRS; keeping one document per
+duplicate GROUP requires the transitive closure of those pairs).
+
+Scale design
+------------
+Min-label propagation with pointer jumping (label doubling): each
+iteration (a) takes the min label over a node's neighborhood-plus-self,
+then (b) replaces every label by its label's label. Step (b) halves the
+distance to the component minimum each round, so convergence is
+O(log(diameter)) iterations rather than O(diameter) — the same idea as
+the two-phase large-star/small-star map-reduce algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14).
+
+Each iteration is two shuffles over the EDGE/LABEL tables only — and the
+input here is the candidate-pair graph, which at corpus scale is orders
+of magnitude smaller than the corpus itself (pairs exist only where
+near-duplicate buckets collided; 100 TB of text yields a pair table that
+fits comfortably in a few executors).
+
+Lineage: the pointer-jump is a SELF-join, so chaining iterations in one
+logical plan DOUBLES the plan every round — exponential Catalyst
+analysis cost (measured: a 200-node chain never finishes analysis by
+iteration ~8). Each round therefore checkpoints the label table through
+a parquet round-trip (the reliable-checkpoint pattern every iterative
+Spark algorithm uses — GraphX Pregel does the same on an interval): the
+per-iteration plan is then a constant-size join between the persisted
+edge table and a parquet scan, and the written table is 2 longs per
+candidate node. The previous round's files are deleted as soon as the
+next round lands; the FINAL table backs the returned DataFrame, so the
+work dir outlives the call (callers pass ``work_dir`` to control
+placement/cleanup; the default lives under the system temp dir).
+
+Determinism: the component id is the MINIMUM member id — a pure function
+of the graph, independent of partitioning, iteration order, and cluster
+size. The DuckDB differential oracle computes the same fixpoint with a
+recursive CTE (transitive closure -> min reachable id), i.e. a completely
+different algorithm on a different engine.
+
+The reference has no graph or dedup surface at all (its per-row Lambda
+transform, transformation_function/app.py:112-148, maps log lines
+independently); this module is part of the LLM-training-pipeline
+extension mandated by the north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..caching import persist_tracked
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Resolve ``edges`` into components: (node, component) where
+    ``component`` is the minimum node id reachable from ``node``.
+
+    Only nodes that appear in at least one edge are returned (callers
+    left-join singletons back and default ``component`` to the node id —
+    see :func:`dedup_clusters`). Raises ``RuntimeError`` if the fixpoint
+    is not reached within ``max_iters`` pointer-jumping rounds (bound is
+    log2(longest path); 25 covers any graph with < 2^25-hop chains).
+    """
+    import shutil
+    import tempfile
+
+    spark = edges.sparkSession
+    root = work_dir or tempfile.mkdtemp(prefix="spark_graft_cc_")
+    sym = persist_tracked(
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .distinct()
+    )
+    labels = persist_tracked(
+        sym.select("n").distinct().select("n", F.col("n").alias("component"))
+    )
+    labels.count()
+    prev_path: str | None = None
+
+    for it in range(max_iters):
+        # (a) min label over self + neighborhood
+        nbr = sym.alias("e").join(
+            labels.alias("l"), F.col("e.m") == F.col("l.n")
+        ).select(F.col("e.n").alias("n"), F.col("l.component").alias("cand"))
+        mins = (
+            nbr.union(labels.select("n", F.col("component").alias("cand")))
+            .groupBy("n")
+            .agg(F.min("cand").alias("component"))
+        )
+        # (b) pointer jump: component <- component's component. Checkpoint
+        # through parquet: the self-join would otherwise double the
+        # logical plan every iteration (exponential analysis cost).
+        jumped = (
+            mins.alias("a")
+            .join(
+                mins.alias("b"),
+                F.col("a.component") == F.col("b.n"),
+                "left",
+            )
+            .select(
+                F.col("a.n").alias("n"),
+                F.coalesce(F.col("b.component"), F.col("a.component")).alias(
+                    "component"
+                ),
+            )
+        )
+        path = f"{root}/iter{it}"
+        jumped.write.mode("overwrite").parquet(path)
+        new_labels = spark.read.parquet(path)
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), "n")
+            .where(F.col("x.component") != F.col("y.component"))
+            .count()
+        )
+        labels.unpersist()
+        if prev_path is not None:
+            shutil.rmtree(prev_path, ignore_errors=True)
+        prev_path = path
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Cluster assignment for every document: (id, cluster_id, keep).
+
+    ``cluster_id`` is the smallest doc id in the document's near-duplicate
+    component (its own id for singletons); ``keep`` marks the canonical
+    representative — exactly one true per cluster, so
+    ``filter(keep)`` IS the deduplicated corpus. The docs side is only a
+    projection + one left join against the (tiny) component table, which
+    Spark broadcasts when it fits."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("n"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", (F.col(id_col) == F.col("cluster_id")))
+    )
