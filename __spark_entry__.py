@@ -891,6 +891,55 @@ def _bpe_oracle_sql() -> str:
     return f"SELECT doc_id, n_subwords_bpe FROM read_parquet('{fix}')"
 
 
+_LANGID_FIX_DIR = "/tmp/spark_graft_langid_oracle"
+
+
+def _ensure_langid_oracle(sf_dir: str) -> str:
+    """Precomputed-fixture oracle (same pattern as the BPE stage): DuckDB
+    cannot run the trigram-profile classifier, so the expected column is
+    materialized by the SAME pure-numpy batch classifier
+    (operators/langid.py, profiles trained from the embedded SAMPLES)
+    over the SAME parquet bytes via pandas — no Spark involved. The
+    differential then gates the Spark/Arrow plumbing: pandas_udf batch
+    shape, closure-shipped profiles, dtype, executor-side distribution."""
+    import pyarrow.parquet as pq
+
+    from amazon_security_lake_transformation_library_spark.operators import langid as L
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{_LANGID_FIX_DIR}/{tag}.parquet"
+    if not os.path.exists(out):
+        os.makedirs(_LANGID_FIX_DIR, exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        profiles = L.train_profiles(L.SAMPLES)
+        t["lang_trigram"] = L.classify_batch(t["text"], profiles)
+        tmp = out + ".tmp"
+        t[["doc_id", "lang_trigram"]].to_parquet(tmp)
+        os.replace(tmp, out)
+    return out
+
+
+def _q_doc_lang_trigram(spark, sf_dir):
+    """Trigram-profile language ID (langid.py) as an Arrow-batched
+    pandas_udf over the documents fixture — the 'real model' plug-in for
+    doc_stats' stopword heuristic, now under the differential gate."""
+    from amazon_security_lake_transformation_library_spark.operators import langid as L
+
+    docs = _t(spark, sf_dir, "documents")
+    profiles = L.train_profiles(L.SAMPLES)
+    return docs.select(
+        "doc_id", L.lang_id_ngram(F.col("text"), profiles).alias("lang_trigram")
+    )
+
+
+def _langid_oracle_sql() -> str:
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01")
+    fix = _ensure_langid_oracle(f"/root/testdata/sf{sf}")
+    return f"SELECT doc_id, lang_trigram FROM read_parquet('{fix}')"
+
+
 # ------------------------------------- repetition / corpus-quality surface
 
 def _q_repetition_stats(spark, sf_dir):
@@ -953,6 +1002,12 @@ def _pii_raw_col() -> F.Column:
             F.concat(F.lit(" acct "), F.lpad((d * 937).cast("string"), 8, "0")),
         ).otherwise(F.lit("")),
     )
+
+
+def _q_corpus_filter(spark, sf_dir):
+    """The composed Gopher quality gate (repetition.corpus_filter): all
+    rules in one shuffle-free projection; keep + fired-rule names."""
+    return rep.corpus_filter(_t(spark, sf_dir, "documents"))
 
 
 def _q_scrub_pii(spark, sf_dir):
@@ -1143,7 +1198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": _q_line_stats,
         "top_ngrams": _q_top_ngrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "corpus_filter": _q_corpus_filter,
         "scrub_pii": _q_scrub_pii,
+        "doc_lang_trigram": _q_doc_lang_trigram,
         # dataset assembly: splits / mixtures / packing / chunking /
         # decontamination / exact quantiles
         "dataset_split_events": _q_dataset_split,
@@ -1514,6 +1571,30 @@ FROM w LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
 """
 )
 
+_CORPUS_FILTER_SQL = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,"
+    " greatest(length(text), 1)::DOUBLE AS nc FROM documents),"
+    + ",".join(_rep_gram_cte(n) for n in (2, 5))
+    + """
+SELECT doc_id, (length(reasons) = 0) AS keep, reasons FROM (
+  SELECT w.doc_id,
+    concat_ws(',',
+      CASE WHEN len(ws) < 50 OR len(ws) > 100000 THEN 'word_count' END,
+      CASE WHEN (list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                 / greatest(len(ws), 1)) < 3.0 THEN 'mean_word_len_low' END,
+      CASE WHEN (list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                 / greatest(len(ws), 1)) > 10.0 THEN 'mean_word_len_high' END,
+      CASE WHEN (len(ws) - len(list_distinct(ws)))
+                / greatest(len(ws), 1) > 0.5 THEN 'dup_words' END,
+      CASE WHEN coalesce(c2.topc, 0) / nc > 0.20 THEN 'top_bigram' END,
+      CASE WHEN least(coalesce(c5.dupc, 0) / nc, 1.0) > 0.15
+           THEN 'dup_5grams' END
+    ) AS reasons
+  FROM w LEFT JOIN c2 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+)
+"""
+)
+
 _LINE_STATS_SQL = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     l AS (
@@ -1864,6 +1945,8 @@ def oracle_sql() -> dict[str, str]:
         # two independent implementations under one hash gate
         "repetition_stats": _REPETITION_STATS_SQL,
         "line_stats": _LINE_STATS_SQL,
+        "corpus_filter": _CORPUS_FILTER_SQL,
+        "doc_lang_trigram": _langid_oracle_sql(),
         "top_ngrams": """
             WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
             g AS (SELECT unnest(list_transform(range(1, len(ws)),

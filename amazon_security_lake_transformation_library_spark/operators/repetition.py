@@ -51,6 +51,7 @@ __all__ = [
     "line_stats",
     "top_ngrams",
     "tf_idf_top_terms",
+    "corpus_filter",
 ]
 
 
@@ -179,6 +180,63 @@ def repetition_stats(
             ).alias(f"dup{n}_char_frac")
         )
     return base.select(*cols)
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_dup_word_frac: float = 0.5,
+    max_top2_char_frac: float = 0.20,
+    max_dup5_char_frac: float = 0.15,
+    mean_word_len_range: tuple[float, float] = (3.0, 10.0),
+) -> DataFrame:
+    """The composed Gopher-style quality GATE a pretraining pipeline runs:
+    every rule evaluated in ONE shuffle-free projection over the scan
+    (no join between signal tables — the signals share the tokenized
+    array, so Catalyst keeps the whole thing in one codegen stage).
+
+    Output: id, keep (no rule fired), reasons (comma-joined names of the
+    rules that fired, in fixed order — '' when keep). Thresholds follow
+    Rae et al. 2112.11446 Table A1 defaults; all are parameters because
+    real pipelines tune them per-source.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("__nc"),
+        F.split(t, " ").alias("__w"),
+    )
+    nw = F.size("__w").cast("long")
+    nc = F.greatest(F.col("__nc"), F.lit(1)).cast("double")
+    word_chars = F.aggregate(
+        F.col("__w"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_wl = word_chars.cast("double") / F.greatest(nw, F.lit(1))
+    dup_word = (nw - F.size(F.array_distinct("__w")).cast("long")) / F.greatest(
+        nw, F.lit(1)
+    )
+    top2 = top_run_chars(ngram_array(F.col("__w"), 2)) / nc
+    dup5 = F.least(
+        dup_run_chars(ngram_array(F.col("__w"), 5)) / nc, F.lit(1.0)
+    )
+    lo, hi = mean_word_len_range
+    reasons = F.concat_ws(
+        ",",
+        F.when((nw < min_words) | (nw > max_words), F.lit("word_count")),
+        F.when(mean_wl < lo, F.lit("mean_word_len_low")),
+        F.when(mean_wl > hi, F.lit("mean_word_len_high")),
+        F.when(dup_word > max_dup_word_frac, F.lit("dup_words")),
+        F.when(top2 > max_top2_char_frac, F.lit("top_bigram")),
+        F.when(dup5 > max_dup5_char_frac, F.lit("dup_5grams")),
+    )
+    return base.select(
+        F.col(id_col),
+        (F.length(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )
 
 
 def line_stats(

@@ -156,6 +156,51 @@ def test_tf_idf_top_terms_oracle(docs_df):
     assert 4 not in set(out["doc_id"])
 
 
+def test_corpus_filter_oracle(spark):
+    docs = [
+        (0, " ".join(f"word{i}" for i in range(60))),       # clean: keep
+        (1, " ".join(["x"] * 60)),                          # dup words + grams
+        (2, "short doc"),                                   # word_count
+        (3, " ".join(["abcdefghijklmno"] * 55)),            # long words + dups
+        (4, ""),                                            # empty
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    out = rep.corpus_filter(df).toPandas().set_index("doc_id").sort_index()
+
+    def expect(text):
+        words = text.split(" ")
+        nw, nc = len(words), max(len(text), 1)
+        reasons = []
+        if nw < 50 or nw > 100_000:
+            reasons.append("word_count")
+        mwl = sum(len(w) for w in words) / max(nw, 1)
+        if mwl < 3.0:
+            reasons.append("mean_word_len_low")
+        if mwl > 10.0:
+            reasons.append("mean_word_len_high")
+        if (nw - len(set(words))) / max(nw, 1) > 0.5:
+            reasons.append("dup_words")
+        if _top_chars(words, 2) / nc > 0.20:
+            reasons.append("top_bigram")
+        if min(_dup_chars(words, 5) / nc, 1.0) > 0.15:
+            reasons.append("dup_5grams")
+        return ",".join(reasons)
+
+    for doc_id, text in docs:
+        r = expect(text)
+        assert out.loc[doc_id, "reasons"] == r, (doc_id, r)
+        assert out.loc[doc_id, "keep"] == (r == ""), doc_id
+    assert out.loc[0, "keep"] and not out.loc[1, "keep"]
+
+
+def test_corpus_filter_shuffle_free(docs_df):
+    plan = docs_df._sc._jvm.PythonSQLUtils.explainString(
+        rep.corpus_filter(docs_df)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 # ------------------------------------------------------------- PII scrub
 
 def test_scrub_pii_masks_and_counts(spark):
