@@ -1004,6 +1004,34 @@ def _pii_raw_col() -> F.Column:
     )
 
 
+def _q_kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-count sketch (sketch.py): per event_type estimate of
+    distinct users from the k=64 smallest md5 fractions — the shuffle
+    carries n_partitions*k candidates instead of every distinct key. The
+    oracle recomputes the same order statistic from the FULL distinct set
+    in SQL (no bounded-state reduction), so the gate checks the
+    mapInPandas partial k-min against a different algorithm."""
+    from amazon_security_lake_transformation_library_spark.operators import sketch as sk
+
+    return sk.kmv_distinct(_t(spark, sf_dir, "events"), "event_type", "user_id", k=64)
+
+
+def _q_merge_orders_cdc(spark, sf_dir):
+    """CDC merge batch applied to orders (merge.py): every 10th key is
+    updated (price +1000, status U), every 40th deleted, base never
+    shuffled (broadcast anti-join on the update keys)."""
+    from amazon_security_lake_transformation_library_spark.operators import merge as mg
+
+    orders = _t(spark, sf_dir, "orders")
+    upd = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("__deleted", F.col("o_orderkey") % 40 == 0)
+    )
+    return mg.merge_upsert(orders, upd, "o_orderkey", deleted_col="__deleted")
+
+
 def _q_corpus_filter(spark, sf_dir):
     """The composed Gopher quality gate (repetition.corpus_filter): all
     rules in one shuffle-free projection; keep + fired-rule names."""
@@ -1201,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": _q_corpus_filter,
         "scrub_pii": _q_scrub_pii,
         "doc_lang_trigram": _q_doc_lang_trigram,
+        "kmv_distinct_users": _q_kmv_distinct_users,
+        "merge_orders_cdc": _q_merge_orders_cdc,
         # dataset assembly: splits / mixtures / packing / chunking /
         # decontamination / exact quantiles
         "dataset_split_events": _q_dataset_split,
@@ -1569,6 +1599,13 @@ FROM w LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
        LEFT JOIN c4 USING (doc_id) LEFT JOIN c5 USING (doc_id)
        LEFT JOIN c8 USING (doc_id) LEFT JOIN c10 USING (doc_id)
 """
+)
+
+# [0,1) fraction of the first 8 md5 hex nibbles — every term an exact
+# binary fraction, so Spark (sketch.hash_frac) and DuckDB agree bitwise
+_KMV_FRAC = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * power(16.0, -{i})"
+    for i in range(1, 9)
 )
 
 _CORPUS_FILTER_SQL = (
@@ -1947,6 +1984,37 @@ def oracle_sql() -> dict[str, str]:
         "line_stats": _LINE_STATS_SQL,
         "corpus_filter": _CORPUS_FILTER_SQL,
         "doc_lang_trigram": _langid_oracle_sql(),
+        # order statistic recomputed from the FULL distinct hash set (vs
+        # the engine's bounded per-partition k-min reduction)
+        "kmv_distinct_users": f"""
+            WITH x AS (SELECT event_type::VARCHAR AS g,
+                              md5(user_id::VARCHAR) AS h FROM events),
+            d AS (SELECT DISTINCT g, 0.0 + {_KMV_FRAC} AS frac FROM x),
+            r AS (SELECT g, frac,
+                         row_number() OVER (PARTITION BY g ORDER BY frac) AS rn
+                  FROM d)
+            SELECT g AS event_type,
+                   count(*) FILTER (rn <= 64)::BIGINT AS n_candidates,
+                   round(coalesce(63.0 / max(CASE WHEN rn = 64 THEN frac END),
+                                  count(*) FILTER (rn <= 64)::DOUBLE), 4)
+                     + 0.0 AS estimate
+            FROM r GROUP BY g
+        """,
+        "merge_orders_cdc": """
+            WITH upd AS (
+              SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                     o_totalprice + 1000.0 AS o_totalprice,
+                     o_orderdate, o_orderpriority,
+                     (o_orderkey % 40 = 0) AS del
+              FROM orders WHERE o_orderkey % 10 = 0)
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM upd WHERE NOT del
+        """,
         "top_ngrams": """
             WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
             g AS (SELECT unnest(list_transform(range(1, len(ws)),

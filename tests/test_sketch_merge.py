@@ -1,0 +1,116 @@
+"""Tests for the KMV distinct-count sketch (sketch.py) and the CDC
+merge/upsert operator (merge.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_security_lake_transformation_library_spark.operators import merge as mg
+from amazon_security_lake_transformation_library_spark.operators import sketch as sk
+
+
+def _frac(v) -> float:
+    h = hashlib.md5(str(v).encode()).hexdigest()
+    return sum(int(c, 16) * 16.0 ** -(i + 1) for i, c in enumerate(h[:8]))
+
+
+# ------------------------------------------------------------------ sketch
+
+def test_kmv_exact_regime_below_k(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 100, "v": [i % 10 for i in range(100)]})
+    )
+    out = sk.kmv_distinct(df, "g", "v", k=64).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "n_candidates"] == 10
+    assert out.loc[0, "estimate"] == 10.0  # all hashes kept -> exact
+
+
+def test_kmv_matches_python_order_statistic(spark):
+    vals = list(range(500))
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * 500, "v": vals})
+    )
+    k = 32
+    out = sk.kmv_distinct(df, "g", "v", k=k).toPandas().iloc[0]
+    hk = sorted(_frac(v) for v in set(vals))[k - 1]
+    assert out["n_candidates"] == k
+    assert out["estimate"] == pytest.approx(round((k - 1) / hk, 4))
+
+
+def test_kmv_partition_invariant(spark):
+    pdf = pd.DataFrame(
+        {"g": [f"g{i % 3}" for i in range(900)], "v": [i % 200 for i in range(900)]}
+    )
+    df = spark.createDataFrame(pdf)
+    a = (
+        sk.kmv_distinct(df.repartition(1), "g", "v", k=16)
+        .toPandas().sort_values("g").reset_index(drop=True)
+    )
+    b = (
+        sk.kmv_distinct(df.repartition(13), "g", "v", k=16)
+        .toPandas().sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_kmv_accuracy_within_bound(spark):
+    # n=2000 distinct, k=64 -> relative stderr ~ 1/sqrt(k-2) ~ 12.7%;
+    # 4 sigma gives a deterministic-but-loose acceptance band.
+    df = spark.createDataFrame(pd.DataFrame({"g": ["u"] * 2000, "v": range(2000)}))
+    est = sk.kmv_distinct(df, "g", "v", k=64).toPandas().loc[0, "estimate"]
+    assert 2000 * 0.5 < est < 2000 * 1.5
+
+
+def test_hash_frac_range(spark):
+    df = spark.range(0, 1000).select(sk.hash_frac(F.col("id")).alias("f"))
+    row = df.agg(F.min("f"), F.max("f")).first()
+    assert 0.0 <= row[0] and row[1] < 1.0
+
+
+# ------------------------------------------------------------------- merge
+
+@pytest.fixture()
+def base_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 2, 3, 4], "val": ["a", "b", "c", "d"]}
+        )
+    )
+
+
+def test_merge_update_insert_delete(spark, base_df):
+    upd = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [2, 5, 3],
+                "val": ["B", "E", "ignored"],
+                "deleted": [False, False, True],
+            }
+        )
+    )
+    out = (
+        mg.merge_upsert(base_df, upd, "k", deleted_col="deleted")
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(out["k"]) == [1, 2, 4, 5]       # 3 deleted, 5 inserted
+    assert dict(zip(out["k"], out["val"])) == {1: "a", 2: "B", 4: "d", 5: "E"}
+
+
+def test_merge_without_delete_col(spark, base_df):
+    upd = spark.createDataFrame(pd.DataFrame({"k": [1], "val": ["A"]}))
+    out = mg.merge_upsert(base_df, upd, "k").toPandas().sort_values("k")
+    assert dict(zip(out["k"], out["val"])) == {1: "A", 2: "b", 3: "c", 4: "d"}
+
+
+def test_merge_broadcasts_update_keys(spark, base_df):
+    upd = spark.createDataFrame(pd.DataFrame({"k": [1], "val": ["A"]}))
+    plan = base_df._sc._jvm.PythonSQLUtils.explainString(
+        mg.merge_upsert(base_df, upd, "k")._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan, plan
