@@ -335,6 +335,118 @@ def _q_distinct_users(spark, sf_dir):
     )
 
 
+def _q_rolling_1h(spark, sf_dir):
+    """Trailing 1-hour RANGE-frame rolling count/sum per user — 'activity
+    velocity' features. One Exchange+Sort for both aggregates; the frame
+    is a sliding two-pointer pass, never a self-join (features.py)."""
+    ev = _t(spark, sf_dir, "events")
+    out = feat.rolling_time_window(
+        ev, "user_id", "ts",
+        {"n_1h": F.count(F.lit(1)), "sum_1h_raw": F.sum("value")},
+        window_seconds=3600.0,
+    )
+    return out.select(
+        "event_id", "user_id", "n_1h",
+        F.round(F.col("sum_1h_raw"), 4).alias("sum_1h"),
+    )
+
+
+def _q_pivot(spark, sf_dir):
+    """groupBy().pivot() with an explicit value list (no extra distinct
+    job, stable column order) — one hash aggregate, never a self-join."""
+    od = _t(spark, sf_dir, "orders")
+    p = (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+
+
+def _q_unpivot(spark, sf_dir):
+    """DataFrame.unpivot (melt): wide measures -> long (metric, val) rows.
+    Pure narrow Expand — zero shuffle."""
+    od = _t(spark, sf_dir, "orders")
+    wide = od.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+    )
+    return wide.unpivot("o_orderkey", ["total_price", "cust_key"], "metric", "val")
+
+
+def _q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() flags (the general form of
+    rollup/cube): one Expand + one hash aggregate."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+               round(sum(o_totalprice), 2) AS sum_total,
+               count(*) AS n_orders
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+def _q_ntile(spark, sf_dir):
+    """Rank-family window surface: ntile / percent_rank / cume_dist per
+    user in event-time order (event_id tiebreak makes peers impossible,
+    so both engines agree bit-for-bit)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def _q_histogram(spark, sf_dir):
+    """Fixed-width histogram of document lengths: bucket arithmetic + one
+    hash agg on ~20 keys — the scale-safe distribution profile (vs exact
+    quantiles, which sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.least(F.floor(F.col("n_chars") / F.lit(100)), F.lit(19)).cast("long")
+    return (
+        docs.select(b.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def _q_full_outer(spark, sf_dir):
+    """Full-outer join of two pre-aggregated daily activity tables (the
+    disjoint date ranges exercise both null sides); aggregate-then-join
+    keeps the shuffled sides small."""
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return od.join(ev, "day", "full_outer").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
 def _q_doc_stats(spark, sf_dir):
     return ts_ops.doc_stats(_t(spark, sf_dir, "documents"))
 
@@ -1217,6 +1329,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_by_name_mixed": _q_union_by_name,
         "topk_orders_per_priority": _q_topk_per_group,
         "distinct_users_by_type": _q_distinct_users,
+        "rolling_1h_events": _q_rolling_1h,
+        "pivot_status_by_priority": _q_pivot,
+        "unpivot_order_measures": _q_unpivot,
+        "grouping_sets_orders": _q_grouping_sets,
+        "ntile_events": _q_ntile,
+        "histogram_doc_lengths": _q_histogram,
+        "full_outer_daily_activity": _q_full_outer,
         # training-data ops: text analysis + dedup + similarity
         "doc_stats": _q_doc_stats,
         "doc_bpe_subwords": _q_doc_bpe_subwords,
@@ -1803,6 +1922,59 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "rolling_1h_events": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_1h,
+                   round(sum(value) OVER w, 4) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "pivot_status_by_priority": """
+            SELECT o_orderpriority,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+                   round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+                   round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+            FROM orders GROUP BY 1
+        """,
+        "unpivot_order_measures": """
+            SELECT o_orderkey, 'total_price' AS metric, o_totalprice AS val FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'cust_key' AS metric, o_custkey::DOUBLE AS val FROM orders
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   grouping(o_orderpriority)::BIGINT AS g_pri,
+                   grouping(o_orderstatus)::BIGINT AS g_st,
+                   round(sum(o_totalprice), 2) AS sum_total,
+                   count(*)::BIGINT AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """,
+        "ntile_events": """
+            SELECT event_id, user_id,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "histogram_doc_lengths": """
+            SELECT least(floor(n_chars / 100), 19)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_docs,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY 1
+        """,
+        "full_outer_daily_activity": """
+            SELECT strftime(day, '%Y-%m-%d') AS day_str,
+                   coalesce(n_orders, 0)::BIGINT AS n_orders,
+                   coalesce(n_events, 0)::BIGINT AS n_events
+            FROM (SELECT o_orderdate::DATE AS day, count(*) AS n_orders
+                  FROM orders GROUP BY 1) o
+            FULL OUTER JOIN
+                 (SELECT ts::DATE AS day, count(*) AS n_events
+                  FROM events GROUP BY 1) e USING (day)
         """,
         "doc_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_subwords, punct_ratio, stopword_ratio,

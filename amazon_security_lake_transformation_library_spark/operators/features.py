@@ -159,6 +159,41 @@ def build_turn_features(
     )
 
 
+def rolling_time_window(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    aggs: dict[str, Column],
+    window_seconds: float,
+) -> DataFrame:
+    """Trailing time-RANGE rolling aggregates per entity — "activity in the
+    last hour" style features, the rate-limiting / velocity counterpart of
+    the row-frame cumulative features. ``aggs`` maps output name ->
+    aggregate expression (e.g. ``F.count(F.lit(1))``, ``F.sum("value")``);
+    each is evaluated over ``RANGE BETWEEN window_seconds PRECEDING AND
+    CURRENT ROW`` ordered by event time, so rows with equal timestamps are
+    frame PEERS (both included), exactly the ANSI RANGE-frame semantics.
+
+    Scale shape: one Exchange on the entity key + one sort by time for ALL
+    requested aggregates (they share the window spec, so Catalyst emits a
+    single Window operator); the running frame is computed by a sliding
+    two-pointer pass inside each partition — never a self-join, never an
+    explode of (row x window) pairs. The reference has no windowed
+    aggregation at all (SURVEY.md §2.B).
+    """
+    # integer-microsecond order key: RANGE boundaries are exact integer
+    # arithmetic (a double epoch key would make frame membership depend on
+    # float rounding at the boundary — unreproducible across engines)
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-int(window_seconds * 1_000_000), 0)
+    )
+    return df.select(
+        "*", *[c.over(w).alias(name) for name, c in aggs.items()]
+    )
+
+
 # ------------------------------------------------ time-decayed EWMA features
 
 def ewma_time_decay(

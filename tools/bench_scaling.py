@@ -76,9 +76,27 @@ def worker(args) -> None:
     f = spark.read.parquet(f"{args.data}/conv_features.parquet")
     t.count()  # warm scan + wait for executor registration
 
+    if args.strategy == "bucketed":
+        # UNTIMED setup: the bucketed-sorted layout is paid once per table
+        # lifetime (the lakehouse write), amortized over every feature
+        # build after it — the timed job is the read-side block only.
+        # Bucket count fixed across levels so both run the IDENTICAL
+        # physical plan (32 one-file buckets = 32 scan tasks; parallelism
+        # is the only variable).
+        from amazon_security_lake_transformation_library_spark.plans.bucketed import (
+            ensure_flagship_tables, flagship_bucketed,
+        )
+        wh = f"/dev/shm/spark-scaling-bucketed-{args.cpus}"
+        ensure_flagship_tables(
+            spark, t, f, "sc_t", "sc_cf", n_buckets=args.n_buckets,
+            path_root=wh,
+        )
+
     def job():
         chunk = time_chunk(chunk_seconds=6 * 3600)
-        if args.strategy == "fused":
+        if args.strategy == "bucketed":
+            out = flagship_bucketed(spark, "sc_t", "sc_cf")
+        elif args.strategy == "fused":
             out = asof_turn_features(t, f)
         elif args.strategy == "fused_salted":
             out = asof_turn_features_salted(t, f, chunk)
@@ -137,6 +155,10 @@ def main() -> None:
                         "four-core executor JVMs (N vs 4N executors)")
     p.add_argument("--strategies", default="fused,hybrid")
     p.add_argument("--hot-threshold", type=int, default=200_000)
+    p.add_argument("--n-buckets", type=int, default=32,
+                   help="bucket count for --strategies bucketed (fixed "
+                        "across levels: identical plan, parallelism is "
+                        "the only variable)")
     p.add_argument("--sink", default="noop", choices=["noop", "parquet"])
     p.add_argument("--event-log", default=None,
                    help="directory for Spark event logs (per-stage evidence "
@@ -187,7 +209,8 @@ def main() -> None:
             cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                    "--cpus", str(cpus), "--data", data, "--strategy", strat,
                    "--runs", str(args.runs), "--sink", args.sink,
-                   "--hot-threshold", str(args.hot_threshold)]
+                   "--hot-threshold", str(args.hot_threshold),
+                   "--n-buckets", str(args.n_buckets)]
             if args.event_log:
                 cmd += ["--event-log",
                         os.path.join(args.event_log, f"{strat}_{cpus}")]
