@@ -52,6 +52,32 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def register_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 8,
+    sort_cols: tuple[str, ...] = ("conv_id", "ts", "turn_idx"),
+) -> None:
+    """Re-attach an ALREADY-WRITTEN bucketed layout to a fresh session's
+    catalog without rewriting a byte (the in-memory catalog forgets tables
+    between sessions; the files — whose names carry the bucket ids Spark's
+    bucketed writer assigned — do not). This is the offline stand-in for an
+    Iceberg catalog lookup: layout metadata lives with the table, sessions
+    come and go."""
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in spark.read.parquet(path).schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE `{table}` ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY (`{bucket_col}`) "
+        f"SORTED BY ({', '.join(f'`{c}`' for c in sort_cols)}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
 def ensure_flagship_tables(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -61,20 +87,30 @@ def ensure_flagship_tables(
     n_buckets: int = 8,
     path_root: str | None = None,
 ) -> None:
-    """Idempotent: skip the write when both tables already exist (the
-    bucketed layout is immutable input for the read-path benchmark)."""
+    """Idempotent at two levels: a table already in the catalog is left
+    alone; a layout already ON DISK (path_root given, _SUCCESS marker
+    present) is re-registered without rewriting; only a genuinely missing
+    layout pays the write shuffle."""
+    import os
+
     if spark.catalog.tableExists(t_table) and spark.catalog.tableExists(cf_table):
         return
-    write_bucketed_table(
-        transcripts, t_table, n_buckets=n_buckets,
-        sort_cols=("conv_id", "ts", "turn_idx"),
-        path=f"{path_root}/{t_table}" if path_root else None,
-    )
-    write_bucketed_table(
-        conv_features, cf_table, n_buckets=n_buckets,
-        sort_cols=("conv_id", "ts"),
-        path=f"{path_root}/{cf_table}" if path_root else None,
-    )
+    specs = [
+        (transcripts, t_table, ("conv_id", "ts", "turn_idx")),
+        (conv_features, cf_table, ("conv_id", "ts")),
+    ]
+    for df, table, sort_cols in specs:
+        path = f"{path_root}/{table}" if path_root else None
+        if spark.catalog.tableExists(table):
+            continue
+        if path and os.path.exists(f"{path}/_SUCCESS"):
+            register_bucketed_table(
+                spark, table, path, n_buckets=n_buckets, sort_cols=sort_cols
+            )
+        else:
+            write_bucketed_table(
+                df, table, n_buckets=n_buckets, sort_cols=sort_cols, path=path
+            )
 
 
 def flagship_bucketed(
@@ -87,7 +123,16 @@ def flagship_bucketed(
     Exchange: window feature block + sort-merge as-of (range join on the
     bucket key, latest-build dedup window) — identical output to
     ``fused.asof_turn_features`` on the same rows (column-for-column;
-    pinned by tests/test_fused.py)."""
+    pinned by tests/test_fused.py).
+
+    Skew hazard: the as-of here is the RANGE-join form, which enumerates
+    (probe x build) pairs per conversation before the latest-build dedup —
+    per-entity QUADRATIC when one conversation holds both many probe turns
+    and many build rows (measured: a 10%-hot 9k-turn conversation turns a
+    2 s job into 200+ s). Bucketing cannot split an entity either, so hot
+    conversations belong to the fused/salted in-memory paths; keep this
+    path for corpora whose per-entity row counts are bounded (the common
+    transcript shape), where it deletes the flagship's only shuffle."""
     # Expose the per-bucket sortBy order from the scan (off by default
     # since multi-file buckets cannot guarantee it; our writer guarantees
     # one file per bucket). Scoped to bucketed scans only — no effect on

@@ -16,6 +16,11 @@ semantics are expressed natively:
   running state (session counter, user-turn count, tool forward-fill):
   the streaming analog of the batch feature block for features that only
   need O(1) state per entity.
+* :func:`dedup_stream` — ``dropDuplicatesWithinWatermark`` exact dedup
+  with bounded key state (at-least-once bus replays collapse to one row).
+* :func:`stream_interval_join` — stream-stream interval join with
+  two-sided event-time bounds (tool results attach to the invoking turn;
+  join state expires with the watermark).
 * :func:`incremental_feature_job` — ``foreachBatch`` bridge: each
   micro-batch is appended through the idempotent SnapshotWriter (batch id
   = snapshot id), so replays after failure do not duplicate output. Full
@@ -213,6 +218,56 @@ def stateful_turn_features(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(
+    turns: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for at-least-once buses (a replayed Kinesis
+    shard re-delivers whole batches — the reference appends them twice,
+    transformation_function/app.py:404-411). ``dropDuplicatesWithinWatermark``
+    keeps one row per key and expires key state once the watermark passes,
+    so state is bounded by (keys arriving within the watermark window), not
+    by stream history — the property that lets it run forever at bus scale.
+    Batch equivalence: ``dropDuplicates(keys)`` (pinned by test)."""
+    return turns.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def stream_interval_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str = "conv_id",
+    probe_ts: str = "ts",
+    build_ts: str = "event_ts",
+    horizon_seconds: int = 300,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: attach each build-side event to every
+    probe row it follows within ``horizon_seconds`` (e.g. tool results
+    landing after the turn that invoked them). Both sides carry watermarks
+    and the join condition bounds event time on BOTH ends — exactly what
+    Structured Streaming requires to expire join state instead of buffering
+    the streams forever. ``build_ts`` must differ from ``probe_ts`` (the
+    joined row carries both). Batch equivalence: the identical ``join``
+    expression on static frames (pinned by test)."""
+    if probe_ts == build_ts:
+        raise ValueError("rename the build-side timestamp: probe_ts == build_ts")
+    p = probe.withWatermark(probe_ts, watermark)
+    b = build.withWatermark(build_ts, watermark)
+    cond = (
+        (p[on] == b[on])
+        & (F.col(build_ts) >= F.col(probe_ts))
+        & (
+            F.col(build_ts)
+            <= F.col(probe_ts) + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS")
+        )
+    )
+    return p.join(b, cond, "inner").drop(b[on])
 
 
 def incremental_feature_job(

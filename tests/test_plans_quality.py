@@ -104,3 +104,22 @@ def test_bucketed_flagship_zero_exchange(spark, tmp_path):
     ref = fused.asof_turn_features(t, cf).select(*out.columns)
     assert out.exceptAll(ref).count() == 0
     assert ref.exceptAll(out).count() == 0
+
+    # catalog re-attach (a NEW session finding the layout already on disk):
+    # dropping the external tables keeps the files; register_bucketed_table
+    # re-creates them from the _SUCCESS-marked directories without
+    # rewriting a byte, and the re-registered plan is bit-identical in
+    # shape — still zero Exchange, still the single dedup Sort.
+    n_rows = out.count()
+    spark.sql("DROP TABLE tb_plan_test")
+    spark.sql("DROP TABLE cfb_plan_test")
+    bucketed.ensure_flagship_tables(
+        spark, None, None, "tb_plan_test", "cfb_plan_test",
+        path_root=f"{d}/tables",
+    )
+    out2 = bucketed.flagship_bucketed(spark, "tb_plan_test", "cfb_plan_test")
+    plan2 = _plan(out2)
+    assert plan2.count("Exchange") == 0, plan2
+    assert len(re.findall(r"\bSort \[", plan2)) == 1, plan2
+    assert out2.count() == n_rows
+    assert out2.exceptAll(ref).count() == 0

@@ -153,6 +153,78 @@ def test_sessionized_stream_matches_batch_session_window(spark, stream_input, tm
     assert len(got) >= len(closeable) > 0
 
 
+def test_dedup_stream_collapses_replayed_batches(spark, stream_input, tmp_path):
+    """An at-least-once bus re-delivers a whole file: the watermarked
+    streaming dedup emits each (conv_id, turn_idx) exactly once, matching
+    batch dropDuplicates on the same keys."""
+    import shutil
+
+    root, pdf = stream_input
+    replay_root = str(tmp_path / "replay_in")
+    os.makedirs(replay_root)
+    for name in sorted(os.listdir(root)):
+        shutil.copy(os.path.join(root, name), os.path.join(replay_root, name))
+    # replay part-1 as a later arrival (same rows, new file)
+    shutil.copy(os.path.join(root, "part-1.parquet"),
+                os.path.join(replay_root, "part-9-replayed.parquet"))
+
+    stream = sp.read_turn_stream(spark, replay_root, max_files_per_trigger=1)
+    deduped = sp.dedup_stream(stream, watermark="100 days")
+    _run_to_memory(deduped, "dedup_stream", str(tmp_path))
+    got = spark.sql("SELECT conv_id, turn_idx FROM dedup_stream").toPandas()
+
+    assert len(got) == len(pdf)  # every duplicate collapsed
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+    batch = pdf[["conv_id", "turn_idx"]].drop_duplicates()
+    assert (
+        set(map(tuple, got.itertuples(index=False)))
+        == set(map(tuple, batch.itertuples(index=False)))
+    )
+
+
+def test_stream_interval_join_matches_batch(spark, stream_input, tmp_path):
+    """Stream-stream interval join == the identical join on static frames:
+    tool turns (build side) attach to every user turn (probe side) they
+    follow within the horizon, per conversation."""
+    root, pdf = stream_input
+
+    def split(df):
+        probe = df.filter(F.col("role") == "user").select(
+            "conv_id", "turn_idx", "ts"
+        )
+        build = df.filter(F.col("tool").isNotNull()).select(
+            "conv_id",
+            F.col("turn_idx").alias("event_idx"),
+            F.col("ts").alias("event_ts"),
+            "tool",
+        )
+        return probe, build
+
+    sprobe, sbuild = split(sp.read_turn_stream(spark, root, max_files_per_trigger=1))
+    joined = sp.stream_interval_join(
+        sprobe, sbuild, horizon_seconds=600, watermark="100 days"
+    )
+    _run_to_memory(joined, "ssjoin_stream", str(tmp_path))
+    cols = ["conv_id", "turn_idx", "event_idx", "tool"]
+    got = (
+        spark.sql("SELECT * FROM ssjoin_stream").toPandas()[cols]
+        .sort_values(cols, kind="mergesort").reset_index(drop=True)
+    )
+
+    bprobe, bbuild = split(spark.read.parquet(root))
+    cond = (
+        (bprobe["conv_id"] == bbuild["conv_id"])
+        & (F.col("event_ts") >= F.col("ts"))
+        & (F.col("event_ts") <= F.col("ts") + F.expr("INTERVAL 600 SECONDS"))
+    )
+    batch = (
+        bprobe.join(bbuild, cond, "inner").drop(bbuild["conv_id"])
+        .toPandas()[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
 def test_foreach_batch_idempotent_sink(spark, stream_input, tmp_path):
     root, pdf = stream_input
     out_root = str(tmp_path / "sink")
