@@ -44,6 +44,16 @@ def test_window_block_single_exchange(spark):
     assert plan.count("Window") == 1
 
 
+def test_rolling_range_frame_single_window(spark):
+    """Both trailing-hour aggregates share one Window operator (one
+    Exchange + one Sort) and never plan a self-join: a RANGE frame is a
+    sliding pass, not a (row x window) enumeration."""
+    plan = _plan(entrymod.queries()["rolling_1h_events"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
 def test_entry_plan_shape(spark):
     plan = _plan(entrymod.entry(spark))
     # feature window + as-of union window + build dedup window: bounded

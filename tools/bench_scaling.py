@@ -86,7 +86,11 @@ def worker(args) -> None:
         from amazon_security_lake_transformation_library_spark.plans.bucketed import (
             ensure_flagship_tables, flagship_bucketed,
         )
-        wh = f"/dev/shm/spark-scaling-bucketed-{args.cpus}"
+        # dataset-scoped layout dir, SHARED across parallelism levels: the
+        # first level pays the write, the second just re-registers the
+        # _SUCCESS-marked layout (plans/bucketed.py) — same as a second
+        # cluster attaching to the same lakehouse table.
+        wh = f"/dev/shm/spark-scaling-bucketed-{os.path.basename(args.data)}"
         ensure_flagship_tables(
             spark, t, f, "sc_t", "sc_cf", n_buckets=args.n_buckets,
             path_root=wh,
