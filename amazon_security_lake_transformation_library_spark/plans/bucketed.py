@@ -8,8 +8,9 @@ per-bucket sort order).
 
 Why this matters at 100 TB: the fused in-memory flagship needs exactly ONE
 Exchange (operators/fused.py); over bucketed-sorted storage even that one
-disappears — the feature window block, the as-of sort-merge join, and the
-latest-build dedup all consume the scan's partitioning/ordering directly.
+disappears — the feature window block, the build-side interval window, and
+the as-of sort-merge join all consume the scan's partitioning/ordering
+directly (zero Exchange AND zero Sort in the executed plan).
 The write pays the shuffle ONCE; every subsequent feature build, backfill,
 or point-in-time audit over the table pays zero. Plan shape is pinned by
 tests/test_plans_quality.py::test_bucketed_flagship_zero_exchange.
@@ -25,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join_range
+from ..operators.asof import asof_join_interval
 from ..operators.features import build_turn_features
 from ..operators.fused import _out_columns
 
@@ -120,19 +121,22 @@ def flagship_bucketed(
     gap_seconds: int = 1800,
 ) -> DataFrame:
     """The full flagship block over bucketed-sorted tables with ZERO
-    Exchange: window feature block + sort-merge as-of (range join on the
-    bucket key, latest-build dedup window) — identical output to
-    ``fused.asof_turn_features`` on the same rows (column-for-column;
-    pinned by tests/test_fused.py).
+    Exchange: window feature block + interval-form sort-merge as-of
+    (operators/asof.asof_join_interval: build rows become [ts, next_ts)
+    validity intervals via an in-partition lead(), so each probe matches
+    exactly one build row — no quadratic pair enumeration, no dedup
+    window) — identical output to ``fused.asof_turn_features`` on the
+    same rows (column-for-column; pinned by tests/test_fused.py and
+    test_plans_quality.py).
 
-    Skew hazard: the as-of here is the RANGE-join form, which enumerates
-    (probe x build) pairs per conversation before the latest-build dedup —
-    per-entity QUADRATIC when one conversation holds both many probe turns
-    and many build rows (measured: a 10%-hot 9k-turn conversation turns a
-    2 s job into 200+ s). Bucketing cannot split an entity either, so hot
-    conversations belong to the fused/salted in-memory paths; keep this
-    path for corpora whose per-entity row counts are bounded (the common
-    transcript shape), where it deletes the flagship's only shuffle."""
+    History: this path originally used asof_join_range, whose per-entity
+    (probe x earlier-builds) enumeration materialized 22x the probe rows
+    on a 10M-turn input (226.9M intermediate rows) and went per-entity
+    QUADRATIC on hot conversations (a 10%-hot 9k-turn conversation turned
+    a 2 s job into 200+ s). The interval join removes the materialized
+    blowup; the SMJ still evaluates candidate pairs per entity as cheap
+    narrow comparisons, so extreme hot entities still favor the
+    fused/salted in-memory paths (bucketing cannot split an entity)."""
     # Expose the per-bucket sortBy order from the scan (off by default
     # since multi-file buckets cannot guarantee it; our writer guarantees
     # one file per bucket). Scoped to bucketed scans only — no effect on
@@ -147,10 +151,9 @@ def flagship_bucketed(
     # keep their auto-broadcast plans.
     cf = spark.table(cf_table).hint("merge")
     feats = build_turn_features(t, gap_seconds=gap_seconds)
-    out = asof_join_range(
+    out = asof_join_interval(
         feats,
         cf,
-        probe_key=["conv_id", "turn_idx"],
         on="conv_id",
         ts="ts",
         build_cols=["feature_val"],

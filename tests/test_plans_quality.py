@@ -83,9 +83,9 @@ def test_bucketed_flagship_zero_exchange(spark, tmp_path):
     """SURVEY.md §4.2 storage-partitioned flagship: over conv_id-bucketed,
     ts-sorted tables (one file per bucket) the ENTIRE flagship — window
     feature block + sort-merge as-of + latest-build dedup — plans with
-    ZERO Exchange of any kind: the layout did the shuffle at write time.
-    Only one local Sort survives (the post-join dedup order); the window
-    consumes the files' sortBy order directly."""
+    ZERO Exchange of any kind — and, since the interval-form as-of needs
+    no dedup window, ZERO Sort: the layout did the shuffle AND the sort at
+    write time; every window consumes the files' sortBy order directly."""
     from amazon_security_lake_transformation_library_spark.operators import fused
     from amazon_security_lake_transformation_library_spark.plans import bucketed
     from amazon_security_lake_transformation_library_spark.synth.transcripts import (
@@ -108,7 +108,7 @@ def test_bucketed_flagship_zero_exchange(spark, tmp_path):
     plan = _plan(out)
     assert plan.count("Exchange") == 0, plan
     assert "SortMergeJoin" in plan
-    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 0, plan
     # and the zero-shuffle plan is not a different answer: identical rows
     # to the fused in-memory flagship on the same inputs
     ref = fused.asof_turn_features(t, cf).select(*out.columns)
@@ -130,6 +130,6 @@ def test_bucketed_flagship_zero_exchange(spark, tmp_path):
     out2 = bucketed.flagship_bucketed(spark, "tb_plan_test", "cfb_plan_test")
     plan2 = _plan(out2)
     assert plan2.count("Exchange") == 0, plan2
-    assert len(re.findall(r"\bSort \[", plan2)) == 1, plan2
+    assert len(re.findall(r"\bSort \[", plan2)) == 0, plan2
     assert out2.count() == n_rows
     assert out2.exceptAll(ref).count() == 0
