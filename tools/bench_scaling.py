@@ -58,6 +58,16 @@ def worker(args) -> None:
         # sandbox SSD, which saturates and masks compute scaling — on a
         # real cluster each node has its own local disks
         "spark.local.dir": f"/dev/shm/spark-scaling-{workers}w",
+        # Size every in-JVM thread pool (GC, JIT, netty, common FJ pool)
+        # to the executor's 4 cores instead of the host's 32 visible CPUs.
+        # A real cluster manager does this with cgroups; without it, W
+        # executor JVMs on one host each spawn ~23 GC threads + netty
+        # pools sized for 32 cores — measured 2026-08-17 on a
+        # hypervisor-contended window (11.9% steal): the fused reduce
+        # stage ran 866.7 CPU-s at 16-way vs 78.7 CPU-s at 4-way on
+        # byte-identical shuffle input until this cap was applied.
+        "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=4",
+        "spark.driver.extraJavaOptions": "-XX:ActiveProcessorCount=4",
     }
     if args.event_log:
         os.makedirs(args.event_log, exist_ok=True)
@@ -218,7 +228,12 @@ def main() -> None:
             if args.event_log:
                 cmd += ["--event-log",
                         os.path.join(args.event_log, f"{strat}_{cpus}")]
-            out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            out = subprocess.run(cmd, capture_output=True, text=True)
+            if out.returncode != 0:
+                # surface the worker's own traceback — a swallowed stderr
+                # turns an OOM or layout race into an opaque exit-1
+                sys.stderr.write(out.stderr[-4000:])
+                out.check_returncode()
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             walls[cpus] = rec["wall"]
             print(f"# {strat} local[{cpus}]: {rec['wall']}s "
