@@ -1,0 +1,248 @@
+"""Lakehouse maintenance over SnapshotWriter tables: compaction, snapshot
+expiry, orphan-file removal — the Iceberg ``rewrite_data_files`` /
+``expire_snapshots`` / ``remove_orphan_files`` analogs for the manifest
+emulation (plans/writer.py; SURVEY.md §7.4 — no Iceberg jar offline).
+
+Why this is first-class at 100 TB: the streaming sink and CDC merge paths
+append a snapshot per micro-batch / per merge, each with
+``shuffle.partitions``-many files. A year of 1-minute batches is ~500k
+snapshots and tens of millions of small files — scan task-launch overhead
+and NameNode/S3-LIST pressure grow linearly with file count while data
+volume doesn't. Compaction bin-packs a snapshot's files back to
+target size WITHOUT changing a single row (verified by row count against
+the manifest before the swap); expiry bounds the time-travel horizon;
+orphan removal reclaims half-written data from crashed jobs (which
+snapshot isolation already made invisible — this is space, not
+correctness).
+
+Semantics vs Iceberg, stated exactly:
+  * ``compact`` == rewrite_data_files scoped to one snapshot partition.
+    Rows, schema, manifest lineage, and time travel are all unchanged;
+    only the file layout inside ``data/snapshot_id=<id>/`` changes.
+  * ``expire_snapshots`` == Iceberg's: it retires TIME TRAVEL to old
+    snapshots (``read_at`` raises KeyError), never current-table rows —
+    in this append-increment emulation every committed snapshot's rows
+    stay in ``read()`` forever. Expired ids stay in the manifest (so a
+    late retry of an expired snapshot is still a commit no-op); the
+    expiry itself is recorded in a ``_expired`` tombstone log.
+  * ``remove_orphans`` == remove_orphan_files: deletes
+    ``data/snapshot_id=*`` directories absent from the manifest — the
+    debris of a writer that died between data write and manifest append.
+
+Crash-safety of compact: stage -> verify -> swap. The rewritten files
+land in ``_compact_stage/<id>``; the row count is verified against the
+manifest BEFORE any destructive step; the old directory is renamed to
+``_trash/<id>`` (same filesystem, atomic rename), the stage renamed into
+place, then trash deleted. A crash mid-swap leaves either the old or the
+new directory plus a trash copy — never zero copies.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .writer import SNAPSHOT_COL, SnapshotWriter
+
+
+def _snapshot_dir(w: SnapshotWriter, snapshot_id: str) -> str:
+    return os.path.join(w.data_path, f"{SNAPSHOT_COL}={snapshot_id}")
+
+
+def _parquet_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    return out
+
+
+def _partition_cols(w: SnapshotWriter, spark: SparkSession) -> list[str]:
+    """Inner (non-snapshot) partition columns, recovered from the manifest
+    schema — the manifest groups by [snapshot_id, *partition_cols]."""
+    mf = w.manifest(spark)
+    if mf is None:
+        return []
+    meta = {SNAPSHOT_COL, "row_count", "write_latency_sec", "committed_at_unix"}
+    return [c for c in mf.columns if c not in meta]
+
+
+def _log(w: SnapshotWriter, spark: SparkSession, name: str, rows: list[dict]) -> None:
+    path = os.path.join(w.root, name)
+    spark.createDataFrame(
+        [tuple(r.values()) for r in rows], schema=list(rows[0].keys())
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _read_log(w: SnapshotWriter, spark: SparkSession, name: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(os.path.join(w.root, name))
+    except Exception:
+        return None
+
+
+def compact(
+    w: SnapshotWriter,
+    spark: SparkSession,
+    snapshot_id: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+    sort_cols: tuple[str, ...] = (),
+) -> dict:
+    """Bin-pack one committed snapshot's files to ~``target_bytes_per_file``.
+
+    Pass the snapshot's original ``sort_cols`` when it was committed with
+    a sorted layout (the rewrite otherwise keeps rows but not intra-file
+    order, and a bucket-sorted as-of layout would lose its free Sort).
+
+    Returns a stats dict (files/bytes before and after). Raises KeyError
+    for an unknown snapshot and RuntimeError if the rewritten row count
+    does not match the manifest (in which case nothing is touched)."""
+    if snapshot_id not in w.committed_snapshots(spark):
+        raise KeyError(snapshot_id)
+    snap_dir = _snapshot_dir(w, snapshot_id)
+    before_files = _parquet_files(snap_dir)
+    before_bytes = sum(os.path.getsize(f) for f in before_files)
+    if not before_files:
+        return {
+            "op": "compact", SNAPSHOT_COL: snapshot_id,
+            "files_before": 0, "files_after": 0,
+            "bytes_before": 0, "bytes_after": 0, "at_unix": float(time.time()),
+        }
+
+    parts = _partition_cols(w, spark)
+    df = spark.read.parquet(snap_dir)  # inner partition dirs discovered
+    stage = os.path.join(w.root, "_compact_stage", snapshot_id)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    n_files = max(1, round(before_bytes / target_bytes_per_file))
+    if parts:
+        # one task per inner partition: each partition's rows land in one
+        # file (partitions are the scan-pruning unit; packing across them
+        # would undo pruning)
+        out = df.repartition(*[F.col(c) for c in parts])
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.partitionBy(*parts).parquet(stage)
+    else:
+        out = df.repartition(n_files)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.parquet(stage)
+
+    expected = int(
+        w.manifest(spark)
+        .filter(F.col(SNAPSHOT_COL) == snapshot_id)
+        .agg(F.sum("row_count"))
+        .collect()[0][0]
+    )
+    actual = spark.read.parquet(stage).count()
+    if actual != expected:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"compact aborted: rewrote {actual} rows, manifest says {expected}"
+        )
+
+    trash = os.path.join(w.root, "_trash", snapshot_id)
+    shutil.rmtree(trash, ignore_errors=True)
+    os.makedirs(os.path.dirname(trash), exist_ok=True)
+    os.rename(snap_dir, trash)
+    os.rename(stage, snap_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+
+    after_files = _parquet_files(snap_dir)
+    stats = {
+        "op": "compact",
+        SNAPSHOT_COL: snapshot_id,
+        "files_before": len(before_files),
+        "files_after": len(after_files),
+        "bytes_before": int(before_bytes),
+        "bytes_after": int(sum(os.path.getsize(f) for f in after_files)),
+        "at_unix": float(time.time()),
+    }
+    _log(w, spark, "_maintenance", [stats])
+    return stats
+
+
+def expire_snapshots(
+    w: SnapshotWriter, spark: SparkSession, keep_last: int
+) -> list[str]:
+    """Retire time travel to all but the newest ``keep_last`` snapshots.
+
+    Expired ids: ``read_at`` raises KeyError, ``snapshots()`` via
+    :func:`live_snapshots` excludes them; current-table ``read()`` rows
+    are untouched (see module docstring). Returns the newly expired ids."""
+    snaps = w.snapshots(spark)
+    if snaps is None:
+        return []
+    ordered = sorted(
+        ((r[1], r[0]) for r in snaps.select(SNAPSHOT_COL, "committed_at_unix").collect()),
+    )
+    already = expired_snapshots(w, spark)
+    live = [s for _t, s in ordered if s not in already]
+    to_expire = live[:-keep_last] if keep_last > 0 else live
+    if not to_expire:
+        return []
+    _log(
+        w, spark, "_expired",
+        [{SNAPSHOT_COL: s, "expired_at_unix": float(time.time())} for s in to_expire],
+    )
+    return to_expire
+
+
+def expired_snapshots(w: SnapshotWriter, spark: SparkSession) -> set[str]:
+    log = _read_log(w, spark, "_expired")
+    if log is None:
+        return set()
+    return {r[0] for r in log.select(SNAPSHOT_COL).distinct().collect()}
+
+
+def read_at_checked(w: SnapshotWriter, spark: SparkSession, snapshot_id: str) -> DataFrame:
+    """Time travel honoring expiry: KeyError for expired ids, else
+    SnapshotWriter.read_at."""
+    if snapshot_id in expired_snapshots(w, spark):
+        raise KeyError(f"snapshot {snapshot_id} expired")
+    return w.read_at(spark, snapshot_id)
+
+
+def live_snapshots(w: SnapshotWriter, spark: SparkSession) -> DataFrame | None:
+    """``snapshots()`` minus expired — what an Iceberg snapshots metadata
+    table shows after expire_snapshots."""
+    snaps = w.snapshots(spark)
+    if snaps is None:
+        return None
+    dead = expired_snapshots(w, spark)
+    if not dead:
+        return snaps
+    return snaps.filter(~F.col(SNAPSHOT_COL).isin(*[F.lit(s) for s in dead]))
+
+
+def remove_orphans(w: SnapshotWriter, spark: SparkSession) -> list[str]:
+    """Delete data directories whose snapshot never reached the manifest
+    (a writer crash between data write and manifest append). Safe by
+    construction: readers already can't see uncommitted snapshots."""
+    if not os.path.isdir(w.data_path):
+        return []
+    committed = w.committed_snapshots(spark)
+    removed = []
+    for entry in os.listdir(w.data_path):
+        if not entry.startswith(f"{SNAPSHOT_COL}="):
+            continue
+        sid = entry.split("=", 1)[1]
+        if sid not in committed:
+            shutil.rmtree(os.path.join(w.data_path, entry), ignore_errors=True)
+            removed.append(sid)
+    if removed:
+        _log(
+            w, spark, "_maintenance",
+            [{
+                "op": "remove_orphans",
+                SNAPSHOT_COL: s,
+                "files_before": -1, "files_after": 0,
+                "bytes_before": -1, "bytes_after": 0,
+                "at_unix": float(time.time()),
+            } for s in removed],
+        )
+    return removed

@@ -1,0 +1,111 @@
+"""Lakehouse maintenance invariants (plans/maintenance.py): compaction
+changes file layout and NOTHING else; expiry retires time travel and
+NOTHING else; orphan removal deletes only never-committed debris.
+
+Iceberg analogs: rewrite_data_files / expire_snapshots /
+remove_orphan_files (the reference has no maintenance story at all — its
+Lambda writer leaks duplicate files on retry, SURVEY.md §4.1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_security_lake_transformation_library_spark.plans import maintenance as mx
+from amazon_security_lake_transformation_library_spark.plans.writer import SnapshotWriter
+
+
+def _writer_with(spark, tmp_path, n_files=16, partition_cols=()):
+    w = SnapshotWriter(str(tmp_path / "tbl"))
+    df = (
+        spark.range(10_000)
+        .withColumnRenamed("id", "v")
+        .withColumn("grp", (F.col("v") % 3).cast("string"))
+        .repartition(n_files)  # deliberately fragment: many small files
+    )
+    assert w.commit(df, "s1", partition_cols=partition_cols)
+    return w
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+    w = _writer_with(spark, tmp_path, n_files=16)
+    before = spark.read.parquet(w.data_path).orderBy("v").collect()
+
+    stats = mx.compact(w, spark, "s1")
+
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 1  # 10k tiny rows ≪ 128MB target
+    after_df = spark.read.parquet(w.data_path)
+    assert after_df.orderBy("v").collect() == before
+    # manifest lineage untouched: same row_count, still committed
+    assert w.committed_snapshots(spark) == {"s1"}
+    assert w.read_at(spark, "s1").count() == 10_000
+    # maintenance log records the rewrite
+    log = mx._read_log(w, spark, "_maintenance")
+    assert log.filter(F.col("op") == "compact").count() == 1
+
+
+def test_compact_partitioned_packs_within_partitions(spark, tmp_path):
+    w = _writer_with(spark, tmp_path, n_files=16, partition_cols=("grp",))
+    stats = mx.compact(w, spark, "s1")
+    # one file per inner partition (3 grp values), never packed across
+    # partitions — packing across would undo partition pruning
+    assert stats["files_after"] == 3
+    got = spark.read.parquet(w.data_path)
+    assert got.count() == 10_000
+    assert got.select("grp").distinct().count() == 3
+    # pruning still works after the rewrite
+    assert got.filter(F.col("grp") == "0").count() == len(
+        [v for v in range(10_000) if v % 3 == 0]
+    )
+
+
+def test_compact_unknown_snapshot_raises(spark, tmp_path):
+    w = _writer_with(spark, tmp_path)
+    with pytest.raises(KeyError):
+        mx.compact(w, spark, "nope")
+
+
+def test_expire_retires_time_travel_not_rows(spark, tmp_path):
+    w = SnapshotWriter(str(tmp_path / "tbl"))
+    for i in (1, 2, 3):
+        assert w.commit(spark.range(i * 10).withColumnRenamed("id", "v"), f"s{i}")
+    expired = mx.expire_snapshots(w, spark, keep_last=2)
+    assert expired == ["s1"]
+
+    # current table: every committed row still present (append-increment
+    # emulation — expiry is about history, not data; module docstring)
+    assert w.read(spark).count() == 10 + 20 + 30
+    # time travel to the expired snapshot is gone...
+    with pytest.raises(KeyError):
+        mx.read_at_checked(w, spark, "s1")
+    # ...but travel to survivors still works and still sees s1's rows
+    # (s1 is part of s2's table state, exactly like Iceberg file reuse)
+    assert mx.read_at_checked(w, spark, "s2").count() == 30
+    # snapshot listing hides the expired id; manifest keeps it so a late
+    # duplicate commit of s1 is still a no-op
+    live = {r[0] for r in mx.live_snapshots(w, spark).select("snapshot_id").collect()}
+    assert live == {"s2", "s3"}
+    assert not w.commit(spark.range(5).withColumnRenamed("id", "v"), "s1")
+
+    # idempotent: nothing more to expire at keep_last=2
+    assert mx.expire_snapshots(w, spark, keep_last=2) == []
+
+
+def test_remove_orphans_deletes_only_uncommitted(spark, tmp_path):
+    w = _writer_with(spark, tmp_path)
+    # fake a crashed writer: data dir present, no manifest row
+    orphan = os.path.join(w.data_path, "snapshot_id=deadbeef")
+    spark.range(5).write.parquet(orphan)
+    assert spark.read.parquet(w.data_path).count() > 10_000  # debris visible to raw scan
+
+    removed = mx.remove_orphans(w, spark)
+
+    assert removed == ["deadbeef"]
+    assert not os.path.exists(orphan)
+    assert spark.read.parquet(w.data_path).count() == 10_000
+    assert w.read(spark).count() == 10_000
+    # committed snapshot untouched, second call is a no-op
+    assert mx.remove_orphans(w, spark) == []
