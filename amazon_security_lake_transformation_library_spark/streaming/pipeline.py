@@ -270,6 +270,40 @@ def stream_interval_join(
     return p.join(b, cond, "inner").drop(b[on])
 
 
+def asof_enrich_stream(
+    turns: DataFrame,
+    features: DataFrame,
+    on: str = "conv_id",
+    ts: str = "ts",
+    build_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Streaming point-in-time enrichment: as-of join a LIVE turn stream
+    against a STATIC feature table (the online inference-time analog of
+    the batch flagship — each arriving turn picks the latest feature row
+    with ``feature_ts <= ts``, or strictly ``<`` for leakage-free
+    serving).
+
+    This is the interval-form as-of (operators/asof.asof_join_interval)
+    applied unchanged to a streaming probe — legal because that operator's
+    ONLY window runs on the static build side; the stream side is a plain
+    non-equi stream-static left join, which Structured Streaming executes
+    per micro-batch with no watermark and no join state. One operator
+    definition, two execution modes (the same batch/stream unification
+    contract as ``sessionized_stream``; equivalence to the batch as-of is
+    pinned by test).
+
+    The static side is re-planned per micro-batch, so pointing it at a
+    SnapshotWriter/bucketed table makes feature updates visible to the
+    next batch without restarting the stream. For exactly-once output,
+    chain into ``incremental_feature_job``'s foreachBatch sink."""
+    from ..operators.asof import asof_join_interval
+
+    return asof_join_interval(
+        turns, features, on=on, ts=ts, build_cols=build_cols, strict=strict
+    )
+
+
 def incremental_feature_job(
     turns: DataFrame,
     writer_root: str,

@@ -253,3 +253,50 @@ def test_foreach_batch_idempotent_sink(spark, stream_input, tmp_path):
     assert writer.commit(some_batch, snapshot_id=sorted(snaps)[0],
                          partition_cols=["eventday"]) is False
     assert writer.read(spark).count() == len(pdf)
+
+
+def test_asof_enrich_stream_matches_batch(spark, stream_input, tmp_path):
+    """Streaming point-in-time enrichment == the batch as-of join on the
+    same rows: every arriving turn picks the latest static feature row at
+    or before its timestamp, across micro-batch boundaries (the file
+    splits land mid-conversation, so correctness requires the static-side
+    interval window, not per-batch state)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_security_lake_transformation_library_spark.operators.asof import asof_join
+    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
+        gen_conv_features,
+    )
+
+    root, pdf = stream_input
+    fdir = str(tmp_path / "features")
+    os.makedirs(fdir)
+    pq.write_table(
+        pa.Table.from_pandas(gen_conv_features(pdf), preserve_index=False),
+        os.path.join(fdir, "features.parquet"),
+    )
+    features = spark.read.parquet(fdir)
+
+    stream = sp.read_turn_stream(spark, root, max_files_per_trigger=1)
+    enriched = sp.asof_enrich_stream(stream, features, build_cols=["feature_val"])
+    _run_to_memory(enriched, "asof_stream", str(tmp_path))
+
+    cols = ["conv_id", "turn_idx", "asof_ts", "feature_val"]
+    got = (
+        spark.sql("SELECT * FROM asof_stream").toPandas()[cols]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    )
+    batch = (
+        asof_join(spark.read.parquet(root), features, build_cols=["feature_val"])
+        .toPandas()[cols]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+    # every turn matches: the fixture's first feature row per conversation
+    # lands AT turn 0's timestamp and non-strict as-of is <= (the probe-vs-
+    # build tie semantics the fixture pins, synth/transcripts.py)
+    assert got["feature_val"].notna().all()
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
