@@ -168,6 +168,20 @@ def _q_asof_range(spark, sf_dir):
     return joined.select("event_id", "user_id", "feature_val")
 
 
+def _q_asof_interval(spark, sf_dir):
+    # the interval-form strategy (build rows -> [ts, next_ts) validity
+    # intervals, one SMJ match per probe; the zero-Exchange bucketed
+    # flagship's join) must also produce identical results to the
+    # union+window primary (same oracle SQL as the other two forms)
+    ev = _t(spark, sf_dir, "events")
+    joined = asof_ops.asof_join_interval(
+        ev.select("event_id", "user_id", "ts"),
+        _purchase_build(ev),
+        on="user_id", ts="ts", build_cols=["feature_val"],
+    )
+    return joined.select("event_id", "user_id", "feature_val")
+
+
 def _q_session_window(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     sw = ev.groupBy(
@@ -1302,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumsum_events": _q_cumsum,
         "asof_join_events": _q_asof,
         "asof_join_events_range": _q_asof_range,
+        "asof_join_events_interval": _q_asof_interval,
         "session_window_events": _q_session_window,
         # reference-parity scalar ops (SURVEY.md §2.A)
         "enum_case_lookup": _q_enum_case,
@@ -1820,6 +1835,12 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = b.user_id AND e.ts >= b.ts
         """,
         "asof_join_events_range": f"""
+            SELECT e.event_id, e.user_id, b.feature_val
+            FROM events e
+            ASOF LEFT JOIN ({_PURCHASE_BUILD}) b
+              ON e.user_id = b.user_id AND e.ts >= b.ts
+        """,
+        "asof_join_events_interval": f"""
             SELECT e.event_id, e.user_id, b.feature_val
             FROM events e
             ASOF LEFT JOIN ({_PURCHASE_BUILD}) b
