@@ -133,3 +133,65 @@ def test_bucketed_flagship_zero_exchange(spark, tmp_path):
     assert len(re.findall(r"\bSort \[", plan2)) == 0, plan2
     assert out2.count() == n_rows
     assert out2.exceptAll(ref).count() == 0
+
+
+def test_chained_bucketed_output_stays_exchange_free(spark, tmp_path):
+    """The pipeline composes: the flagship's OUTPUT written back through
+    write_bucketed_table keeps the conv_id-bucketed ts-sorted contract, so
+    the NEXT stage (here: next-turn prediction labels + a per-conversation
+    cumulative feature — the dataset-assembly shape) also plans with ZERO
+    Exchange and ZERO Sort. At 10^12 turns this is the property that makes
+    the whole feature->label->assemble chain one shuffle TOTAL (the
+    original bucketed write), not one per stage."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amazon_security_lake_transformation_library_spark.plans import bucketed
+    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
+        gen_conv_features,
+        gen_transcripts,
+        write_parquet,
+    )
+
+    d = str(tmp_path)
+    tp = gen_transcripts(120)
+    write_parquet(tp, f"{d}/t.parquet")
+    write_parquet(gen_conv_features(tp), f"{d}/cf.parquet")
+    t = spark.read.parquet(f"{d}/t.parquet")
+    cf = spark.read.parquet(f"{d}/cf.parquet")
+    bucketed.ensure_flagship_tables(
+        spark, t, cf, "tb_chain_t", "cfb_chain_t", path_root=f"{d}/tables"
+    )
+    out = bucketed.flagship_bucketed(spark, "tb_chain_t", "cfb_chain_t")
+    bucketed.write_bucketed_table(
+        out, "features_chain_t", path=f"{d}/tables/features_chain_t"
+    )
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    downstream = spark.table("features_chain_t").select(
+        "conv_id",
+        "turn_idx",
+        F.lead("text").over(w).alias("next_text"),
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("tokens_so_far"),
+    )
+    plan = _plan(downstream)
+    assert plan.count("Exchange") == 0, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 0, plan
+
+    # and the chained read is the same data: recompute downstream directly
+    # on the in-memory flagship output
+    w_ref = downstream.select("conv_id", "turn_idx", "next_text", "tokens_so_far")
+    ref = out.select(
+        "conv_id",
+        "turn_idx",
+        F.lead("text").over(w).alias("next_text"),
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("tokens_so_far"),
+    )
+    assert w_ref.exceptAll(ref).count() == 0
+    assert ref.exceptAll(w_ref).count() == 0
+    for tbl in ("features_chain_t", "tb_chain_t", "cfb_chain_t"):
+        spark.sql(f"DROP TABLE {tbl}")
