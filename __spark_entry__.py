@@ -182,6 +182,21 @@ def _q_asof_interval(spark, sf_dir):
     return joined.select("event_id", "user_id", "feature_val")
 
 
+def _q_asof_tolerance(spark, sf_dir):
+    # bounded-staleness as-of (north rule's "r.ts BETWEEN l.ts - horizon
+    # AND l.ts"): a match older than the horizon is as good as no match —
+    # the serving-time rule that stops a week-old feature from leaking
+    # into a live prediction
+    ev = _t(spark, sf_dir, "events")
+    joined = asof_ops.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        _purchase_build(ev),
+        on="user_id", ts="ts", build_cols=["feature_val"],
+        tolerance_seconds=3600.0,
+    )
+    return joined.select("event_id", "user_id", "feature_val")
+
+
 def _q_session_window(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     sw = ev.groupBy(
@@ -1317,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof,
         "asof_join_events_range": _q_asof_range,
         "asof_join_events_interval": _q_asof_interval,
+        "asof_join_events_tolerance": _q_asof_tolerance,
         "session_window_events": _q_session_window,
         # reference-parity scalar ops (SURVEY.md §2.A)
         "enum_case_lookup": _q_enum_case,
@@ -1842,6 +1858,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_join_events_interval": f"""
             SELECT e.event_id, e.user_id, b.feature_val
+            FROM events e
+            ASOF LEFT JOIN ({_PURCHASE_BUILD}) b
+              ON e.user_id = b.user_id AND e.ts >= b.ts
+        """,
+        "asof_join_events_tolerance": f"""
+            SELECT e.event_id, e.user_id,
+                   CASE WHEN epoch_us(e.ts) - epoch_us(b.ts) <= 3600000000
+                        THEN b.feature_val END AS feature_val
             FROM events e
             ASOF LEFT JOIN ({_PURCHASE_BUILD}) b
               ON e.user_id = b.user_id AND e.ts >= b.ts
