@@ -1,0 +1,265 @@
+"""Storage-partitioned (driverless) scaling harness — the N-vs-4N cell
+for the zero-dependency bucketed flagship when multi-JVM Spark RPC is
+unusable on the host.
+
+Why this exists: on 2026-08-17 the sandbox's syscall-interposition layer
+(gVisor; host shows 50% SYSTEM CPU, 0% user, during any local-cluster
+run) made every multi-JVM Spark topology anti-scale — fused@16 cores ran
+153-295 s vs 17.7 s in earlier healthy windows — while FOUR INDEPENDENT
+single-JVM Spark processes ran the same per-process work at 16.8 s
+concurrently vs 17.5 s solo (efficiency ~0.97; loopback TCP measured
+3.3 GB/s idle -> 0.47 GB/s under that contention). The engine is fine;
+inter-JVM RPC on this host is not.
+
+What this measures INSTEAD, and why it is honest: the bucketed flagship
+(plans/bucketed.py) plans with ZERO Exchange and ZERO Sort — no byte and
+no dependency crosses bucket boundaries (pinned by
+tests/test_plans_quality.py). A real cluster schedules such a job as W
+independent workers over disjoint bucket sets (Iceberg
+storage-partitioned jobs / SPJ); nothing about that execution needs a
+coordinating shuffle. So the faithful stand-in here is W INDEPENDENT OS
+processes, each a single-JVM Spark session over its 32/W bucket FILES
+(conv_id-hash-disjoint by construction — every conversation lives in
+exactly one bucket file), with a file-barrier start so JVM warmup is
+excluded and all timed regions overlap. The cell reports:
+  * per-worker walls + the max (the cluster wall),
+  * summed output rows, asserted equal to the 1-process run's rows
+    (same job, no rows lost to the sharding),
+  * scaling_efficiency = (T_1proc / T_Wproc_max) / W.
+
+Two per-worker plans (--plan):
+  * fused    — each worker reads its bucket FILES as plain parquet and
+    runs the in-memory fused flagship (one in-JVM exchange over 1/W of
+    the data; reading a file subset loses bucket metadata). Superset of
+    the bucketed plan's work, so its efficiency LOWER-bounds SPJ.
+  * bucketed — a one-time setup re-writes the lakehouse hierarchically:
+    W node-shards, each ITSELF a valid 8-bucket bucketed-sorted table
+    (the Iceberg shape "partition by shard, bucket within partition").
+    Each worker registers its shard's tables and runs the TRUE
+    zero-Exchange zero-Sort flagship_bucketed plan. The 1-proc cell runs
+    the same plan over the original 32-bucket table. Beyond fidelity,
+    this plan allocates almost nothing per task (no sort buffers, no
+    shuffle files), which isolates the sandbox's concurrency penalty to
+    allocation churn: compare its W-proc efficiency to fused's.
+
+Usage:
+  python tools/bench_scaling_sharded.py \
+      --layout /dev/shm/spark-scaling-bucketed-scaling_500000_20_0.0 \
+      [--procs 1,4] [--runs 2]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def bucket_files(table_dir: str) -> dict[int, str]:
+    out = {}
+    for f in glob.glob(os.path.join(table_dir, "part-*.parquet")):
+        m = re.search(r"_(\d{5})\.c\d+", os.path.basename(f))
+        if m:
+            out[int(m.group(1))] = f
+    return out
+
+
+def worker(args) -> None:
+    from amazon_security_lake_transformation_library_spark.operators.fused import asof_turn_features
+    from amazon_security_lake_transformation_library_spark.plans.bucketed import (
+        flagship_bucketed, register_bucketed_table,
+    )
+    from amazon_security_lake_transformation_library_spark.session import get_spark
+    spark = get_spark(
+        f"shard-{args.shard}",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=2 * args.cores,
+        extra_conf={
+            "spark.local.dir": f"/dev/shm/shard-{args.shard}",
+            "spark.driver.memory": args.heap,
+            # Fixed, pre-touched heap: every heap page is faulted in ONCE
+            # at JVM startup (before the barrier releases the timed
+            # region). Under a syscall-interposition sandbox (gVisor)
+            # page faults are handled by the userspace sentry, and W
+            # JVMs growing multi-GB heaps concurrently fault-storm it
+            # into 50% host sys-CPU — measured here as 4 independent
+            # flagship workers walling 62-187 s vs 41 s solo until this
+            # pre-touch. Standard practice on real clusters too (it
+            # moves allocation jitter out of task runtime).
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={args.cores} "
+                f"-Xms{args.heap} -XX:+AlwaysPreTouch",
+        },
+    )
+    if args.plan == "bucketed":
+        # args.t_files/cf_files are single table DIRECTORIES here
+        register_bucketed_table(spark, "sh_t", args.t_files,
+                                n_buckets=args.n_buckets,
+                                sort_cols=("conv_id", "ts", "turn_idx"))
+        register_bucketed_table(spark, "sh_cf", args.cf_files,
+                                n_buckets=args.n_buckets,
+                                sort_cols=("conv_id", "ts"))
+        t = spark.table("sh_t")
+    else:
+        t = spark.read.parquet(*args.t_files.split(","))
+        cf = spark.read.parquet(*args.cf_files.split(","))
+    t.count()  # warm scan; excluded from the timed region by the barrier
+
+    # barrier: report ready, wait for the coordinator's go-file so every
+    # worker's timed region overlaps (JVM startup excluded)
+    open(args.barrier + f".ready.{args.shard}", "w").write("1")
+    while not os.path.exists(args.barrier + ".go"):
+        time.sleep(0.05)
+
+    walls, rows = [], 0
+    for _ in range(args.runs):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        if args.plan == "bucketed":
+            out = flagship_bucketed(spark, "sh_t", "sh_cf")
+        else:
+            out = asof_turn_features(t, cf)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        obs = Observation()
+        out.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        rows = int(obs.get["n"])
+        walls.append(time.time() - t0)
+    print(json.dumps({"shard": args.shard, "rows": rows,
+                      "wall": round(min(walls), 3)}))
+
+
+def ensure_shard_layout(layout: str, procs: int) -> str:
+    """One-time hierarchical re-write: W shard directories, each a valid
+    8-bucket bucketed-sorted table pair (complete conversations only —
+    shard i owns original buckets [8i, 8i+8), which is a disjoint conv_id
+    set). Content-addressed and reused across runs."""
+    out_root = f"{layout}-shards{procs}"
+    if os.path.exists(os.path.join(out_root, "_SUCCESS")):
+        return out_root
+    from amazon_security_lake_transformation_library_spark.plans.bucketed import write_bucketed_table
+    from amazon_security_lake_transformation_library_spark.session import get_spark
+    t_map = bucket_files(os.path.join(layout, "sc_t"))
+    cf_map = bucket_files(os.path.join(layout, "sc_cf"))
+    per = len(t_map) // procs
+    spark = get_spark("shard-setup", master="local[8]", shuffle_partitions=16,
+                      extra_conf={"spark.local.dir": "/dev/shm/shard-setup"})
+    for i in range(procs):
+        bs = sorted(t_map)[i * per:(i + 1) * per]
+        write_bucketed_table(
+            spark.read.parquet(*[t_map[b] for b in bs]), f"sh_setup_t_{i}",
+            n_buckets=8, sort_cols=("conv_id", "ts", "turn_idx"),
+            path=f"{out_root}/shard_{i}/t")
+        write_bucketed_table(
+            spark.read.parquet(*[cf_map[b] for b in bs]), f"sh_setup_cf_{i}",
+            n_buckets=8, sort_cols=("conv_id", "ts"),
+            path=f"{out_root}/shard_{i}/cf")
+    spark.stop()
+    open(os.path.join(out_root, "_SUCCESS"), "w").write("1")
+    return out_root
+
+
+def run_level(layout: str, procs: int, cores: int, runs: int, heap: str,
+              plan: str) -> dict:
+    t_map = bucket_files(os.path.join(layout, "sc_t"))
+    cf_map = bucket_files(os.path.join(layout, "sc_cf"))
+    assert set(t_map) == set(cf_map) and t_map, "layout missing bucket files"
+    buckets = sorted(t_map)
+    barrier = f"/tmp/shard_barrier_{os.getpid()}_{procs}"
+    for f in glob.glob(barrier + "*"):
+        os.remove(f)
+
+    if plan == "bucketed" and procs > 1:
+        shard_root = ensure_shard_layout(layout, procs)
+        specs = [(f"{shard_root}/shard_{i}/t", f"{shard_root}/shard_{i}/cf", 8)
+                 for i in range(procs)]
+    elif plan == "bucketed":
+        specs = [(os.path.join(layout, "sc_t"), os.path.join(layout, "sc_cf"),
+                  len(buckets))]
+    else:
+        shards = [buckets[i::procs] for i in range(procs)]
+        specs = [(",".join(t_map[b] for b in bs),
+                  ",".join(cf_map[b] for b in bs), 0) for bs in shards]
+
+    children = []
+    for i, (tf, cff, nb) in enumerate(specs):
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--shard", str(i), "--cores", str(cores), "--heap", heap,
+               "--runs", str(runs), "--barrier", barrier, "--plan", plan,
+               "--n-buckets", str(nb),
+               "--t-files", tf, "--cf-files", cff]
+        children.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True))
+    # wait for every worker to warm up, then release them together
+    while sum(os.path.exists(f"{barrier}.ready.{i}") for i in range(procs)) < procs:
+        time.sleep(0.1)
+    open(barrier + ".go", "w").write("1")
+
+    recs = []
+    for c in children:
+        out, _ = c.communicate()
+        if c.returncode != 0:
+            raise RuntimeError(f"worker failed rc={c.returncode}")
+        recs.append(json.loads(out.strip().splitlines()[-1]))
+    for f in glob.glob(barrier + "*"):
+        os.remove(f)
+    return {
+        "procs": procs,
+        "walls": {r["shard"]: r["wall"] for r in recs},
+        "wall_max": max(r["wall"] for r in recs),
+        "rows_total": sum(r["rows"] for r in recs),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--layout",
+                   default="/dev/shm/spark-scaling-bucketed-scaling_500000_20_0.0")
+    p.add_argument("--procs", default="1,4")
+    p.add_argument("--cores", type=int, default=4)
+    p.add_argument("--runs", type=int, default=2)
+    # worker-mode flags
+    p.add_argument("--heap", default="6g")
+    p.add_argument("--plan", default="fused", choices=["fused", "bucketed"])
+    p.add_argument("--n-buckets", type=int, default=0)
+    p.add_argument("--worker", action="store_true")
+    p.add_argument("--shard", type=int)
+    p.add_argument("--t-files")
+    p.add_argument("--cf-files")
+    p.add_argument("--barrier")
+    args = p.parse_args()
+    if args.worker:
+        worker(args)
+        return
+
+    levels = [int(x) for x in args.procs.split(",")]
+    cells = {}
+    for procs in levels:
+        cells[procs] = run_level(args.layout, procs, args.cores, args.runs, args.heap, args.plan)
+        print(f"# {procs} proc(s): wall_max={cells[procs]['wall_max']}s "
+              f"rows={cells[procs]['rows_total']}", file=sys.stderr)
+    lo, hi = min(levels), max(levels)
+    assert cells[lo]["rows_total"] == cells[hi]["rows_total"], (
+        "sharding changed the output row count")
+    speedup = cells[lo]["wall_max"] / cells[hi]["wall_max"]
+    print(json.dumps({
+        "mode": "storage_partitioned_driverless", "plan": args.plan,
+        "rows": cells[lo]["rows_total"],
+        "cells": {str(k): v for k, v in cells.items()},
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(speedup / (hi / lo), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
