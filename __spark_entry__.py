@@ -1269,6 +1269,29 @@ def _q_ewma_events_grouped(spark, sf_dir):
     )
 
 
+def _q_iqr_by_user(spark, sf_dir):
+    """Grouped-agg pandas UDAF (operators/udx.iqr): whole-group Series
+    arrives via Arrow, no JVM Aggregator needed. The one driver query
+    where per-group assembly on a single task is the point (UDAF
+    surface); algebraic aggregates stay on builtins."""
+    from amazon_security_lake_transformation_library_spark.operators import udx
+    return udx.iqr_by_group(_t(spark, sf_dir, "events"), "value", "user_id")
+
+
+def _q_doc_chunks_udtf(spark, sf_dir):
+    """Python-UDTF form of doc_chunks — same rows, same oracle as the
+    JVM posexplode plan (two implementations, one oracle)."""
+    from amazon_security_lake_transformation_library_spark.operators import udx
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    udx.register_chunk_udtf(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.chunk_idx, t.chunk_start, t.chunk_len, "
+        "t.chunk_text FROM __docs_udtf d, "
+        "LATERAL chunk_tokens_udtf(d.text, 64, 48) t"
+    )
+
+
 def _q_doc_quantiles(spark, sf_dir):
     """Exact continuous percentiles of document length per language
     (F.percentile == DuckDB quantile_cont interpolation), rounded to the
@@ -1389,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "decontaminate_docs": _q_decontaminate,
         "doc_length_quantiles": _q_doc_quantiles,
+        "iqr_value_by_user": _q_iqr_by_user,
+        "doc_chunks_udtf": _q_doc_chunks_udtf,
         "ewma_events": _q_ewma_events,
         "ewma_events_grouped": _q_ewma_events_grouped,
         "dedup_exact": _q_dedup_exact,
@@ -1805,6 +1830,30 @@ _LINE_STATS_SQL = """
            round(coalesce(a.dupc, 0) / greatest(coalesce(a.totc, 0), 1)::DOUBLE, 4)
              + 0.0 AS dup_line_char_frac
     FROM l LEFT JOIN a USING (doc_id)
+"""
+
+
+_DOC_CHUNKS_SQL = """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, toks, len(toks) AS n,
+     CASE WHEN len(toks) <= 64 THEN 1
+          ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS INT)
+     END AS n_chunks
+      FROM d
+    ), u AS (
+      SELECT doc_id, toks, n,
+     unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM m
+    )
+    SELECT doc_id, chunk_idx, chunk_idx * 48 AS chunk_start,
+   least(64, n - chunk_idx * 48) AS chunk_len,
+   array_to_string(
+     list_slice(toks, chunk_idx * 48 + 1,
+                chunk_idx * 48 + least(64, n - chunk_idx * 48)),
+     ' ') AS chunk_text
+    FROM u
 """
 
 
@@ -2312,28 +2361,8 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY source ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         """,
-        "doc_chunks": """
-            WITH d AS (
-              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-            ), m AS (
-              SELECT doc_id, toks, len(toks) AS n,
-                     CASE WHEN len(toks) <= 64 THEN 1
-                          ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS INT)
-                     END AS n_chunks
-              FROM d
-            ), u AS (
-              SELECT doc_id, toks, n,
-                     unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
-              FROM m
-            )
-            SELECT doc_id, chunk_idx, chunk_idx * 48 AS chunk_start,
-                   least(64, n - chunk_idx * 48) AS chunk_len,
-                   array_to_string(
-                     list_slice(toks, chunk_idx * 48 + 1,
-                                chunk_idx * 48 + least(64, n - chunk_idx * 48)),
-                     ' ') AS chunk_text
-            FROM u
-        """,
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "doc_chunks_udtf": _DOC_CHUNKS_SQL,
         "decontaminate_docs": """
             WITH d AS (
               SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -2359,6 +2388,12 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.9), 4) AS p90,
                    round(quantile_cont(n_chars, 0.99), 4) AS p99
             FROM documents GROUP BY lang
+        """,
+        "iqr_value_by_user": """
+            SELECT user_id,
+                   round(quantile_cont(value, 0.75)
+                         - quantile_cont(value, 0.25), 4) AS iqr_value
+            FROM events GROUP BY user_id
         """,
         # both EWMA forms (JVM window / applyInPandas) hash against this
         # one oracle: adjusted ewm with halflife weights, reference weight
