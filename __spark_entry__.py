@@ -182,6 +182,40 @@ def _q_asof_interval(spark, sf_dir):
     return joined.select("event_id", "user_id", "feature_val")
 
 
+def _q_asof_multi(spark, sf_dir):
+    """Multi-source point-in-time assembly: each probe event picks the
+    latest PURCHASE value AND the latest ERROR value independently, as-of
+    its own timestamp — the feature-VECTOR shape (one as-of per feature
+    table, chained; each is the linear interval form). Physical strategy
+    is AQE's call per build side: tiny builds broadcast (plan observed at
+    sf0.001 — zero SMJ); at scale both become SMJs on the shared entity
+    key, and over a bucketed layout the whole chain stays Exchange-free
+    (each interval join adds one in-partition window + one merge)."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.select("event_id", "user_id", "ts")
+
+    def _build(etype: str, out: str) -> DataFrame:
+        w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id", "ts", F.round("value", 4).alias(out),
+                    F.row_number().over(w).alias("__rn"))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+
+    step1 = asof_ops.asof_join_interval(
+        probe, _build("purchase", "purchase_val"),
+        on="user_id", ts="ts", build_cols=["purchase_val"],
+        asof_ts_col="purchase_asof_ts",
+    )
+    step2 = asof_ops.asof_join_interval(
+        step1, _build("error", "error_val"),
+        on="user_id", ts="ts", build_cols=["error_val"],
+        asof_ts_col="error_asof_ts",
+    )
+    return step2.select("event_id", "user_id", "purchase_val", "error_val")
+
+
 def _q_asof_tolerance(spark, sf_dir):
     # bounded-staleness as-of (north rule's "r.ts BETWEEN l.ts - horizon
     # AND l.ts"): a match older than the horizon is as good as no match —
@@ -1356,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events_range": _q_asof_range,
         "asof_join_events_interval": _q_asof_interval,
         "asof_join_events_tolerance": _q_asof_tolerance,
+        "asof_join_events_multi": _q_asof_multi,
         "session_window_events": _q_session_window,
         # reference-parity scalar ops (SURVEY.md §2.A)
         "enum_case_lookup": _q_enum_case,
@@ -1918,6 +1953,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN ({_PURCHASE_BUILD}) b
               ON e.user_id = b.user_id AND e.ts >= b.ts
+        """,
+        "asof_join_events_multi": """
+            WITH pb AS (
+              SELECT user_id, ts, round(value, 4) AS purchase_val,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'purchase'
+            ), eb AS (
+              SELECT user_id, ts, round(value, 4) AS error_val,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'error'
+            ), s1 AS (
+              SELECT e.event_id, e.user_id, e.ts, b.purchase_val
+              FROM events e
+              ASOF LEFT JOIN (SELECT * FROM pb WHERE rn = 1) b
+                ON e.user_id = b.user_id AND e.ts >= b.ts
+            )
+            SELECT s1.event_id, s1.user_id, s1.purchase_val, b2.error_val
+            FROM s1
+            ASOF LEFT JOIN (SELECT * FROM eb WHERE rn = 1) b2
+              ON s1.user_id = b2.user_id AND s1.ts >= b2.ts
         """,
         "session_window_events": f"""
             WITH s AS (
