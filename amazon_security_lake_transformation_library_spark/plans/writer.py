@@ -35,6 +35,7 @@ class SnapshotWriter:
         self.root = root
         self.data_path = os.path.join(root, "data")
         self.manifest_path = os.path.join(root, "_manifest")
+        self.schema_path = os.path.join(root, "_schema")
 
     # -- manifest -----------------------------------------------------------
 
@@ -96,18 +97,51 @@ class SnapshotWriter:
         group = [SNAPSHOT_COL, *partition_cols] if partition_cols else [SNAPSHOT_COL]
         stats = written.groupBy(*group).agg(F.count(F.lit(1)).alias("row_count"))
         stats = stats.withColumn("write_latency_sec", F.lit(float(latency)))
-        stats = stats.withColumn("committed_at_unix", F.lit(float(time.time())))
+        committed_at = float(time.time())
+        stats = stats.withColumn("committed_at_unix", F.lit(committed_at))
         (
             stats.coalesce(1)
             .write.mode("append")
             .parquet(self.manifest_path)
         )
+        # schema-as-of-snapshot (Iceberg keeps schema in table metadata,
+        # never by merging data-file footers): one row per commit with the
+        # dataframe's schema JSON. read()/read_at() resolve the schema
+        # from here in O(1) instead of option("mergeSchema") footer sweeps
+        # — and time travel reads the OLD schema, matching VERSION AS OF.
+        spark.createDataFrame(
+            [(snapshot_id, committed_at, out.schema.json())],
+            schema=f"{SNAPSHOT_COL} string, committed_at_unix double, schema_json string",
+        ).coalesce(1).write.mode("append").parquet(self.schema_path)
         return True
+
+    def _schema_asof(self, spark: SparkSession, cutoff: tuple | None = None):
+        """Latest recorded schema (or latest at/before ``cutoff`` =
+        (committed_at, snapshot_id)); None when no schema log exists
+        (tables written before schema tracking — fall back to footer
+        inference)."""
+        from pyspark.sql import types as T
+
+        try:
+            log = spark.read.parquet(self.schema_path).collect()
+        except Exception:
+            return None
+        rows = sorted((r["committed_at_unix"], r[SNAPSHOT_COL], r["schema_json"])
+                      for r in log)
+        if cutoff is not None:
+            rows = [r for r in rows if (r[0], r[1]) <= cutoff]
+        if not rows:
+            return None
+        return T.StructType.fromJson(__import__("json").loads(rows[-1][2]))
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read only manifested snapshots (half-written data is invisible —
-        snapshot isolation for readers)."""
-        df = spark.read.parquet(self.data_path)
+        snapshot isolation for readers). Schema comes from the schema log
+        (latest commit wins): columns added by later snapshots null-fill
+        older files, with no mergeSchema footer sweep."""
+        schema = self._schema_asof(spark)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        df = reader.parquet(self.data_path)
         committed = self.committed_snapshots(spark)
         if not committed:
             return df.filter(F.lit(False))
@@ -139,7 +173,11 @@ class SnapshotWriter:
             raise KeyError(snapshot_id)
         cutoff = (rows[snapshot_id], snapshot_id)
         visible = [s for s, t in rows.items() if (t, s) <= cutoff]
-        return spark.read.parquet(self.data_path).filter(
+        # time travel reads the schema AS OF that snapshot: a column added
+        # later does not exist in the past (Iceberg VERSION AS OF)
+        schema = self._schema_asof(spark, cutoff=cutoff)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(self.data_path).filter(
             F.col(SNAPSHOT_COL).isin(*[F.lit(s) for s in visible])
         )
 

@@ -109,3 +109,28 @@ def test_remove_orphans_deletes_only_uncommitted(spark, tmp_path):
     assert w.read(spark).count() == 10_000
     # committed snapshot untouched, second call is a no-op
     assert mx.remove_orphans(w, spark) == []
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg-style add-column evolution: a later snapshot introduces a
+    column; current reads null-fill it for old rows (no mergeSchema
+    footer sweep — schema comes from the commit log), and time travel to
+    the PRE-evolution snapshot does not know the column exists."""
+    w = SnapshotWriter(str(tmp_path / "tbl"))
+    assert w.commit(spark.range(5).withColumnRenamed("id", "v"), "s1")
+    evolved = (
+        spark.range(5, 8).withColumnRenamed("id", "v")
+        .withColumn("quality", (F.col("v") * 10).cast("double"))
+    )
+    assert w.commit(evolved, "s2")
+
+    cur = w.read(spark)
+    assert "quality" in cur.columns
+    got = {r["v"]: r["quality"] for r in cur.collect()}
+    assert got[0] is None and got[6] == 60.0
+    assert cur.count() == 8
+
+    past = w.read_at(spark, "s1")
+    assert "quality" not in past.columns  # the past never saw the column
+    assert past.count() == 5
+    assert "quality" in w.read_at(spark, "s2").columns
