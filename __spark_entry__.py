@@ -244,6 +244,36 @@ def _q_session_window(spark, sf_dir):
     )
 
 
+def _q_tumbling_hourly(spark, sf_dir):
+    """Tumbling event-time window (F.window, batch mode — the same
+    expression the streaming rate-feature path uses; SURVEY §2.B
+    'streaming: windows'). Oracle: epoch-floor bucketing."""
+    ev = _t(spark, sf_dir, "events")
+    w = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return w.select(
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("win_start_us"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def _q_sliding_rate(spark, sf_dir):
+    """Sliding event-time window (1 h window, 15 min slide): each event
+    lands in 4 overlapping windows — the rate-feature shape. Oracle
+    replicates the window-assignment rule by cross-joining each event to
+    its 4 slide offsets."""
+    ev = _t(spark, sf_dir, "events")
+    w = ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return w.select(
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("win_start_us"),
+        "n_events",
+    )
+
+
 def _q_enum_case(spark, sf_dir):
     # Reference A14/A15/A17: enum lookup + matched-value dispatch + type_uid
     # arithmetic (transformation_function/app.py:118-124,227-251,68-70)
@@ -1391,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events_interval": _q_asof_interval,
         "asof_join_events_tolerance": _q_asof_tolerance,
         "asof_join_events_multi": _q_asof_multi,
+        "tumbling_hourly_events": _q_tumbling_hourly,
+        "sliding_rate_events": _q_sliding_rate,
         "session_window_events": _q_session_window,
         # reference-parity scalar ops (SURVEY.md §2.A)
         "enum_case_lookup": _q_enum_case,
@@ -1953,6 +1985,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN ({_PURCHASE_BUILD}) b
               ON e.user_id = b.user_id AND e.ts >= b.ts
+        """,
+        "tumbling_hourly_events": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_rate_events": """
+            WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+            s AS (
+              SELECT (us // 900000000) * 900000000
+                       - k.k * 900000000 AS win_start_us
+              FROM e CROSS JOIN (
+                SELECT unnest(generate_series(0, 3)) AS k
+              ) k
+            )
+            SELECT win_start_us, count(*) AS n_events
+            FROM s GROUP BY win_start_us
         """,
         "asof_join_events_multi": """
             WITH pb AS (
