@@ -304,6 +304,26 @@ def asof_enrich_stream(
     )
 
 
+def flagship_stream(
+    turns: DataFrame,
+    features: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The full north-rule pipeline in live-tail mode: per-conversation
+    stateful features (sessionize + cumulative user turns + tool
+    forward-fill, O(1) state per entity, applyInPandasWithState) followed
+    by point-in-time enrichment against the static feature table (the
+    stream-static interval as-of — stateless, so it composes after the
+    stateful operator in append mode). Batch/stream unification contract:
+    on the same rows, output columns match operators/fused
+    .asof_turn_features column-for-column on the shared schema (pinned by
+    tests/test_streaming.py::test_flagship_stream_matches_batch).
+    Chain into ``incremental_feature_job``'s foreachBatch sink for
+    exactly-once output keyed by micro-batch id."""
+    feats = stateful_turn_features(turns, watermark=watermark)
+    return asof_enrich_stream(feats, features, build_cols=["feature_val"])
+
+
 def incremental_feature_job(
     turns: DataFrame,
     writer_root: str,

@@ -300,3 +300,50 @@ def test_asof_enrich_stream_matches_batch(spark, stream_input, tmp_path):
     # build tie semantics the fixture pins, synth/transcripts.py)
     assert got["feature_val"].notna().all()
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def test_flagship_stream_matches_batch(spark, stream_input, tmp_path):
+    """The composed live-tail flagship (stateful features -> stream-static
+    as-of) equals the batch fused flagship on the shared columns, across
+    micro-batch boundaries (files split mid-conversation, so both the
+    per-entity state carry AND the as-of must be correct)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_security_lake_transformation_library_spark.operators.fused import (
+        asof_turn_features,
+    )
+    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
+        gen_conv_features,
+    )
+
+    root, pdf = stream_input
+    fdir = str(tmp_path / "features")
+    os.makedirs(fdir)
+    pq.write_table(
+        pa.Table.from_pandas(gen_conv_features(pdf), preserve_index=False),
+        os.path.join(fdir, "features.parquet"),
+    )
+    features = spark.read.parquet(fdir)
+
+    stream = sp.read_turn_stream(spark, root, max_files_per_trigger=1)
+    out = sp.flagship_stream(stream, features, watermark="100 days")
+    _run_to_memory(out, "flagship_stream", str(tmp_path))
+
+    cols = ["conv_id", "turn_idx", "session_id", "user_turn_cum",
+            "tool_ffill", "feature_val"]
+    got = (
+        spark.sql("SELECT * FROM flagship_stream").toPandas()[cols]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    batch = (
+        asof_turn_features(spark.read.parquet(root), features)
+        .toPandas()[cols]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
