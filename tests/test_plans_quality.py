@@ -54,6 +54,17 @@ def test_rolling_range_frame_single_window(spark):
     assert "Join" not in plan
 
 
+def test_sliding_window_is_expand_not_join(spark):
+    """A 1h/15min sliding window assigns each event to its 4 windows via
+    ONE Expand feeding a partial hash-agg — never a x4 self-join or
+    cartesian (the shape that collapses at scale)."""
+    plan = _plan(entrymod.queries()["sliding_rate_events"](spark, SF_DIR))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert "partial" in plan  # map-side combine before the shuffle
+
+
 def test_entry_plan_shape(spark):
     plan = _plan(entrymod.entry(spark))
     # feature window + as-of union window + build dedup window: bounded
