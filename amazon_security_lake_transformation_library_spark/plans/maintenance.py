@@ -60,14 +60,34 @@ def _parquet_files(path: str) -> list[str]:
     return out
 
 
-def _partition_cols(w: SnapshotWriter, spark: SparkSession) -> list[str]:
-    """Inner (non-snapshot) partition columns, recovered from the manifest
-    schema — the manifest groups by [snapshot_id, *partition_cols]."""
-    mf = w.manifest(spark)
-    if mf is None:
-        return []
-    meta = {SNAPSHOT_COL, "row_count", "write_latency_sec", "committed_at_unix"}
-    return [c for c in mf.columns if c not in meta]
+def _partition_cols(snap_dir: str) -> list[str]:
+    """Inner (non-snapshot) partition columns of ONE snapshot, read from
+    its directory structure (`col=value` path segments) — ground truth
+    per snapshot, unlike the manifest schema, which is the UNION of every
+    snapshot's partition columns and misleads on tables whose snapshots
+    were committed with different partition_cols."""
+    cols: list[str] = []
+    d = snap_dir
+    while True:
+        subdirs = [e for e in os.listdir(d)
+                   if "=" in e and os.path.isdir(os.path.join(d, e))]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        d = os.path.join(d, subdirs[0])
+
+
+def _recover_trash(w: SnapshotWriter, snapshot_id: str) -> bool:
+    """Crash recovery for compact's swap: if a previous compact died
+    between the two renames, the snapshot directory is missing and the
+    original lives in ``_trash/<id>`` — restore it before doing anything
+    else. Returns True when a restore happened."""
+    snap_dir = _snapshot_dir(w, snapshot_id)
+    trash = os.path.join(w.root, "_trash", snapshot_id)
+    if not os.path.exists(snap_dir) and os.path.exists(trash):
+        os.rename(trash, snap_dir)
+        return True
+    return False
 
 
 def _log(w: SnapshotWriter, spark: SparkSession, name: str, rows: list[dict]) -> None:
@@ -102,6 +122,7 @@ def compact(
     does not match the manifest (in which case nothing is touched)."""
     if snapshot_id not in w.committed_snapshots(spark):
         raise KeyError(snapshot_id)
+    _recover_trash(w, snapshot_id)  # heal a crashed prior compact first
     snap_dir = _snapshot_dir(w, snapshot_id)
     before_files = _parquet_files(snap_dir)
     before_bytes = sum(os.path.getsize(f) for f in before_files)
@@ -112,17 +133,26 @@ def compact(
             "bytes_before": 0, "bytes_after": 0, "at_unix": float(time.time()),
         }
 
-    parts = _partition_cols(w, spark)
+    parts = _partition_cols(snap_dir)
     df = spark.read.parquet(snap_dir)  # inner partition dirs discovered
     stage = os.path.join(w.root, "_compact_stage", snapshot_id)
     shutil.rmtree(stage, ignore_errors=True)
 
     n_files = max(1, round(before_bytes / target_bytes_per_file))
     if parts:
-        # one task per inner partition: each partition's rows land in one
-        # file (partitions are the scan-pruning unit; packing across them
-        # would undo pruning)
-        out = df.repartition(*[F.col(c) for c in parts])
+        # pack WITHIN partitions only (packing across would undo scan
+        # pruning), but still honor the size target: a hot partition
+        # bigger than target_bytes_per_file splits into deterministic
+        # hash bins instead of collapsing to one giant single-task file
+        n_partitions = df.select(*parts).distinct().count()
+        bins = max(1, round(before_bytes / target_bytes_per_file / max(1, n_partitions)))
+        data_cols = [c for c in df.columns if c not in parts]
+        shuffle_keys = [F.col(c) for c in parts]
+        if bins > 1 and data_cols:
+            shuffle_keys.append(
+                F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(bins))
+            )
+        out = df.repartition(max(bins * n_partitions, n_partitions), *shuffle_keys)
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
         out.write.partitionBy(*parts).parquet(stage)
@@ -219,20 +249,34 @@ def live_snapshots(w: SnapshotWriter, spark: SparkSession) -> DataFrame | None:
     return snaps.filter(~F.col(SNAPSHOT_COL).isin(*[F.lit(s) for s in dead]))
 
 
-def remove_orphans(w: SnapshotWriter, spark: SparkSession) -> list[str]:
+def remove_orphans(
+    w: SnapshotWriter, spark: SparkSession, older_than_seconds: float = 86400.0
+) -> list[str]:
     """Delete data directories whose snapshot never reached the manifest
     (a writer crash between data write and manifest append). Safe by
-    construction: readers already can't see uncommitted snapshots."""
+    construction: readers already can't see uncommitted snapshots.
+
+    ``older_than_seconds`` is the in-flight grace window (Iceberg's
+    remove_orphan_files ``older_than``, default 3 days): a commit that has
+    finished its data write but not yet appended its manifest row looks
+    exactly like an orphan, so only directories untouched for the grace
+    period are deleted. Pass 0 only when no writer can be running."""
     if not os.path.isdir(w.data_path):
         return []
     committed = w.committed_snapshots(spark)
+    now = time.time()
     removed = []
     for entry in os.listdir(w.data_path):
         if not entry.startswith(f"{SNAPSHOT_COL}="):
             continue
         sid = entry.split("=", 1)[1]
-        if sid not in committed:
-            shutil.rmtree(os.path.join(w.data_path, entry), ignore_errors=True)
+        path = os.path.join(w.data_path, entry)
+        age = now - max(
+            (os.path.getmtime(p) for p in _parquet_files(path)),
+            default=os.path.getmtime(path),
+        )
+        if sid not in committed and age >= older_than_seconds:
+            shutil.rmtree(path, ignore_errors=True)
             removed.append(sid)
     if removed:
         _log(

@@ -74,6 +74,15 @@ class SnapshotWriter:
         spark = df.sparkSession
         if snapshot_id in self.committed_snapshots(spark):
             return False
+        # One partition spec per table (like Iceberg's spec, and forced by
+        # the Hive directory layout: one data root cannot mix partition
+        # depths — discovery of the whole root breaks, after the data was
+        # already written). Reject a mismatched spec BEFORE writing.
+        existing = self._table_partition_cols()
+        if existing is not None and list(partition_cols) != existing:
+            raise ValueError(
+                f"table partition spec is {existing}; got {list(partition_cols)}"
+            )
 
         out = df.withColumn(SNAPSHOT_COL, F.lit(snapshot_id))
         if bucket_col:
@@ -113,15 +122,53 @@ class SnapshotWriter:
             [(snapshot_id, committed_at, out.schema.json())],
             schema=f"{SNAPSHOT_COL} string, committed_at_unix double, schema_json string",
         ).coalesce(1).write.mode("append").parquet(self.schema_path)
+        # O(1) current-schema pointer: the streaming sink commits once per
+        # micro-batch, so the append log grows unboundedly; read() must
+        # not scan it all per call. Written last, so it always describes a
+        # manifested commit; staleness after a crash mid-commit only means
+        # the PREVIOUS schema is served, which is correct (the crashed
+        # snapshot is invisible until its manifest row lands on retry).
+        tmp = os.path.join(self.root, "_schema_latest.json.tmp")
+        with open(tmp, "w") as f:
+            f.write(out.schema.json())
+        os.replace(tmp, os.path.join(self.root, "_schema_latest.json"))
         return True
+
+    def _table_partition_cols(self) -> list[str] | None:
+        """The table's inner partition columns, from the directory
+        structure of any existing snapshot; None when no data exists yet
+        (the first commit fixes the spec)."""
+        if not os.path.isdir(self.data_path):
+            return None
+        for entry in sorted(os.listdir(self.data_path)):
+            if not entry.startswith(f"{SNAPSHOT_COL}="):
+                continue
+            cols: list[str] = []
+            d = os.path.join(self.data_path, entry)
+            while True:
+                subdirs = [e for e in os.listdir(d)
+                           if "=" in e and os.path.isdir(os.path.join(d, e))]
+                if not subdirs:
+                    return cols
+                cols.append(subdirs[0].split("=", 1)[0])
+                d = os.path.join(d, subdirs[0])
+        return None
 
     def _schema_asof(self, spark: SparkSession, cutoff: tuple | None = None):
         """Latest recorded schema (or latest at/before ``cutoff`` =
         (committed_at, snapshot_id)); None when no schema log exists
         (tables written before schema tracking — fall back to footer
-        inference)."""
+        inference). The no-cutoff path reads the O(1) latest-pointer file;
+        only time travel scans the append log."""
+        import json as _json
+
         from pyspark.sql import types as T
 
+        if cutoff is None:
+            latest = os.path.join(self.root, "_schema_latest.json")
+            if os.path.exists(latest):
+                with open(latest) as f:
+                    return T.StructType.fromJson(_json.loads(f.read()))
         try:
             log = spark.read.parquet(self.schema_path).collect()
         except Exception:

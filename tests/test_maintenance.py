@@ -101,14 +101,19 @@ def test_remove_orphans_deletes_only_uncommitted(spark, tmp_path):
     spark.range(5).write.parquet(orphan)
     assert spark.read.parquet(w.data_path).count() > 10_000  # debris visible to raw scan
 
-    removed = mx.remove_orphans(w, spark)
+    # a fresh directory is inside the in-flight grace window: NOT deleted
+    # (it could be a commit that hasn't appended its manifest row yet)
+    assert mx.remove_orphans(w, spark) == []
+    assert os.path.exists(orphan)
+
+    removed = mx.remove_orphans(w, spark, older_than_seconds=0)
 
     assert removed == ["deadbeef"]
     assert not os.path.exists(orphan)
     assert spark.read.parquet(w.data_path).count() == 10_000
     assert w.read(spark).count() == 10_000
     # committed snapshot untouched, second call is a no-op
-    assert mx.remove_orphans(w, spark) == []
+    assert mx.remove_orphans(w, spark, older_than_seconds=0) == []
 
 
 def test_schema_evolution_add_column(spark, tmp_path):
@@ -134,3 +139,44 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert "quality" not in past.columns  # the past never saw the column
     assert past.count() == 5
     assert "quality" in w.read_at(spark, "s2").columns
+
+
+def test_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """A compact that died between the two swap renames leaves the
+    snapshot dir missing and the original in _trash; the next compact
+    restores it first (never zero copies, and never a fake success)."""
+    w = _writer_with(spark, tmp_path, n_files=8)
+    snap = os.path.join(w.data_path, "snapshot_id=s1")
+    trash = os.path.join(w.root, "_trash", "s1")
+    os.makedirs(os.path.dirname(trash), exist_ok=True)
+    os.rename(snap, trash)  # the mid-swap crash state
+
+    stats = mx.compact(w, spark, "s1")
+
+    assert stats["files_before"] == 8  # restored, then really compacted
+    assert stats["files_after"] == 1
+    assert w.read(spark).count() == 10_000
+
+
+def test_commit_rejects_mismatched_partition_spec(spark, tmp_path):
+    """One partition spec per table (Iceberg's rule, and forced by the
+    Hive layout — one data root cannot mix partition depths): a commit
+    with a different spec is rejected BEFORE writing any data, and
+    compaction derives its partition columns from the snapshot's own
+    directory structure, so it is never confused by rejected attempts."""
+    w = SnapshotWriter(str(tmp_path / "tbl"))
+    parted = (
+        spark.range(100).withColumnRenamed("id", "v")
+        .withColumn("grp", (F.col("v") % 2).cast("string")).repartition(4)
+    )
+    assert w.commit(parted, "s1", partition_cols=("grp",))
+
+    flat = spark.range(100, 200).withColumnRenamed("id", "v")
+    with pytest.raises(ValueError, match="partition spec"):
+        w.commit(flat, "s2")
+    # the rejected commit wrote NOTHING: no orphan dir, table intact
+    assert sorted(os.listdir(w.data_path)) == ["snapshot_id=s1"]
+
+    s1 = mx.compact(w, spark, "s1")
+    assert s1["files_after"] == 2          # one per grp partition
+    assert w.read(spark).count() == 100

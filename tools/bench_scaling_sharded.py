@@ -151,11 +151,12 @@ def ensure_shard_layout(layout: str, procs: int) -> str:
     from amazon_security_lake_transformation_library_spark.session import get_spark
     t_map = bucket_files(os.path.join(layout, "sc_t"))
     cf_map = bucket_files(os.path.join(layout, "sc_cf"))
-    per = len(t_map) // procs
     spark = get_spark("shard-setup", master="local[8]", shuffle_partitions=16,
                       extra_conf={"spark.local.dir": "/dev/shm/shard-setup"})
     for i in range(procs):
-        bs = sorted(t_map)[i * per:(i + 1) * per]
+        # round-robin so EVERY bucket is assigned even when procs does not
+        # divide the bucket count (a dropped tail silently shrinks the job)
+        bs = sorted(t_map)[i::procs]
         write_bucketed_table(
             spark.read.parquet(*[t_map[b] for b in bs]), f"sh_setup_t_{i}",
             n_buckets=8, sort_cols=("conv_id", "ts", "turn_idx"),
@@ -199,17 +200,27 @@ def run_level(layout: str, procs: int, cores: int, runs: int, heap: str,
                "--n-buckets", str(nb),
                "--t-files", tf, "--cf-files", cff]
         children.append(subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True))
-    # wait for every worker to warm up, then release them together
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    # wait for every worker to warm up, then release them together —
+    # polling child liveness so a worker that dies pre-barrier (OOM,
+    # startup failure) aborts with its traceback instead of hanging
     while sum(os.path.exists(f"{barrier}.ready.{i}") for i in range(procs)) < procs:
+        for c in children:
+            if c.poll() is not None and c.returncode != 0:
+                _out, err = c.communicate()
+                open(barrier + ".go", "w").write("1")  # release survivors
+                for other in children:
+                    other.terminate()
+                raise RuntimeError(
+                    f"worker died before barrier rc={c.returncode}:\n{err[-4000:]}")
         time.sleep(0.1)
     open(barrier + ".go", "w").write("1")
 
     recs = []
     for c in children:
-        out, _ = c.communicate()
+        out, err = c.communicate()
         if c.returncode != 0:
-            raise RuntimeError(f"worker failed rc={c.returncode}")
+            raise RuntimeError(f"worker failed rc={c.returncode}:\n{err[-4000:]}")
         recs.append(json.loads(out.strip().splitlines()[-1]))
     for f in glob.glob(barrier + "*"):
         os.remove(f)
