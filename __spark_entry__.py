@@ -1112,7 +1112,9 @@ def _ensure_langid_oracle(sf_dir: str) -> str:
     from amazon_security_lake_transformation_library_spark.operators import langid as L
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"{_LANGID_FIX_DIR}/{tag}.parquet"
+    # key the cached fixture on the classifier version so a /tmp fixture
+    # left behind by an older classifier can never mismatch the live code
+    out = f"{_LANGID_FIX_DIR}/{tag}_v{L.VERSION}.parquet"
     if not os.path.exists(out):
         os.makedirs(_LANGID_FIX_DIR, exist_ok=True)
         t = pq.read_table(

@@ -66,7 +66,37 @@ def register_bucketed_table(
     between sessions; the files — whose names carry the bucket ids Spark's
     bucketed writer assigned — do not). This is the offline stand-in for an
     Iceberg catalog lookup: layout metadata lives with the table, sessions
-    come and go."""
+    come and go.
+
+    The declared ``n_buckets`` is VALIDATED against the bucket ids Spark's
+    bucketed writer embedded in the part-file names (``..._00003.c000``):
+    registering an on-disk N-bucket layout under a different declared
+    count would make the zero-Exchange SMJ silently assume a
+    co-partitioning that does not hold — wrong results, not just a slow
+    plan. Raises ValueError on mismatch or when the directory carries no
+    bucketed part files at all."""
+    import os
+    import re
+
+    bucket_ids = set()
+    for f in os.listdir(path):
+        m = re.match(r"part-\d+-.*_(\d{5})\.c\d+.*\.parquet$", f)
+        if m:
+            bucket_ids.add(int(m.group(1)))
+    if not bucket_ids:
+        raise ValueError(
+            f"{path} holds no bucketed part files (…_NNNNN.c000…): refusing "
+            f"to register a non-bucketed layout as a bucketed table"
+        )
+    observed = max(bucket_ids) + 1
+    if observed != n_buckets:
+        raise ValueError(
+            f"{path} was written with {observed} buckets (max embedded bucket "
+            f"id {observed - 1}) but n_buckets={n_buckets} was declared. "
+            f"(A trailing empty bucket could under-report `observed`, but our "
+            f"writer produces one file per non-empty bucket and hash "
+            f"bucketing leaves no empty buckets at any realistic row count.)"
+        )
     schema_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in spark.read.parquet(path).schema.fields

@@ -90,6 +90,30 @@ def _recover_trash(w: SnapshotWriter, snapshot_id: str) -> bool:
     return False
 
 
+def sweep_trash(w: SnapshotWriter) -> list[str]:
+    """Heal ALL crashed compact swaps, not just a re-compacted id: every
+    ``_trash/<id>`` whose snapshot directory is missing is restored
+    (crash landed between the two renames); every ``_trash/<id>`` whose
+    snapshot directory exists is a completed swap whose final cleanup
+    died — delete it. Runs at the start of every maintenance op, and
+    restore-only from SnapshotWriter.read()/read_at() (see
+    ``restore_missing_snapshot_dirs``), so a table never serves with a
+    committed snapshot's rows silently absent. Returns restored ids."""
+    trash_root = os.path.join(w.root, "_trash")
+    restored: list[str] = []
+    if not os.path.isdir(trash_root):
+        return restored
+    for sid in sorted(os.listdir(trash_root)):
+        snap_dir = _snapshot_dir(w, sid)
+        trash = os.path.join(trash_root, sid)
+        if not os.path.exists(snap_dir):
+            os.rename(trash, snap_dir)
+            restored.append(sid)
+        else:
+            shutil.rmtree(trash, ignore_errors=True)
+    return restored
+
+
 def _log(w: SnapshotWriter, spark: SparkSession, name: str, rows: list[dict]) -> None:
     path = os.path.join(w.root, name)
     spark.createDataFrame(
@@ -122,7 +146,7 @@ def compact(
     does not match the manifest (in which case nothing is touched)."""
     if snapshot_id not in w.committed_snapshots(spark):
         raise KeyError(snapshot_id)
-    _recover_trash(w, snapshot_id)  # heal a crashed prior compact first
+    sweep_trash(w)  # heal ANY crashed prior compact first, not just this id
     snap_dir = _snapshot_dir(w, snapshot_id)
     before_files = _parquet_files(snap_dir)
     before_bytes = sum(os.path.getsize(f) for f in before_files)
@@ -134,33 +158,75 @@ def compact(
         }
 
     parts = _partition_cols(snap_dir)
-    df = spark.read.parquet(snap_dir)  # inner partition dirs discovered
     stage = os.path.join(w.root, "_compact_stage", snapshot_id)
     shutil.rmtree(stage, ignore_errors=True)
 
-    n_files = max(1, round(before_bytes / target_bytes_per_file))
-    if parts:
-        # pack WITHIN partitions only (packing across would undo scan
-        # pruning), but still honor the size target: a hot partition
-        # bigger than target_bytes_per_file splits into deterministic
-        # hash bins instead of collapsing to one giant single-task file
-        n_partitions = df.select(*parts).distinct().count()
-        bins = max(1, round(before_bytes / target_bytes_per_file / max(1, n_partitions)))
-        data_cols = [c for c in df.columns if c not in parts]
-        shuffle_keys = [F.col(c) for c in parts]
-        if bins > 1 and data_cols:
-            shuffle_keys.append(
-                F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(bins))
+    # Partition values must round-trip byte-identically (grp='00' must not
+    # re-emerge as grp=0): read partition columns as STRING (inference
+    # off) so the rewrite emits the original directory values verbatim.
+    # Readers are unaffected — SnapshotWriter.read() applies the schema
+    # log's recorded types over the unchanged directory values.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_prev = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(snap_dir)  # inner partition dirs discovered
+        n_files = max(1, round(before_bytes / target_bytes_per_file))
+        if parts:
+            # pack WITHIN partitions only (packing across would undo scan
+            # pruning), sizing bins from EACH partition's actual on-disk
+            # bytes: a hot partition splits into ceil(its_bytes/target)
+            # hash bins while small partitions stay single-file — the
+            # average-based sizing collapsed hot partitions to one file.
+            part_bytes: dict[tuple, int] = {}
+            for f in before_files:
+                rel = os.path.relpath(os.path.dirname(f), snap_dir)
+                vals = tuple(
+                    seg.split("=", 1)[1] for seg in rel.split(os.sep) if "=" in seg
+                )
+                part_bytes[vals] = part_bytes.get(vals, 0) + os.path.getsize(f)
+            hive_null = "__HIVE_DEFAULT_PARTITION__"
+            bins_rows = [
+                (*[None if v == hive_null else v for v in vals],
+                 max(1, round(b / target_bytes_per_file)))
+                for vals, b in sorted(part_bytes.items())
+            ]
+            total_bins = sum(r[-1] for r in bins_rows)
+            bins_schema = ", ".join(f"`{c}` string" for c in parts) + ", __n_bins int"
+            bins_df = spark.createDataFrame(bins_rows, schema=bins_schema)
+            cond = None
+            for c in parts:
+                eq = df[c].eqNullSafe(bins_df[c])
+                cond = eq if cond is None else cond & eq
+            data_cols = [c for c in df.columns if c not in parts]
+            joined = (
+                df.alias("d")
+                .join(F.broadcast(bins_df).alias("b"), on=cond, how="left")
+                .select(
+                    [F.col(f"d.{c}") for c in df.columns]
+                    + [F.coalesce(F.col("b.__n_bins"), F.lit(1)).alias("__n_bins")]
+                )
             )
-        out = df.repartition(max(bins * n_partitions, n_partitions), *shuffle_keys)
-        if sort_cols:
-            out = out.sortWithinPartitions(*sort_cols)
-        out.write.partitionBy(*parts).parquet(stage)
-    else:
-        out = df.repartition(n_files)
-        if sort_cols:
-            out = out.sortWithinPartitions(*sort_cols)
-        out.write.parquet(stage)
+            shuffle_keys = [F.col(c) for c in parts]
+            if data_cols:
+                shuffle_keys.append(
+                    F.pmod(
+                        F.xxhash64(*[F.col(c) for c in data_cols]),
+                        F.col("__n_bins").cast("bigint"),
+                    )
+                )
+            out = joined.repartition(max(total_bins, len(bins_rows)), *shuffle_keys)
+            out = out.drop("__n_bins")
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+            out.write.partitionBy(*parts).parquet(stage)
+        else:
+            out = df.repartition(n_files)
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+            out.write.parquet(stage)
+    finally:
+        spark.conf.set(infer_key, infer_prev)
 
     expected = int(
         w.manifest(spark)
@@ -203,7 +269,14 @@ def expire_snapshots(
 
     Expired ids: ``read_at`` raises KeyError, ``snapshots()`` via
     :func:`live_snapshots` excludes them; current-table ``read()`` rows
-    are untouched (see module docstring). Returns the newly expired ids."""
+    are untouched (see module docstring). Returns the newly expired ids.
+
+    ``keep_last`` must be >= 1: Iceberg's expire_snapshots always retains
+    at least the current snapshot, and silently expiring ALL time travel
+    (including the newest snapshot) is never what a caller wants."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    sweep_trash(w)
     snaps = w.snapshots(spark)
     if snaps is None:
         return []
@@ -212,7 +285,7 @@ def expire_snapshots(
     )
     already = expired_snapshots(w, spark)
     live = [s for _t, s in ordered if s not in already]
-    to_expire = live[:-keep_last] if keep_last > 0 else live
+    to_expire = live[:-keep_last]
     if not to_expire:
         return []
     _log(
@@ -261,6 +334,7 @@ def remove_orphans(
     finished its data write but not yet appended its manifest row looks
     exactly like an orphan, so only directories untouched for the grace
     period are deleted. Pass 0 only when no writer can be running."""
+    sweep_trash(w)  # a trashed-but-committed snapshot must never look orphaned
     if not os.path.isdir(w.data_path):
         return []
     committed = w.committed_snapshots(spark)

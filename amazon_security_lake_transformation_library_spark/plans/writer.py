@@ -108,20 +108,27 @@ class SnapshotWriter:
         stats = stats.withColumn("write_latency_sec", F.lit(float(latency)))
         committed_at = float(time.time())
         stats = stats.withColumn("committed_at_unix", F.lit(committed_at))
-        (
-            stats.coalesce(1)
-            .write.mode("append")
-            .parquet(self.manifest_path)
-        )
         # schema-as-of-snapshot (Iceberg keeps schema in table metadata,
         # never by merging data-file footers): one row per commit with the
         # dataframe's schema JSON. read()/read_at() resolve the schema
         # from here in O(1) instead of option("mergeSchema") footer sweeps
         # — and time travel reads the OLD schema, matching VERSION AS OF.
+        # Written BEFORE the manifest row: the manifest append is the
+        # commit point (Iceberg commits schema atomically with the
+        # snapshot), so ordering schema-first guarantees every committed
+        # snapshot has a schema entry. A crash after the schema row but
+        # before the manifest row leaves only an orphan schema row for an
+        # uncommitted (invisible) snapshot; the retry re-appends an
+        # identical-schema row, so readers are unaffected either way.
         spark.createDataFrame(
             [(snapshot_id, committed_at, out.schema.json())],
             schema=f"{SNAPSHOT_COL} string, committed_at_unix double, schema_json string",
         ).coalesce(1).write.mode("append").parquet(self.schema_path)
+        (
+            stats.coalesce(1)
+            .write.mode("append")
+            .parquet(self.manifest_path)
+        )
         # O(1) current-schema pointer: the streaming sink commits once per
         # micro-batch, so the append log grows unboundedly; read() must
         # not scan it all per call. Written last, so it always describes a
@@ -181,11 +188,27 @@ class SnapshotWriter:
             return None
         return T.StructType.fromJson(__import__("json").loads(rows[-1][2]))
 
+    def _restore_trashed_snapshots(self) -> None:
+        """Crash healing on the read path: a compact() that died between
+        its two swap renames leaves ``_trash/<id>`` holding the ONLY copy
+        of a committed snapshot while the manifest still lists it — serving
+        the table then silently drops that snapshot's rows. Restore any
+        such directory before reading (restore-only: completed-swap trash
+        is left for maintenance.sweep_trash to reclaim)."""
+        trash_root = os.path.join(self.root, "_trash")
+        if not os.path.isdir(trash_root):
+            return
+        for sid in os.listdir(trash_root):
+            snap_dir = os.path.join(self.data_path, f"{SNAPSHOT_COL}={sid}")
+            if not os.path.exists(snap_dir):
+                os.rename(os.path.join(trash_root, sid), snap_dir)
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Read only manifested snapshots (half-written data is invisible —
         snapshot isolation for readers). Schema comes from the schema log
         (latest commit wins): columns added by later snapshots null-fill
         older files, with no mergeSchema footer sweep."""
+        self._restore_trashed_snapshots()
         schema = self._schema_asof(spark)
         reader = spark.read.schema(schema) if schema is not None else spark.read
         df = reader.parquet(self.data_path)
@@ -212,6 +235,7 @@ class SnapshotWriter:
         total order — the id tie-break keeps two snapshots that land on the
         same commit timestamp from observing each other ("future" data).
         Raises KeyError for an unknown/uncommitted snapshot id."""
+        self._restore_trashed_snapshots()
         snaps = self.snapshots(spark)
         if snaps is None:
             raise KeyError(snapshot_id)

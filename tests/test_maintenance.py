@@ -158,6 +158,118 @@ def test_compact_recovers_from_crashed_swap(spark, tmp_path):
     assert w.read(spark).count() == 10_000
 
 
+def test_read_heals_crashed_swap_without_compact(spark, tmp_path):
+    """The crash between compact's two renames must be healed by ANY
+    subsequent access — not only by re-compacting that exact snapshot id.
+    read()/read_at() restore the trashed copy; other maintenance ops
+    sweep it too (a committed snapshot's rows must never silently vanish
+    while the manifest still lists it)."""
+    w = SnapshotWriter(str(tmp_path / "tbl"))
+    assert w.commit(spark.range(100).withColumnRenamed("id", "v"), "s1")
+    assert w.commit(spark.range(100, 150).withColumnRenamed("id", "v"), "s2")
+    snap = os.path.join(w.data_path, "snapshot_id=s1")
+    trash = os.path.join(w.root, "_trash", "s1")
+    os.makedirs(os.path.dirname(trash), exist_ok=True)
+    os.rename(snap, trash)  # mid-swap crash state for s1
+
+    # plain read heals and serves the FULL table
+    assert w.read(spark).count() == 150
+    assert os.path.exists(snap) and not os.path.exists(trash)
+
+    # same for read_at and for unrelated maintenance ops
+    os.makedirs(os.path.dirname(trash), exist_ok=True)
+    os.rename(snap, trash)
+    assert w.read_at(spark, "s2").count() == 150
+    os.rename(snap, trash)
+    assert mx.remove_orphans(w, spark, older_than_seconds=0) == []
+    assert os.path.exists(snap)
+    # completed-swap debris (both copies exist) is reclaimed by the sweep
+    os.makedirs(trash)
+    assert mx.sweep_trash(w) == []
+    assert not os.path.exists(trash)
+
+
+def test_expire_rejects_keep_last_below_one(spark, tmp_path):
+    """Iceberg's expire_snapshots always retains the current snapshot;
+    keep_last <= 0 (which used to expire EVERYTHING) is a caller bug."""
+    w = SnapshotWriter(str(tmp_path / "tbl"))
+    assert w.commit(spark.range(10).withColumnRenamed("id", "v"), "s1")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="keep_last"):
+            mx.expire_snapshots(w, spark, keep_last=bad)
+    # nothing was expired by the rejected calls
+    assert mx.expired_snapshots(w, spark) == set()
+
+
+def test_compact_splits_hot_partition_by_its_own_bytes(spark, tmp_path):
+    """Bin sizing is per partition, not from the table-wide average: a
+    hot partition several times the file-size target splits into hash
+    bins while small partitions still pack to one file each."""
+    w = SnapshotWriter(str(tmp_path / "tbl"))
+    # grp 'hot' carries ~96% of rows; 'a'/'b' are small
+    df = (
+        spark.range(50_000)
+        .withColumnRenamed("id", "v")
+        .withColumn(
+            "grp",
+            F.when(
+                F.col("v") % 50 == 0,
+                ((F.col("v") / 50).cast("long") % 2).cast("string"),
+            ).otherwise(F.lit("hot")),
+        )
+        .withColumn("payload", F.sha2(F.col("v").cast("string"), 256))
+        .repartition(16)
+    )
+    assert w.commit(df, "s1", partition_cols=("grp",))
+    snap = os.path.join(w.data_path, "snapshot_id=s1")
+    hot_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(os.path.join(snap, "grp=hot"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    target = max(1, hot_bytes // 3)  # hot partition ≈ 3 bins
+
+    before = spark.read.parquet(w.data_path).orderBy("v").collect()
+    mx.compact(w, spark, "s1", target_bytes_per_file=target)
+
+    files_per_grp = {
+        g: len(mx._parquet_files(os.path.join(snap, f"grp={g}")))
+        for g in ("hot", "0", "1")
+    }
+    assert files_per_grp["hot"] >= 2  # hot split, not collapsed to one file
+    assert files_per_grp["0"] == 1 and files_per_grp["1"] == 1
+    assert spark.read.parquet(w.data_path).orderBy("v").collect() == before
+
+
+def test_compact_preserves_partition_value_strings(spark, tmp_path):
+    """Partition directory values round-trip byte-identically: grp='00'
+    must not re-emerge as grp=0 (the rewrite reads partition columns as
+    string — no type inference — and writes the original values back)."""
+    w = SnapshotWriter(str(tmp_path / "tbl"))
+    df = (
+        spark.range(100)
+        .withColumnRenamed("id", "v")
+        .withColumn("grp", F.when(F.col("v") < 50, "00").otherwise("07"))
+        .repartition(4)
+    )
+    assert w.commit(df, "s1", partition_cols=("grp",))
+    snap = os.path.join(w.data_path, "snapshot_id=s1")
+    assert sorted(e for e in os.listdir(snap) if e.startswith("grp=")) == [
+        "grp=00",
+        "grp=07",
+    ]
+
+    mx.compact(w, spark, "s1")
+
+    assert sorted(e for e in os.listdir(snap) if e.startswith("grp=")) == [
+        "grp=00",
+        "grp=07",
+    ]
+    got = {r["grp"] for r in w.read(spark).select("grp").distinct().collect()}
+    assert got == {"00", "07"}
+
+
 def test_commit_rejects_mismatched_partition_spec(spark, tmp_path):
     """One partition spec per table (Iceberg's rule, and forced by the
     Hive layout — one data root cannot mix partition depths): a commit

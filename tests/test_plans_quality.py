@@ -206,3 +206,47 @@ def test_chained_bucketed_output_stays_exchange_free(spark, tmp_path):
     assert ref.exceptAll(w_ref).count() == 0
     for tbl in ("features_chain_t", "tb_chain_t", "cfb_chain_t"):
         spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_register_bucketed_table_validates_bucket_count(spark, tmp_path):
+    """Registering an on-disk layout under a WRONG declared bucket count
+    must fail loudly: the zero-Exchange SMJ would otherwise assume a
+    co-partitioning that doesn't hold and return wrong joins. The bucket
+    ids Spark embeds in part-file names are the ground truth."""
+    import pytest
+
+    from amazon_security_lake_transformation_library_spark.plans import bucketed
+    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
+        gen_transcripts,
+        write_parquet,
+    )
+
+    d = str(tmp_path)
+    tp = gen_transcripts(100)
+    write_parquet(tp, f"{d}/t.parquet")
+    t = spark.read.parquet(f"{d}/t.parquet")
+    bucketed.write_bucketed_table(
+        t, "tb_val_test", n_buckets=8, path=f"{d}/tables/tb_val_test"
+    )
+    spark.sql("DROP TABLE tb_val_test")
+
+    # wrong declared count: refused before any CREATE TABLE
+    with pytest.raises(ValueError, match="bucket"):
+        bucketed.register_bucketed_table(
+            spark, "tb_val_test", f"{d}/tables/tb_val_test", n_buckets=16
+        )
+    assert not spark.catalog.tableExists("tb_val_test")
+
+    # a non-bucketed directory is refused outright
+    t.write.parquet(f"{d}/plain_dir")
+    with pytest.raises(ValueError, match="no bucketed part files"):
+        bucketed.register_bucketed_table(
+            spark, "tb_val_test", f"{d}/plain_dir", n_buckets=8
+        )
+
+    # correct count registers and reads back the same rows
+    bucketed.register_bucketed_table(
+        spark, "tb_val_test", f"{d}/tables/tb_val_test", n_buckets=8
+    )
+    assert spark.table("tb_val_test").count() == t.count()
+    spark.sql("DROP TABLE tb_val_test")

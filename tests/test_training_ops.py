@@ -379,7 +379,29 @@ HELD_OUT = {
     "fr": "les mesures du systeme montrent que les resultats restent stables",
     "it": "le misurazioni del sistema mostrano che i risultati restano stabili",
     "pt": "as medicoes do sistema mostram que os resultados permanecem estaveis",
+    # non-Latin script (Cyrillic): 0xD0/0xD1 lead bytes give trigram
+    # profiles no Latin language can score against — held out from SAMPLES
+    "ru": "измерения системы показывают что результаты остаются стабильными",
 }
+
+
+def test_langid_nonlatin_script_separation():
+    """Cyrillic text must classify as ru, and text in a script with NO
+    trained profile (Greek here) must fall back to `und`, never to the
+    nearest Latin profile — the guard the ru profile exists to provide."""
+    from amazon_security_lake_transformation_library_spark.operators import langid as L
+
+    profs = L.train_profiles(L.SAMPLES)
+    got = L.classify_batch(
+        pd.Series(
+            [
+                "быстрая лиса прыгает через ленивую собаку возле реки",
+                "οι μετρησεις του συστηματος δειχνουν σταθερα αποτελεσματα",
+            ]
+        ),
+        profs,
+    )
+    assert list(got) == ["ru", "und"]
 
 
 def test_langid_profiles_deterministic_and_heldout_accuracy():

@@ -100,7 +100,14 @@ def worker(args) -> None:
         # first level pays the write, the second just re-registers the
         # _SUCCESS-marked layout (plans/bucketed.py) — same as a second
         # cluster attaching to the same lakehouse table.
-        wh = f"/dev/shm/spark-scaling-bucketed-{os.path.basename(args.data)}"
+        # keyed by dataset AND bucket count: re-running with a different
+        # --n-buckets must not re-register an existing layout under a
+        # wrong declared count (register_bucketed_table would refuse, but
+        # the right behavior is a fresh layout, not an error)
+        wh = (
+            f"/dev/shm/spark-scaling-bucketed-"
+            f"{os.path.basename(args.data)}-b{args.n_buckets}"
+        )
         ensure_flagship_tables(
             spark, t, f, "sc_t", "sc_cf", n_buckets=args.n_buckets,
             path_root=wh,
