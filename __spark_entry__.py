@@ -1410,8 +1410,109 @@ def _q_kmeans_centroids(spark, sf_dir):
              (F.col("val") + F.lit(0.0)).alias("val"))
 
 
+# ------------------------------------- streaming operators, batch-form gates
+
+def _q_dedup_stream_batch(spark, sf_dir):
+    """Streaming exact dedup (streaming/pipeline.dedup_stream) executed on
+    a batch frame — the operator's documented batch-equivalence branch.
+    The fixture replays every third event (an at-least-once bus
+    re-delivering a batch, byte-identical rows, so the kept-row choice is
+    deterministic); dedup on the key restores the original stream. Oracle:
+    DISTINCT over the same duplicated input."""
+    from amazon_security_lake_transformation_library_spark.streaming.pipeline import dedup_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    dup = ev.unionAll(ev.filter(F.col("event_id") % 3 == 0))
+    out = dedup_stream(dup, keys=("event_id",), ts_col="ts")
+    return _norm_zero(
+        out.select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.round("value", 4).alias("value_r"),
+        ),
+        "value_r",
+    )
+
+
+def _q_stream_interval_join_batch(spark, sf_dir):
+    """Stream-stream interval join (streaming/pipeline.stream_interval_join)
+    on static frames — the identical join expression Structured Streaming
+    executes with watermarked state (batch/stream equivalence is pinned by
+    pytest; this entry puts the join itself under the differential gate).
+    Probe: every event; build: purchases by the same user landing within
+    [ts, ts+300s]. Oracle: the same two-sided time-bounded SQL join."""
+    from amazon_security_lake_transformation_library_spark.streaming.pipeline import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.select("event_id", "user_id", "ts")
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    j = stream_interval_join(
+        probe, build, on="user_id", probe_ts="ts",
+        build_ts="purchase_ts", horizon_seconds=300,
+    )
+    return j.select(
+        "event_id", "user_id", "purchase_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("purchase_ts").cast("timestamp")).alias("purchase_ts_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ORDERING CONTRACT: the driver's differential gate records rows for
+    the FIRST 50 dict entries only. Rounds 1-3 checked the (stable) first
+    50; the r3 tail — dedup/ANN/multimodal/dataset-assembly/flagship — had
+    no driver row in any round, so round 4 rotates that tail to the front
+    (plus the two new batch-form streaming gates). Across the r3+r4
+    CORRECTNESS artifacts every entry has at least one driver-green row.
+    Do not reorder casually: see README 'driver gate coverage'."""
     return {
+        # ---- r4 front block: entries the r1-r3 driver gates never reached
+        # sketch / CDC merge
+        "kmv_distinct_users": _q_kmv_distinct_users,
+        "merge_orders_cdc": _q_merge_orders_cdc,
+        # dataset assembly: splits / mixtures / packing / chunking /
+        # decontamination / exact quantiles
+        "dataset_split_events": _q_dataset_split,
+        "sample_stratified_docs": _q_sample_stratified,
+        "pack_sequences": _q_pack_sequences,
+        "doc_chunks": _q_doc_chunks,
+        "decontaminate_docs": _q_decontaminate,
+        "doc_length_quantiles": _q_doc_quantiles,
+        "iqr_value_by_user": _q_iqr_by_user,
+        "doc_chunks_udtf": _q_doc_chunks_udtf,
+        "ewma_events": _q_ewma_events,
+        "ewma_events_grouped": _q_ewma_events_grouped,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_minhash,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_simhash": _q_simhash,
+        "dedup_simhash_hamming": _q_simhash_hamming,
+        "dedup_clusters": _q_dedup_clusters,
+        # similarity / ANN family
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_ivf_assign": _q_ivf_assign,
+        "ann_ivf_topk": _q_ivf_topk,
+        "ann_kmeans_centroids": _q_kmeans_centroids,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
+        "dedup_embedding_cosine_blocked": _q_embedding_near_dup_blocked,
+        # multimodal plumbing
+        "multimodal_meta": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
+        # north-star transcripts flagship (fused block; parquet fixture +
+        # DuckDB ASOF oracle; all four strategies share one oracle)
+        "flagship_transcripts": _q_flagship_transcripts,
+        "flagship_transcripts_bucketed": _q_flagship_bucketed,
+        "flagship_transcripts_salted": _q_flagship_salted,
+        "flagship_transcripts_hybrid": _q_flagship_hybrid,
+        # streaming operators under the batch-form differential gate (new r4)
+        "dedup_stream_batch": _q_dedup_stream_batch,
+        "stream_interval_join_batch": _q_stream_interval_join_batch,
+        # ---- entries 33-50: re-checked this round (driver-green in r3)
         # north-rule window / as-of surface (events stream)
         "lag_lead_events": _q_lag_lead,
         "ffill_events": _q_ffill,
@@ -1430,10 +1531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_case_lookup": _q_enum_case,
         "json_dot_locator": _q_json_locator,
         "eventday_counts": _q_eventday,
-        # reference-parity ingest surface (A7-A18, A21-A22) under the
-        # differential gate
         "alb_parse": _q_alb_parse,
         "sysmon_description_kv": _q_sysmon_kv,
+        # ---- entries 51+: driver-green in r3 (beyond the 50-entry cap
+        # this round; every entry still runs under bench.py and pytest)
         "mapping_dispatch": _q_mapping_dispatch,
         "mapping_rejects": _q_mapping_rejects,
         # ingest I/O surface (A1-A6) under the differential gate
@@ -1471,40 +1572,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": _q_corpus_filter,
         "scrub_pii": _q_scrub_pii,
         "doc_lang_trigram": _q_doc_lang_trigram,
-        "kmv_distinct_users": _q_kmv_distinct_users,
-        "merge_orders_cdc": _q_merge_orders_cdc,
-        # dataset assembly: splits / mixtures / packing / chunking /
-        # decontamination / exact quantiles
-        "dataset_split_events": _q_dataset_split,
-        "sample_stratified_docs": _q_sample_stratified,
-        "pack_sequences": _q_pack_sequences,
-        "doc_chunks": _q_doc_chunks,
-        "decontaminate_docs": _q_decontaminate,
-        "doc_length_quantiles": _q_doc_quantiles,
-        "iqr_value_by_user": _q_iqr_by_user,
-        "doc_chunks_udtf": _q_doc_chunks_udtf,
-        "ewma_events": _q_ewma_events,
-        "ewma_events_grouped": _q_ewma_events_grouped,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_minhash,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "dedup_simhash": _q_simhash,
-        "dedup_simhash_hamming": _q_simhash_hamming,
-        "dedup_clusters": _q_dedup_clusters,
-        "ann_cosine_topk": _q_ann_topk,
-        "ann_ivf_assign": _q_ivf_assign,
-        "ann_ivf_topk": _q_ivf_topk,
-        "ann_kmeans_centroids": _q_kmeans_centroids,
-        "dedup_embedding_cosine": _q_embedding_near_dup,
-        "dedup_embedding_cosine_blocked": _q_embedding_near_dup_blocked,
-        "multimodal_meta": _q_multimodal,
-        "multimodal_frames": _q_multimodal_frames,
-        # north-star transcripts flagship (fused block; parquet fixture +
-        # DuckDB ASOF oracle; all three strategies share one oracle)
-        "flagship_transcripts": _q_flagship_transcripts,
-        "flagship_transcripts_bucketed": _q_flagship_bucketed,
-        "flagship_transcripts_salted": _q_flagship_salted,
-        "flagship_transcripts_hybrid": _q_flagship_hybrid,
     }
 
 
@@ -2575,4 +2642,30 @@ def oracle_sql() -> dict[str, str]:
         "flagship_transcripts_bucketed": _flagship_oracle_sql(),
         "flagship_transcripts_salted": _flagship_oracle_sql(),
         "flagship_transcripts_hybrid": _flagship_oracle_sql(),
+        # streaming operators, batch-form: the oracle reproduces the
+        # at-least-once replay (UNION ALL of every third event) and the
+        # two-sided time-bounded join independently of Spark's planner.
+        "dedup_stream_batch": """
+            WITH dup AS (
+                SELECT event_id, user_id, ts, value FROM events
+                UNION ALL
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_id % 3 = 0
+            )
+            SELECT DISTINCT event_id, user_id,
+                   epoch_us(ts) AS ts_us,
+                   round(value, 4) + 0.0 AS value_r
+            FROM dup
+        """,
+        "stream_interval_join_batch": """
+            SELECT p.event_id, p.user_id, b.event_id AS purchase_id,
+                   epoch_us(p.ts) AS ts_us,
+                   epoch_us(b.ts) AS purchase_ts_us
+            FROM events p
+            JOIN events b
+              ON p.user_id = b.user_id
+             AND b.event_type = 'purchase'
+             AND b.ts >= p.ts
+             AND b.ts <= p.ts + INTERVAL 300 SECONDS
+        """,
     }

@@ -232,7 +232,15 @@ def dedup_stream(
     keeps one row per key and expires key state once the watermark passes,
     so state is bounded by (keys arriving within the watermark window), not
     by stream history — the property that lets it run forever at bus scale.
-    Batch equivalence: ``dropDuplicates(keys)`` (pinned by test)."""
+
+    Batch/stream unification (same contract as ``sessionized_stream``):
+    ``dropDuplicatesWithinWatermark`` is streaming-only in Spark, so on a
+    batch frame this runs its documented batch equivalence
+    ``dropDuplicates(keys)`` — one operator definition, two execution
+    modes, equivalence pinned by test AND by the driver's differential
+    gate (``dedup_stream_batch``)."""
+    if not turns.isStreaming:
+        return turns.dropDuplicates(list(keys))
     return turns.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )

@@ -182,6 +182,20 @@ def test_dedup_stream_collapses_replayed_batches(spark, stream_input, tmp_path):
     )
 
 
+def test_dedup_stream_batch_branch(spark, stream_input):
+    """dedup_stream on a BATCH frame runs its documented batch equivalence
+    (dropDuplicates on the keys) instead of raising the streaming-only
+    dropDuplicatesWithinWatermark error — one operator, two modes."""
+    root, pdf = stream_input
+    turns = spark.read.parquet(root)
+    dup = turns.unionAll(turns.limit(7))
+    out = sp.dedup_stream(dup, watermark="100 days")
+    assert not out.isStreaming
+    got = out.toPandas()
+    assert len(got) == len(pdf)
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+
+
 def test_stream_interval_join_matches_batch(spark, stream_input, tmp_path):
     """Stream-stream interval join == the identical join on static frames:
     tool turns (build side) attach to every user turn (probe side) they
