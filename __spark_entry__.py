@@ -662,7 +662,13 @@ def _q_flagship_bucketed(spark, sf_dir):
     bucketed.ensure_flagship_tables(
         spark, t, cf, tt, ct, path_root=f"/tmp/spark_graft_bucketed/{tag}"
     )
-    return bucketed.flagship_bucketed(spark, tt, ct, gap_seconds=GAP_S)
+    # hot_threshold_rows=HYBRID_HOT_ROWS (test threshold, see its comment):
+    # the fixture's ~10%-hot conversation exceeds it at every bench scale,
+    # so the driver gate verifies the ROUTED plan (cold zero-Exchange SMJ
+    # unioned with the salted hot slice) against the same DuckDB oracle.
+    return bucketed.flagship_bucketed(
+        spark, tt, ct, gap_seconds=GAP_S, hot_threshold_rows=HYBRID_HOT_ROWS
+    )
 
 
 def _q_flagship_salted(spark, sf_dir):

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_interval
 from ..operators.features import build_turn_features
-from ..operators.fused import _out_columns
+from ..operators.fused import _out_columns, asof_turn_features_salted
+from ..operators.salted import hot_entities, time_chunk
 
 
 def write_bucketed_table(
@@ -149,6 +150,8 @@ def flagship_bucketed(
     t_table: str,
     cf_table: str,
     gap_seconds: int = 1800,
+    hot_threshold_rows: int | None = 1_000_000,
+    chunk_seconds: int = 6 * 3600,
 ) -> DataFrame:
     """The full flagship block over bucketed-sorted tables with ZERO
     Exchange: window feature block + interval-form sort-merge as-of
@@ -165,27 +168,57 @@ def flagship_bucketed(
     QUADRATIC on hot conversations (a 10%-hot 9k-turn conversation turned
     a 2 s job into 200+ s). The interval join removes the materialized
     blowup; the SMJ still evaluates candidate pairs per entity as cheap
-    narrow comparisons, so extreme hot entities still favor the
-    fused/salted in-memory paths (bucketing cannot split an entity)."""
+    narrow comparisons, and bucketing cannot split an entity — so hot
+    entities are now ROUTED, not just documented: a one-hash-agg pre-pass
+    (salted.hot_entities — Exchange-free, the bucketed scan already hash-
+    partitions on conv_id) finds entities above ``hot_threshold_rows``;
+    the tail keeps the zero-Exchange SMJ plan (broadcast anti-join
+    preserves the scan's partitioning AND ordering), the hot slice runs
+    the chunk-and-carry salted pipeline, and the two branches union.
+    ``hot_threshold_rows=None`` disables the pre-pass (pure cold plan).
+    With no hot entities present the returned plan is byte-identical to
+    the unrouted one — the common case pays one tiny agg job, zero plan
+    change."""
     # Expose the per-bucket sortBy order from the scan (off by default
     # since multi-file buckets cannot guarantee it; our writer guarantees
     # one file per bucket). Scoped to bucketed scans only — no effect on
     # non-bucketed plans in the session.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     t = spark.table(t_table)
-    # merge hint: force the sort-merge join ON THIS JOIN ONLY (a broadcast
-    # would also be exchange-free here, but at 10^12 turns the build side
-    # is one row per conversation — far beyond broadcast; SMJ over
-    # co-bucketed scans is the plan that survives scale). A hint, not
-    # spark.sql.autoBroadcastJoinThreshold, so other joins in the session
-    # keep their auto-broadcast plans.
-    cf = spark.table(cf_table).hint("merge")
-    feats = build_turn_features(t, gap_seconds=gap_seconds)
-    out = asof_join_interval(
-        feats,
-        cf,
-        on="conv_id",
-        ts="ts",
-        build_cols=["feature_val"],
+    cf = spark.table(cf_table)
+
+    def _cold(tc: DataFrame, cfc: DataFrame) -> DataFrame:
+        # merge hint: force the sort-merge join ON THIS JOIN ONLY (a
+        # broadcast would also be exchange-free here, but at 10^12 turns
+        # the build side is one row per conversation — far beyond
+        # broadcast; SMJ over co-bucketed scans is the plan that survives
+        # scale). A hint, not spark.sql.autoBroadcastJoinThreshold, so
+        # other joins in the session keep their auto-broadcast plans.
+        feats = build_turn_features(tc, gap_seconds=gap_seconds)
+        out = asof_join_interval(
+            feats,
+            cfc.hint("merge"),
+            on="conv_id",
+            ts="ts",
+            build_cols=["feature_val"],
+        )
+        return out.select(
+            *_out_columns(tc, "conv_id", "ts", "asof_ts", ["feature_val"])
+        )
+
+    if hot_threshold_rows is None:
+        return _cold(t, cf)
+    hot = hot_entities(t, "conv_id", hot_threshold_rows).select("conv_id")
+    if not hot.take(1):  # one Exchange-free agg job over the bucketed scan
+        return _cold(t, cf)
+    hot_b = F.broadcast(hot)
+    cold_out = _cold(
+        t.join(hot_b, "conv_id", "anti"), cf.join(hot_b, "conv_id", "anti")
     )
-    return out.select(*_out_columns(t, "conv_id", "ts", "asof_ts", ["feature_val"]))
+    hot_out = asof_turn_features_salted(
+        t.join(hot_b, "conv_id", "semi"),
+        cf.join(hot_b, "conv_id", "semi"),
+        time_chunk(chunk_seconds=chunk_seconds),
+        gap_seconds=gap_seconds,
+    )
+    return cold_out.unionByName(hot_out.select(*cold_out.columns))

@@ -37,8 +37,12 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # warm the JVM + parquet footers once (not timed per-query)
-    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # warm the JVM + parquet footers once (not timed per-query; counts are
+    # metadata-only for parquet). Every table the suite touches — the first
+    # timed query should pay its own plan, not session classloading.
+    for tbl in ("events", "documents", "embeddings", "orders", "lineitem",
+                "customer", "nation", "region"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
 
     times: dict[str, float] = {}
     flagship_rows = 0

@@ -146,6 +146,64 @@ def test_bucketed_flagship_zero_exchange(spark, tmp_path):
     assert out2.exceptAll(ref).count() == 0
 
 
+def test_bucketed_flagship_hot_router(spark, tmp_path):
+    """§6.10 enforcement: flagship_bucketed ROUTES hot entities instead of
+    running the interval SMJ into them. On the 10%-hot fixture with a
+    threshold below the hot conversation's row count: (a) output is
+    row-identical to the fused in-memory flagship (same oracle contract),
+    (b) the plan is a union whose cold branch keeps the storage-
+    partitioned shape (the only Exchanges come from the salted hot slice,
+    whose (entity, chunk) repartition is the point), and (c) with no hot
+    entities above the threshold the returned plan is the unrouted
+    zero-Exchange one."""
+    from amazon_security_lake_transformation_library_spark.operators import fused
+    from amazon_security_lake_transformation_library_spark.operators.salted import (
+        hot_entities,
+    )
+    from amazon_security_lake_transformation_library_spark.plans import bucketed
+    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
+        gen_conv_features,
+        gen_transcripts,
+        write_parquet,
+    )
+
+    d = str(tmp_path)
+    tp = gen_transcripts(200, hot_frac=0.10)
+    write_parquet(tp, f"{d}/t.parquet")
+    write_parquet(gen_conv_features(tp), f"{d}/cf.parquet")
+    t = spark.read.parquet(f"{d}/t.parquet")
+    cf = spark.read.parquet(f"{d}/cf.parquet")
+    bucketed.ensure_flagship_tables(
+        spark, t, cf, "tb_router_test", "cfb_router_test", path_root=f"{d}/tables"
+    )
+    hot_rows = hot_entities(t, "conv_id", 0).agg(
+        {"n_rows": "max"}
+    ).collect()[0][0]
+    threshold = hot_rows - 1  # only the hot conversation exceeds it
+
+    routed = bucketed.flagship_bucketed(
+        spark, "tb_router_test", "cfb_router_test", hot_threshold_rows=threshold
+    )
+    plan = _plan(routed)
+    assert "Union" in plan, plan
+    # the hot slice went salted: its (entity, chunk) repartition is the
+    # only hashpartitioning Exchange that mentions the chunk column
+    assert "__salt_chunk" in plan, plan
+    # oracle contract: identical rows to the fused in-memory flagship
+    ref = fused.asof_turn_features(t, cf).select(*routed.columns)
+    assert routed.exceptAll(ref).count() == 0
+    assert ref.exceptAll(routed).count() == 0
+
+    # threshold above every entity -> the unrouted zero-Exchange plan
+    cold = bucketed.flagship_bucketed(
+        spark, "tb_router_test", "cfb_router_test",
+        hot_threshold_rows=hot_rows + 1,
+    )
+    cold_plan = _plan(cold)
+    assert cold_plan.count("Exchange") == 0, cold_plan
+    assert "Union" not in cold_plan
+
+
 def test_chained_bucketed_output_stays_exchange_free(spark, tmp_path):
     """The pipeline composes: the flagship's OUTPUT written back through
     write_bucketed_table keeps the conv_id-bucketed ts-sorted contract, so

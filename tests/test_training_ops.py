@@ -538,3 +538,37 @@ def test_tracked_persist_release(spark):
     assert jsc.getPersistentRDDs().size() == base
     assert pairs.count() == n  # recompute after release is still correct
     assert caching.release_all() == 0  # idempotent
+
+
+def test_zero_vector_cosine_is_null_not_error(spark):
+    """A zero embedding (empty doc, masked row) must yield NULL cosine —
+    dropped by threshold filters and ranked last in top-k — not an ANSI
+    DIVIDE_BY_ZERO job kill; and the k-means loop (which eagerly
+    materializes per round) must survive a zero vector in the corpus,
+    leaving no persistent RDDs behind."""
+    from pyspark.sql import functions as F
+
+    from amazon_security_lake_transformation_library_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 7) for j in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )  # vec_id 0 is all zeros
+    scored = emb.select(
+        sim.cosine(F.col("embedding"), F.array(*[F.lit(0.0)] * 8)).alias("c")
+    )
+    assert scored.filter(F.col("c").isNull()).count() == 12  # no error raised
+
+    topk = sim.cosine_topk(emb, query_ids=[0, 1], k=3)
+    got = {r["query_id"] for r in topk.collect()}
+    assert 1 in got  # nonzero query ranks normally
+    # query 0 (zero vector): all similarities NULL -> ranked, not crashed
+
+    # baseline-relative: module fixtures cache() their input frames for
+    # the file's lifetime — kmeans must add nothing on top of that
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    cents = sim.kmeans_centroids(emb, k=3, iters=2)
+    assert cents.count() == 3
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
