@@ -86,6 +86,8 @@ def connected_components(
     labels.count()
     prev_path: str | None = None
 
+    from pyspark.sql import Observation
+
     for it in range(max_iters):
         # (a) min label over self + neighborhood
         nbr = sym.alias("e").join(
@@ -113,15 +115,28 @@ def connected_components(
                 ),
             )
         )
-        path = f"{root}/iter{it}"
-        jumped.write.mode("overwrite").parquet(path)
-        new_labels = spark.read.parquet(path)
-        changed = (
-            new_labels.alias("x")
-            .join(labels.alias("y"), "n")
-            .where(F.col("x.component") != F.col("y.component"))
-            .count()
+        # The convergence check rides the SAME job as the checkpoint write:
+        # join the previous label back on and observe the changed-row count
+        # during the parquet write — one Spark job per round instead of two
+        # (write + a separate count job), which halves the per-round fixed
+        # cost that dominates when the pair graph is small.
+        obs = Observation()
+        staged = (
+            jumped.join(
+                labels.select("n", F.col("component").alias("__old")), "n"
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("__old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("n", "component")
         )
+        path = f"{root}/iter{it}"
+        staged.write.mode("overwrite").parquet(path)
+        changed = int(obs.get["changed"] or 0)
+        new_labels = spark.read.parquet(path)
         labels.unpersist()
         if prev_path is not None:
             shutil.rmtree(prev_path, ignore_errors=True)

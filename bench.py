@@ -43,6 +43,11 @@ def main() -> None:
     for tbl in ("events", "documents", "embeddings", "orders", "lineitem",
                 "customer", "nation", "region"):
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+    # one throwaway shuffle + noop write: first-shuffle service init and
+    # the noop sink's classloading are SESSION costs, not query costs
+    spark.range(10_000).repartition(8).groupBy(
+        (F.col("id") % 10).alias("k")
+    ).count().write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     flagship_rows = 0
