@@ -1467,6 +1467,25 @@ def _q_stream_interval_join_batch(spark, sf_dir):
     )
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    """Cross-doc exact-substring dedup, span-detect stage (Lee et al. 2022
+    shape): maximal merged spans of 8-token grams shared by >=2 docs.
+    Oracle: gaps-and-islands interval merge over the same gram table."""
+    from amazon_security_lake_transformation_library_spark.operators import substrdedup as sd
+
+    return sd.duplicate_ngram_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
+def _q_scrub_duplicate_spans(spark, sf_dir):
+    """Scrub stage: drop every token inside a duplicated span, re-join
+    survivors with single spaces; untouched docs pass through byte-equal
+    (per-row text equality is the north-rule invariant, so the oracle
+    compares the full clean_text string)."""
+    from amazon_security_lake_transformation_library_spark.operators import substrdedup as sd
+
+    return sd.scrub_duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's differential gate records rows for
     the FIRST 50 dict entries only. Rounds 1-3 checked the (stable) first
@@ -1518,6 +1537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
         "stream_interval_join_batch": _q_stream_interval_join_batch,
+        # cross-doc exact-substring dedup (new r4)
+        "duplicate_ngram_spans": _q_duplicate_spans,
+        "scrub_duplicate_spans": _q_scrub_duplicate_spans,
         # ---- entries 33-50: re-checked this round (driver-green in r3)
         # north-rule window / as-of surface (events stream)
         "lag_lead_events": _q_lag_lead,
@@ -1996,6 +2018,48 @@ _DOC_CHUNKS_SQL = """
                 chunk_idx * 48 + least(64, n - chunk_idx * 48)),
      ' ') AS chunk_text
     FROM u
+"""
+
+
+# Duplicated-substring spans (n=8 grams shared by >=2 docs), merged via the
+# classical gaps-and-islands window — a second algorithm against Spark's
+# in-row interval fold. A new span starts when this gram's start position
+# exceeds (running max prior start) + n, i.e. it neither overlaps nor is
+# adjacent to the running span [.., max_prior_pos + n - 1].
+_SUBSTR_SPANS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(u.i AS INT) AS pos,
+               array_to_string(t[u.i:u.i + 7], ' ') AS g
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)
+        WHERE len(t) >= 8
+    ),
+    dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    occ AS (
+        SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(
+                        max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2147483648) + 8
+                    THEN 1 ELSE 0 END AS is_new
+        FROM occ
+    ),
+    sids AS (
+        SELECT doc_id, pos,
+               sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end
+    FROM sids GROUP BY doc_id, sid
 """
 
 
@@ -2673,5 +2737,35 @@ def oracle_sql() -> dict[str, str]:
              AND b.event_type = 'purchase'
              AND b.ts >= p.ts
              AND b.ts <= p.ts + INTERVAL 300 SECONDS
+        """,
+        # cross-doc exact-substring dedup: the oracle reproduces the gram
+        # table on raw strings (no md5 — a second, independent keying) and
+        # merges intervals with the classical gaps-and-islands window
+        # instead of Spark's in-row fold — two algorithms per gate.
+        "duplicate_ngram_spans": _SUBSTR_SPANS_SQL,
+        "scrub_duplicate_spans": f"""
+            WITH spans AS ({_SUBSTR_SPANS_SQL}),
+            doc_spans AS (
+                SELECT doc_id,
+                       list({{'s': span_start, 'e': span_end}}) AS sps
+                FROM spans GROUP BY doc_id
+            ),
+            tk AS (
+                SELECT d.doc_id, string_split(d.text, ' ') AS t, ds.sps
+                FROM documents d LEFT JOIN doc_spans ds USING (doc_id)
+            ),
+            kept AS (
+                SELECT doc_id, t,
+                       CASE WHEN sps IS NULL THEN t
+                            ELSE list_filter(t, (x, i) ->
+                                len(list_filter(sps, sp ->
+                                    i >= sp.s AND i <= sp.e)) = 0)
+                       END AS k
+                FROM tk
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(k, ' '), '') AS clean_text,
+                   (len(t) - len(k))::BIGINT AS n_dropped_tokens
+            FROM kept
         """,
     }

@@ -572,3 +572,52 @@ def test_zero_vector_cosine_is_null_not_error(spark):
     cents = sim.kmeans_centroids(emb, k=3, iters=2)
     assert cents.count() == 3
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+
+
+def test_duplicate_ngram_spans_semantics(spark):
+    """Cross-doc substring dedup (Lee et al. shape): exact-dup docs are
+    fully covered, a shared interior n-gram marks exactly its merged span,
+    unique docs emit nothing, and scrubbing drops precisely the spanned
+    tokens while untouched docs pass through byte-identical."""
+    from amazon_security_lake_transformation_library_spark.operators import (
+        substrdedup as sd,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),       # dup of 4
+            (2, "x y c d e f z w q r"),       # shares c d e f (pos 3-6)
+            (3, "unique tokens only here none"),
+            (4, "a b c d e f g h i j"),
+            (5, "short"),                      # < n tokens: no grams
+            # adjacent-span merge: two occurrences of a shared 4-gram at
+            # pos 1 and pos 5 merge into one [1, 8] span
+            (6, "p q r s p q r s tail1 tail2"),
+            (7, "p q r s middle filler words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in sd.duplicate_ngram_spans(docs, n=4).collect()
+    }
+    assert (1, 1, 10) in spans and (4, 1, 10) in spans  # full-doc coverage
+    assert (2, 3, 6) in spans
+    assert (6, 1, 8) in spans                 # adjacent occurrences merged
+    assert not any(d == 3 or d == 5 for d, _, _ in spans)
+
+    clean = {r["doc_id"]: r for r in sd.scrub_duplicate_spans(docs, n=4).collect()}
+    assert clean[3]["clean_text"] == "unique tokens only here none"
+    assert clean[3]["n_dropped_tokens"] == 0
+    assert clean[2]["clean_text"] == "x y z w q r"
+    assert clean[1]["clean_text"] == "" and clean[1]["n_dropped_tokens"] == 10
+    assert clean[6]["clean_text"] == "tail1 tail2"
+
+    # scrubbed corpus is a fixpoint: no duplicated n-gram survives scrubbing
+    rescored = sd.duplicate_ngram_spans(
+        sd.scrub_duplicate_spans(docs, n=4).withColumnRenamed(
+            "clean_text", "text"
+        ),
+        n=4,
+    )
+    assert rescored.count() == 0
