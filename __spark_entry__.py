@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from amazon_security_lake_transformation_library_spark.functions.timeops import eventday
 from amazon_security_lake_transformation_library_spark.operators import asof as asof_ops
+from amazon_security_lake_transformation_library_spark.operators import curation as cur
 from amazon_security_lake_transformation_library_spark.operators import datasetops as dso
 from amazon_security_lake_transformation_library_spark.operators import dedup as dd
 from amazon_security_lake_transformation_library_spark.operators import features as feat
@@ -1486,6 +1487,73 @@ def _q_scrub_duplicate_spans(spark, sf_dir):
     return sd.scrub_duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+# ------------------------------------------------- curation surface (r4)
+
+def _q_label_horizon(spark, sf_dir):
+    """Forward-horizon labeling: did the user purchase within the next
+    hour (strictly after this event's timestamp)? The leakage-controlled
+    complement of the as-of features — one Window, RANGE frame strictly
+    in the future (curation.label_horizon)."""
+    ev = _t(spark, sf_dir, "events")
+    out = cur.label_horizon(
+        ev, "user_id", "ts", F.col("event_type") == "purchase", 3600.0
+    )
+    return out.select("event_id", "user_id", "label_n", "label")
+
+
+def _q_sample_topn_per_group(spark, sf_dir):
+    """Deterministic per-group cap: exactly 20 pseudo-random events per
+    event_type, ranked by salted hash — reproducible under any
+    partitioning. Catalyst rewrites the rank+filter into a
+    WindowGroupLimit so each map task forwards <= 20 rows per group
+    before the shuffle (plan pinned in test_plans_quality)."""
+    ev = _t(spark, sf_dir, "events")
+    out = cur.sample_topn_per_group(ev, "event_type", "event_id", n=20)
+    return out.select("event_id", "event_type")
+
+
+def _q_domain_mixture(spark, sf_dir):
+    """Pretraining data-mixing table: per (lang, source) char mass ->
+    alpha=0.3 flattened sampling weight + epochs at a 1M-char budget.
+    One corpus aggregate; normalization runs on the domain table."""
+    docs = _t(spark, sf_dir, "documents")
+    out = cur.domain_mixture(
+        docs, ["lang", "source"], F.col("n_chars"), alpha=0.3, target_size=1e6
+    )
+    return out.select(
+        "lang", "source", "n_rows",
+        F.round("size", 1).alias("size"),
+        (F.round("weight", 6) + 0.0).alias("weight"),
+        (F.round("epochs", 4) + 0.0).alias("epochs"),
+    )
+
+
+def _q_importance_weights(spark, sf_dir):
+    """DSIR-style data selection: per-doc mean log p_target/p_raw over
+    hashed word bigrams, target = English docs. Bucket table is
+    fixed-size (4096) -> broadcast; both corpus shuffles key on uniform
+    hashes. Docs with <2 words have no bigrams and drop out (same rule
+    on the oracle side)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = cur.importance_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=4096
+    )
+    return out.select(
+        "doc_id", (F.round("importance", 4) + 0.0).alias("importance")
+    )
+
+
+def _q_psi_by_split(spark, sf_dir):
+    """Train/serve-skew gate: PSI of the event value distribution between
+    the train split and val/test (split_assign at user granularity, 10
+    shared equal-width bins over the global range, eps=1e-4 smoothing).
+    Two corpus passes, all later stages on the (split x bin) table."""
+    ev = _t(spark, sf_dir, "events")
+    sp = dso.split_assign(ev, "user_id")
+    out = cur.psi_by_split(sp, "split", "value", n_bins=10)
+    return out.select("split", (F.round("psi", 4) + 0.0).alias("psi"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's differential gate records rows for
     the FIRST 50 dict entries only. Rounds 1-3 checked the (stable) first
@@ -1540,6 +1608,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-doc exact-substring dedup (new r4)
         "duplicate_ngram_spans": _q_duplicate_spans,
         "scrub_duplicate_spans": _q_scrub_duplicate_spans,
+        # curation surface (new r4): labels / sampling / mixing / drift
+        "label_horizon_events": _q_label_horizon,
+        "sample_topn_per_group": _q_sample_topn_per_group,
+        "domain_mixture_docs": _q_domain_mixture,
+        "importance_weights_docs": _q_importance_weights,
+        "psi_value_by_split": _q_psi_by_split,
         # ---- entries 33-50: re-checked this round (driver-green in r3)
         # north-rule window / as-of surface (events stream)
         "lag_lead_events": _q_lag_lead,
@@ -2767,5 +2841,101 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(k, ' '), '') AS clean_text,
                    (len(t) - len(k))::BIGINT AS n_dropped_tokens
             FROM kept
+        """,
+        # ------------------------------------------- curation surface (r4)
+        "label_horizon_events": """
+            SELECT event_id, user_id,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                     OVER w AS label_n,
+                   (count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                     OVER w) > 0 AS label
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING)
+        """,
+        "sample_topn_per_group": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type,
+                     row_number() OVER (
+                        PARTITION BY event_type
+                        ORDER BY md5('topn-v1' || event_id::VARCHAR), event_id
+                     ) AS rn
+              FROM events)
+            WHERE rn <= 20
+        """,
+        "domain_mixture_docs": """
+            WITH per AS (
+              SELECT lang, source, count(*)::BIGINT AS n_rows,
+                     sum(n_chars)::DOUBLE AS size
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT lang, source, n_rows, round(size, 1) AS size,
+                   round(pow(size, 0.3) / sum(pow(size, 0.3)) OVER (), 6)
+                     + 0.0 AS weight,
+                   round(1000000.0 * (pow(size, 0.3) / sum(pow(size, 0.3)) OVER ())
+                         / size, 4) + 0.0 AS epochs
+            FROM per
+        """,
+        # hashed-bigram DSIR: bucket = (first 16 md5 bits) mod 4096, the
+        # same positional hex arithmetic as the simhash oracles
+        "importance_weights_docs": """
+            WITH d AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS ws,
+                     (lang = 'en')::INT AS is_t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, is_t,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i+1])) AS gram
+              FROM d
+            ), b AS (
+              SELECT doc_id, is_t,
+                     (list_sum(list_transform(range(1, 5), i ->
+                        ((strpos('0123456789abcdef', substr(md5(gram), i, 1)) - 1)::BIGINT
+                         << (4 * (4 - i)))))::BIGINT % 4096) AS bucket
+              FROM g
+            ), c AS (
+              SELECT bucket, count(*)::DOUBLE AS n_raw,
+                     sum(is_t)::DOUBLE AS n_target
+              FROM b GROUP BY 1
+            ), w AS (
+              SELECT bucket,
+                     ln((n_target + 1.0) / (sum(n_target) OVER () + 4096.0))
+                   - ln((n_raw + 1.0) / (sum(n_raw) OVER () + 4096.0)) AS log_w
+              FROM c
+            )
+            SELECT b.doc_id, round(avg(w.log_w), 4) + 0.0 AS importance
+            FROM b JOIN w USING (bucket) GROUP BY 1
+        """,
+        "psi_value_by_split": """
+            WITH s AS (
+              SELECT CASE WHEN substr(md5('split-v1' || user_id::VARCHAR), 1, 4) < 'cccc' THEN 'train'
+                          WHEN substr(md5('split-v1' || user_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
+                          ELSE 'test' END AS split,
+                     value::DOUBLE AS v
+              FROM events
+            ), bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM s),
+            binned AS (
+              SELECT split,
+                     CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
+                          ELSE least(floor((v - lo) / ((hi - lo) / 10.0))::INT, 9)
+                     END AS bin
+              FROM s CROSS JOIN bounds
+            ),
+            per AS (SELECT split, bin, count(*)::DOUBLE AS n FROM binned GROUP BY 1, 2),
+            frac AS (SELECT split, bin, n / sum(n) OVER (PARTITION BY split) AS frac FROM per),
+            grid AS (
+              SELECT split, bin
+              FROM (SELECT DISTINCT split FROM frac WHERE split <> 'train')
+              CROSS JOIN (SELECT unnest(range(0, 10))::INT AS bin)
+            ),
+            base AS (SELECT bin, frac AS p FROM frac WHERE split = 'train'),
+            oth AS (SELECT split, bin, frac AS q FROM frac WHERE split <> 'train')
+            SELECT g.split,
+                   round(sum((coalesce(p, 0) + 1e-4 - (coalesce(q, 0) + 1e-4))
+                             * ln((coalesce(p, 0) + 1e-4) / (coalesce(q, 0) + 1e-4))),
+                         4) + 0.0 AS psi
+            FROM grid g LEFT JOIN base USING (bin) LEFT JOIN oth USING (split, bin)
+            GROUP BY 1
         """,
     }

@@ -1,0 +1,292 @@
+"""Dataset-curation operators for LLM training pipelines.
+
+The reference library stops at schema normalization (SURVEY.md §2.A —
+`transformation_function/app.py` has no labeling, sampling, or corpus
+statistics at all); these are the curation passes a training-data
+pipeline runs AFTER normalization, each expressed as pure DataFrame ops
+so Catalyst keeps them inside the scan/shuffle stages it already plans:
+
+- :func:`label_horizon` — forward-looking label join ("did the entity do
+  X within the next H seconds"), the leakage-controlled counterpart of
+  the as-of features (features look strictly backward, labels strictly
+  forward).
+- :func:`sample_topn_per_group` — deterministic per-group top-N
+  subsample by salted hash rank (rank-limit pushes down to a
+  WindowGroupLimit, so each map task keeps only N rows per group before
+  the shuffle).
+- :func:`domain_mixture` — α-smoothed domain sampling weights + epoch
+  counts (the data-mixing table of a pretraining run).
+- :func:`importance_weights` — DSIR-style hashed n-gram importance
+  scores log p_target(g)/p_raw(g) averaged per document.
+- :func:`psi_by_split` — population-stability-index drift check between
+  the train split and every other split (train/serve skew detection).
+
+All hashing is md5-prefix based (the repo-wide engine-portable idiom,
+see datasetops.hash_bucket4) so every operator has an exact DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------- forward labels
+
+
+def label_horizon(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    target: Column,
+    horizon_seconds: float,
+    label_col: str = "label",
+) -> DataFrame:
+    """Forward-horizon label: for each row, does ``target`` fire for the
+    same entity within the next ``horizon_seconds`` (exclusive of the
+    current timestamp's peers)?
+
+    This is the labeling half of a point-in-time training set: features
+    read rows with ts <= t (the as-of contract, zero lookahead), labels
+    read rows with ts strictly > t — the one place lookahead is ALLOWED,
+    and keeping it in a separate operator makes the leakage boundary
+    auditable (no feature column can be built from this output without
+    the `label_` prefix showing up in lineage).
+
+    Frame: ``RANGE BETWEEN 1 FOLLOWING AND H FOLLOWING`` over integer
+    microseconds — equal-ts peers are EXCLUDED from their own label
+    (they are information at time t, not after it), exact integer
+    boundaries (no float rounding at the frame edge).
+
+    Scale shape: one Exchange on the entity key + one time sort shared
+    by both outputs (single Window operator); the frame is a sliding
+    two-pointer pass — never a self-join. At 100 TB this rides the same
+    conv_id/user_id partitioning every other feature window uses.
+    """
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(1, int(horizon_seconds * 1_000_000))
+    )
+    n = F.count(F.when(target, F.lit(1))).over(w)
+    return df.select(
+        "*",
+        n.alias(f"{label_col}_n"),
+        (n > 0).alias(label_col),
+    )
+
+
+# -------------------------------------------- deterministic group sampling
+
+
+def sample_topn_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "topn-v1",
+) -> DataFrame:
+    """Keep a deterministic pseudo-random N rows per group: rank rows
+    inside each group by ``md5(salt || id)`` (id as tiebreak) and keep
+    rank <= n. Unlike ``sample_stratified`` (per-row Bernoulli, output
+    size binomial) this gives EXACTLY min(n, |group|) rows per group —
+    the "N examples per domain" cap of a curriculum builder — and is
+    reproducible under any partitioning or cluster size (the only
+    input is the salted hash).
+
+    Scale shape: rank-limit pushdown — Catalyst rewrites the
+    row_number+filter into a WindowGroupLimit that runs BEFORE the
+    exchange, so each map task forwards at most n rows per group and
+    the shuffle carries O(groups x n), not the corpus
+    (test_plans_quality pins the WindowGroupLimit node).
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+# ------------------------------------------------------- domain mixing
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_cols: list[str],
+    size_col: Column,
+    alpha: float = 0.3,
+    target_size: float | None = None,
+) -> DataFrame:
+    """Per-domain α-smoothed sampling weights (the pretraining data-mixing
+    table): ``weight_d = size_d^alpha / sum_d' size_d'^alpha``. alpha=1
+    is proportional sampling, alpha=0 uniform over domains; 0.2-0.5 is
+    the standard unimax-style flattening that keeps small domains from
+    vanishing. If ``target_size`` is given, also emits ``epochs`` — how
+    many passes over domain d a ``target_size``-sized run makes
+    (epochs >> 1 flags domains the mixture would over-repeat).
+
+    Scale shape: one hash aggregate over the corpus (partial map-side
+    combine, tiny output — one row per domain), then the normalization
+    window runs on the DOMAIN table (dozens of rows), where a
+    single-partition window is free. Nothing corpus-sized crosses the
+    second stage.
+    """
+    per = df.groupBy(*domain_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(size_col).cast("double").alias("size"),
+    )
+    w = Window.partitionBy()  # domain table only — never corpus-sized
+    raw = F.pow(F.col("size"), F.lit(float(alpha)))
+    out = per.withColumn("weight", raw / F.sum(raw).over(w))
+    if target_size is not None:
+        out = out.withColumn(
+            "epochs", F.lit(float(target_size)) * F.col("weight") / F.col("size")
+        )
+    return out
+
+
+# ------------------------------------- hashed n-gram importance (DSIR-ish)
+
+
+def hashed_bigram_buckets(text: Column, n_buckets: int = 4096) -> Column:
+    """array<int> of hashed word-bigram buckets for one document: bucket =
+    (first 16 bits of md5(bigram)) mod n_buckets. In-row projection —
+    tokenize once, slide once; no explode, no shuffle."""
+    words = F.split(F.trim(text), r"\s+")
+    grams = F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda wd, i: F.concat_ws(" ", wd, F.element_at(words, i + 2)),
+    )
+    return F.transform(
+        grams,
+        lambda g: (
+            F.conv(F.substring(F.md5(g), 1, 4), 16, 10).cast("int")
+            % F.lit(n_buckets)
+        ),
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance score per document: average over the doc's
+    hashed word bigrams g of ``ln p_target(g) - ln p_raw(g)``, where
+    p_target is the bucket distribution of the rows matching ``target``
+    (the in-domain exemplar set) and p_raw of the whole corpus, both
+    Laplace-smoothed with ``alpha``. Rank by score, keep the top slice
+    -> a corpus re-weighted toward the target domain using only hashed
+    n-gram statistics (no model), after Xie et al.'s data-selection-
+    with-importance-resampling recipe.
+
+    Scale shape, 100 TB reading: (1) one explode + hash aggregate keyed
+    on the UNIFORM bucket id (n_buckets cells, never skewed) produces
+    the weight table; (2) the weight table is n_buckets rows ->
+    broadcast; (3) the per-doc score is a broadcast-join + hash agg
+    keyed on doc_id. The corpus crosses the wire once per stage, both
+    keys uniform; the bucket table is O(n_buckets) regardless of corpus
+    size.
+    """
+    grams = df.select(
+        F.col(id_col),
+        target.cast("int").alias("_is_target"),
+        F.explode(hashed_bigram_buckets(F.col(text_col), n_buckets)).alias("bucket"),
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("_is_target").alias("n_target"),
+    )
+    tw = Window.partitionBy()  # bucket table only (n_buckets rows)
+    a = F.lit(float(alpha))
+    b = F.lit(float(n_buckets))
+    weights = counts.select(
+        "bucket",
+        (
+            F.log((F.col("n_target") + a) / (F.sum("n_target").over(tw) + a * b))
+            - F.log((F.col("n_raw") + a) / (F.sum("n_raw").over(tw) + a * b))
+        ).alias("log_w"),
+    )
+    return (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.avg("log_w").alias("importance"))
+    )
+
+
+# --------------------------------------------------------- drift / PSI
+
+
+def psi_by_split(
+    df: DataFrame,
+    split_col: str,
+    value_col: str,
+    n_bins: int = 10,
+    base_split: str = "train",
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population stability index of ``value_col`` between ``base_split``
+    and every other split label: ``PSI = sum_bins (p - q) * ln(p/q)``
+    over ``n_bins`` equal-width bins spanning the GLOBAL min/max (shared
+    bins are the PSI contract; per-split bins would hide the very shift
+    being measured). ``eps``-smoothing keeps empty bins finite. PSI <
+    0.1 is conventionally "no shift"; this is the train/serve-skew gate
+    a feature platform runs before promoting a training set.
+
+    Scale shape: one min/max aggregate (2 scalars, broadcast back via a
+    literal-free cross join of a 1-row frame), one (split, bin) hash
+    aggregate — output n_splits x n_bins rows; every later step runs on
+    that tiny table. Two corpus passes total, no corpus-sized shuffle
+    (the (split,bin) key space is ~dozens, map-side combine collapses
+    the traffic).
+    """
+    bounds = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    # degenerate range (hi == lo) -> everything in bin 0, not a 0/0 NaN
+    bin_expr = F.when(width == 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("_lo")) / width).cast("int"),
+            F.lit(n_bins - 1),
+        )
+    )
+    binned = df.crossJoin(F.broadcast(bounds)).select(
+        F.col(split_col).alias("split"), bin_expr.alias("bin")
+    )
+    per = binned.groupBy("split", "bin").agg(F.count(F.lit(1)).alias("n"))
+    sw = Window.partitionBy("split")  # (split,bin) table only
+    frac = per.select(
+        "split",
+        "bin",
+        (F.col("n") / F.sum("n").over(sw)).alias("frac"),
+    )
+    # full (split x bin) grid: a bin that one side leaves EMPTY still
+    # contributes (eps-smoothed) — that one-sided mass is exactly the
+    # drift signal PSI exists to catch
+    splits = frac.select("split").distinct().filter(F.col("split") != base_split)
+    grid = splits.crossJoin(
+        F.broadcast(
+            frac.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    base = frac.filter(F.col("split") == base_split).select(
+        "bin", F.col("frac").alias("p")
+    )
+    other = frac.filter(F.col("split") != base_split).withColumnRenamed("frac", "q")
+    e = F.lit(float(eps))
+    pj = F.coalesce(F.col("p"), F.lit(0.0)) + e
+    qj = F.coalesce(F.col("q"), F.lit(0.0)) + e
+    return (
+        grid.join(F.broadcast(base), "bin", "left")
+        .join(other, ["split", "bin"], "left")
+        .groupBy("split")
+        .agg(F.sum((pj - qj) * F.log(pj / qj)).alias("psi"))
+    )

@@ -1,0 +1,247 @@
+"""Curation operators: forward-horizon labels, per-group top-N sampling,
+domain mixture weights, DSIR importance scores, PSI drift.
+
+Each Spark result is checked against an independent pure-python/pandas
+re-derivation, plus the invariants that matter at scale: the label
+frame's strict-future boundary (the leakage contract), determinism of
+the sampled set under repartitioning, mixture weight normalization, and
+PSI's grid completeness when one side leaves a bin empty."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_security_lake_transformation_library_spark.operators import curation as C
+
+
+# ----------------------------------------------------------- label_horizon
+
+def _events_df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], format="mixed")
+    return spark.createDataFrame(pdf)
+
+
+def test_label_horizon_strict_future_boundary(spark):
+    rows = [
+        # u1: purchase exactly AT t0 must NOT label t0 (peers excluded);
+        # purchase at t0+3600s exactly IS inside [1us, 3600s] -> labels t0
+        (0, "u1", "2024-01-01 00:00:00", "view"),
+        (1, "u1", "2024-01-01 00:00:00", "purchase"),
+        (2, "u1", "2024-01-01 01:00:00", "purchase"),
+        # u2: purchase 1us past the horizon -> outside
+        (3, "u2", "2024-01-01 00:00:00", "view"),
+        (4, "u2", "2024-01-01 01:00:00.000001", "purchase"),
+        # u3: no future purchase
+        (5, "u3", "2024-01-01 00:00:00", "view"),
+    ]
+    df = _events_df(spark, rows)
+    out = {
+        r["event_id"]: (r["label_n"], r["label"])
+        for r in C.label_horizon(
+            df, "user_id", "ts", F.col("event_type") == "purchase", 3600.0
+        ).collect()
+    }
+    # the purchase AT t0 is a frame peer -> excluded (it is information
+    # at time t, not after it); only the +1h purchase labels t0
+    assert out[0] == (1, True)
+    assert out[1] == (1, True)   # its own peer row excluded, the +1h one in
+    assert out[2] == (0, False)  # nothing after the last purchase
+    assert out[3] == (0, False)  # 1us past horizon
+    assert out[5] == (0, False)
+
+
+def test_label_horizon_matches_pandas(spark, events_pdf=None):
+    rng = np.random.default_rng(7)
+    n = 800
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 25, n).astype(str),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+        "event_type": rng.choice(["view", "purchase", "click"], n),
+    })
+    df = spark.createDataFrame(pdf)
+    got = (
+        C.label_horizon(df, "user_id", "ts", F.col("event_type") == "purchase", 600.0)
+        .select("event_id", "label_n")
+        .toPandas()
+        .set_index("event_id")["label_n"]
+    )
+    for _, r in pdf.iterrows():
+        m = pdf[
+            (pdf.user_id == r.user_id)
+            & (pdf.ts > r.ts)
+            & (pdf.ts <= r.ts + pd.Timedelta(seconds=600))
+            & (pdf.event_type == "purchase")
+        ]
+        assert got[r.event_id] == len(m)
+
+
+# -------------------------------------------------- sample_topn_per_group
+
+def test_topn_exact_count_and_partitioning_invariance(spark):
+    df = spark.range(5000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 7).alias("grp")
+    )
+    out1 = C.sample_topn_per_group(df, "grp", "row_id", n=10)
+    got1 = sorted(r["row_id"] for r in out1.collect())
+    # exactly 10 per group
+    counts = {r["grp"]: r["n"] for r in out1.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 10 for v in counts.values())
+    # identical set under a hostile repartitioning
+    out2 = C.sample_topn_per_group(df.repartition(13, "row_id"), "grp", "row_id", n=10)
+    assert sorted(r["row_id"] for r in out2.collect()) == got1
+    # matches the python re-derivation of the salted-hash ranking
+    ids = list(range(5000))
+    by_grp: dict[int, list[int]] = {}
+    for i in ids:
+        by_grp.setdefault(i % 7, []).append(i)
+    exp = []
+    for g, members in by_grp.items():
+        members.sort(key=lambda i: (hashlib.md5(f"topn-v1{i}".encode()).hexdigest(), i))
+        exp += members[:10]
+    assert got1 == sorted(exp)
+
+
+def test_topn_small_group_keeps_all(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, g string")
+    out = C.sample_topn_per_group(df, "g", "id", n=5)
+    assert out.count() == 3
+
+
+def test_topn_plan_has_window_group_limit(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 3).alias("grp")
+    )
+    plan = C.sample_topn_per_group(df, "grp", "row_id", n=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # rank-limit pushdown: each map task forwards <= n rows per group
+    # BEFORE the exchange — the property that keeps the shuffle
+    # O(groups x n) instead of corpus-sized
+    assert "WindowGroupLimit" in plan
+
+
+# --------------------------------------------------------- domain_mixture
+
+def test_domain_mixture_weights_normalize_and_match_numpy(spark):
+    pdf = pd.DataFrame({
+        "dom": ["a"] * 5 + ["b"] * 3 + ["c"] * 2,
+        "toks": [100] * 5 + [50] * 3 + [10] * 2,
+    })
+    out = C.domain_mixture(
+        spark.createDataFrame(pdf), ["dom"], F.col("toks"), alpha=0.5,
+        target_size=1000.0,
+    ).toPandas().set_index("dom").sort_index()
+    sizes = pdf.groupby("dom")["toks"].sum().sort_index().astype(float)
+    raw = sizes ** 0.5
+    exp_w = raw / raw.sum()
+    assert np.allclose(out["weight"], exp_w)
+    assert abs(out["weight"].sum() - 1.0) < 1e-12
+    assert np.allclose(out["epochs"], 1000.0 * exp_w / sizes)
+    # alpha=0 -> uniform over domains regardless of size
+    uni = C.domain_mixture(
+        spark.createDataFrame(pdf), ["dom"], F.col("toks"), alpha=0.0
+    ).toPandas()
+    assert np.allclose(uni["weight"], 1 / 3)
+
+
+# ----------------------------------------------------- importance_weights
+
+def _bucket(gram: str, n_buckets: int = 4096) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:4], 16) % n_buckets
+
+
+def test_importance_weights_match_python(spark):
+    docs = [
+        (0, "the cat sat on the mat", 1),
+        (1, "the dog ran fast", 1),
+        (2, "le chat est noir", 0),
+        (3, "le chien court vite", 0),
+        (4, "the cat ran vite", 1),
+        (5, "single", 0),  # <2 words -> no bigrams -> absent from output
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, is_en int")
+    out = {
+        r["doc_id"]: r["importance"]
+        for r in C.importance_weights(
+            df, "doc_id", "text", F.col("is_en") == 1, n_buckets=64, alpha=1.0
+        ).collect()
+    }
+    assert 5 not in out and len(out) == 5
+    # python re-derivation
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    doc_buckets: dict[int, list[int]] = {}
+    for doc_id, text, is_en in docs:
+        ws = text.split()
+        bs = [_bucket(f"{a} {b}", 64) for a, b in zip(ws, ws[1:])]
+        doc_buckets[doc_id] = bs
+        for b in bs:
+            raw[b] = raw.get(b, 0) + 1
+            if is_en:
+                tgt[b] = tgt.get(b, 0) + 1
+    nr, nt = sum(raw.values()), sum(tgt.values())
+    for doc_id, bs in doc_buckets.items():
+        if not bs:
+            continue
+        exp = sum(
+            math.log((tgt.get(b, 0) + 1) / (nt + 64))
+            - math.log((raw[b] + 1) / (nr + 64))
+            for b in bs
+        ) / len(bs)
+        assert abs(out[doc_id] - exp) < 1e-9
+    # english docs should rank above french ones under an english target
+    assert min(out[0], out[1]) > max(out[2], out[3])
+
+
+# ------------------------------------------------------------ psi_by_split
+
+def test_psi_zero_for_identical_distributions(spark):
+    pdf = pd.DataFrame({
+        "split": ["train"] * 500 + ["test"] * 500,
+        "v": list(range(500)) * 2,
+    })
+    out = C.psi_by_split(spark.createDataFrame(pdf), "split", "v").collect()
+    assert len(out) == 1 and abs(out[0]["psi"]) < 1e-12
+
+
+def test_psi_counts_one_sided_bins_and_matches_numpy(spark):
+    # train occupies bins 0-4, test occupies bins 5-9: every bin is
+    # one-sided; a join that only visited shared bins would return ~0
+    pdf = pd.DataFrame({
+        "split": ["train"] * 100 + ["test"] * 100,
+        "v": list(np.linspace(0.0, 4.9, 100)) + list(np.linspace(5.1, 10.0, 100)),
+    })
+    got = {
+        r["split"]: r["psi"]
+        for r in C.psi_by_split(
+            spark.createDataFrame(pdf), "split", "v", n_bins=10, eps=1e-4
+        ).collect()
+    }
+    lo, hi = pdf.v.min(), pdf.v.max()
+    width = (hi - lo) / 10
+    psi = 0.0
+    for b in range(10):
+        def frac(side):
+            vs = pdf[pdf.split == side].v
+            bins = np.minimum(np.floor((vs - lo) / width).astype(int), 9)
+            return (bins == b).mean()
+        p, q = frac("train") + 1e-4, frac("test") + 1e-4
+        psi += (p - q) * math.log(p / q)
+    assert abs(got["test"] - psi) < 1e-9
+    assert got["test"] > 1.0  # total separation is a huge shift
+
+
+def test_psi_degenerate_constant_value(spark):
+    df = spark.createDataFrame(
+        [("train", 1.0)] * 10 + [("test", 1.0)] * 10, "split string, v double"
+    )
+    out = C.psi_by_split(df, "split", "v").collect()
+    assert len(out) == 1 and abs(out[0]["psi"]) < 1e-12
