@@ -25,6 +25,7 @@ from amazon_security_lake_transformation_library_spark.operators import asof as 
 from amazon_security_lake_transformation_library_spark.operators import curation as cur
 from amazon_security_lake_transformation_library_spark.operators import datasetops as dso
 from amazon_security_lake_transformation_library_spark.operators import dedup as dd
+from amazon_security_lake_transformation_library_spark.operators import encoders as enc
 from amazon_security_lake_transformation_library_spark.operators import features as feat
 from amazon_security_lake_transformation_library_spark.operators import fused as fused_ops
 from amazon_security_lake_transformation_library_spark.operators import repetition as rep
@@ -1506,7 +1507,7 @@ def _q_sample_topn_per_group(spark, sf_dir):
     event_type, ranked by salted hash — reproducible under any
     partitioning. Catalyst rewrites the rank+filter into a
     WindowGroupLimit so each map task forwards <= 20 rows per group
-    before the shuffle (plan pinned in test_plans_quality)."""
+    before the shuffle (plan pinned in test_curation)."""
     ev = _t(spark, sf_dir, "events")
     out = cur.sample_topn_per_group(ev, "event_type", "event_id", n=20)
     return out.select("event_id", "event_type")
@@ -1552,6 +1553,52 @@ def _q_psi_by_split(spark, sf_dir):
     sp = dso.split_assign(ev, "user_id")
     out = cur.psi_by_split(sp, "split", "value", n_bins=10)
     return out.select("split", (F.round("psi", 4) + 0.0).alias("psi"))
+
+
+# ------------------------------------------------- encoder surface (r4)
+
+def _q_target_encode(spark, sf_dir):
+    """Ordered target encoding: per event_type, m=20-smoothed mean of
+    (value > 100) over strictly-earlier rows — the leakage-free
+    categorical encoder (encoders.target_encode_ordered). Equal-ts
+    peers excluded; first row of a category gets exactly the prior."""
+    ev = _t(spark, sf_dir, "events")
+    out = enc.target_encode_ordered(
+        ev, "event_type", F.col("value") > 100, "ts", prior=0.3, m=20.0
+    )
+    return out.select(
+        "event_id", "te_n", (F.round("te", 6) + 0.0).alias("te")
+    )
+
+
+def _q_frequency_encode(spark, sf_dir):
+    """Category -> corpus count/frequency, broadcast-joined back
+    (encoders.frequency_encode): one corpus aggregate, no corpus
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    out = enc.frequency_encode(ev, "event_type")
+    return out.select(
+        "event_id", "event_type", "freq_n",
+        (F.round("freq", 6) + 0.0).alias("freq"),
+    )
+
+
+def _q_zscore_by_type(spark, sf_dir):
+    """Per-event_type standardization of value (population std) via
+    broadcast group stats — agg+join, never a sorted window
+    (encoders.zscore_by_group)."""
+    ev = _t(spark, sf_dir, "events")
+    out = enc.zscore_by_group(ev, "value", ["event_type"])
+    return out.select("event_id", (F.round("z", 4) + 0.0).alias("z"))
+
+
+def _q_mutual_info(spark, sf_dir):
+    """MI(event_type; value>100) in nats from one contingency aggregate
+    (encoders.mutual_information) — the feature-selection screen."""
+    ev = _t(spark, sf_dir, "events")
+    return enc.mutual_information(
+        ev, F.col("event_type"), F.col("value") > 100
+    ).select((F.round("mi", 6) + 0.0).alias("mi"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1614,6 +1661,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_docs": _q_domain_mixture,
         "importance_weights_docs": _q_importance_weights,
         "psi_value_by_split": _q_psi_by_split,
+        # encoder surface (new r4): leakage-free target stats + diagnostics
+        "target_encode_events": _q_target_encode,
+        "frequency_encode_events": _q_frequency_encode,
+        "zscore_value_by_type": _q_zscore_by_type,
+        "mutual_info_type_value": _q_mutual_info,
         # ---- entries 33-50: re-checked this round (driver-green in r3)
         # north-rule window / as-of surface (events stream)
         "lag_lead_events": _q_lag_lead,
@@ -2906,6 +2958,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.doc_id, round(avg(w.log_w), 4) + 0.0 AS importance
             FROM b JOIN w USING (bucket) GROUP BY 1
+        """,
+        # ------------------------------------------- encoder surface (r4)
+        "target_encode_events": """
+            SELECT event_id,
+                   count(*) OVER w AS te_n,
+                   round((coalesce(sum(CASE WHEN value > 100 THEN 1.0
+                                             ELSE 0.0 END) OVER w, 0)
+                          + 20.0 * 0.3) / (count(*) OVER w + 20.0), 6)
+                     + 0.0 AS te
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        "frequency_encode_events": """
+            SELECT event_id, event_type,
+                   count(*) OVER (PARTITION BY event_type) AS freq_n,
+                   round(count(*) OVER (PARTITION BY event_type)::DOUBLE
+                         / count(*) OVER (), 6) + 0.0 AS freq
+            FROM events
+        """,
+        "zscore_value_by_type": """
+            SELECT event_id,
+                   round(CASE WHEN stddev_pop(value) OVER tw = 0 THEN 0.0
+                         ELSE (value - avg(value) OVER tw)
+                              / stddev_pop(value) OVER tw END, 4)
+                     + 0.0 AS z
+            FROM events
+            WINDOW tw AS (PARTITION BY event_type)
+        """,
+        "mutual_info_type_value": """
+            WITH c AS (
+              SELECT event_type AS x, (value > 100) AS y,
+                     count(*)::DOUBLE AS n
+              FROM events GROUP BY 1, 2
+            ), p AS (
+              SELECT n / sum(n) OVER () AS pxy,
+                     sum(n) OVER (PARTITION BY x) / sum(n) OVER () AS px,
+                     sum(n) OVER (PARTITION BY y) / sum(n) OVER () AS py
+              FROM c
+            )
+            SELECT round(sum(pxy * ln(pxy / (px * py))), 6) + 0.0 AS mi
+            FROM p
         """,
         "psi_value_by_split": """
             WITH s AS (

@@ -28,6 +28,8 @@ oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,7 +100,7 @@ def sample_topn_per_group(
     row_number+filter into a WindowGroupLimit that runs BEFORE the
     exchange, so each map task forwards at most n rows per group and
     the shuffle carries O(groups x n), not the corpus
-    (test_plans_quality pins the WindowGroupLimit node).
+    (test_curation pins the WindowGroupLimit node).
     """
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
@@ -186,37 +188,60 @@ def importance_weights(
     with-importance-resampling recipe.
 
     Scale shape, 100 TB reading: (1) one explode + hash aggregate keyed
-    on the UNIFORM bucket id (n_buckets cells, never skewed) produces
-    the weight table; (2) the weight table is n_buckets rows ->
-    broadcast; (3) the per-doc score is a broadcast-join + hash agg
-    keyed on doc_id. The corpus crosses the wire once per stage, both
-    keys uniform; the bucket table is O(n_buckets) regardless of corpus
-    size.
+    on the UNIFORM bucket id produces the count table — map-side
+    combine collapses each task's grams to <= n_buckets cells, so the
+    only Exchange carries O(tasks x n_buckets) rows, not the corpus;
+    (2) the n_buckets-row count table is collected (a k-row driver
+    round-trip, same budget class as the k-means centroid tables) and
+    folded into a constant log-weight array; (3) the per-doc score is
+    then a pure IN-ROW fold — hash the grams again, look each bucket up
+    in the literal array, average — so the scoring pass has ZERO
+    shuffle and the corpus never crosses the wire at all. (An earlier
+    form broadcast-joined the exploded gram table and re-aggregated by
+    doc_id, which shuffled one row per gram — corpus-word-sized — for a
+    result that is per-doc; the literal-array fold removes that whole
+    Exchange.) Eager: calling this runs the stage-1 count job.
     """
-    grams = df.select(
+    buckets = hashed_bigram_buckets(F.col(text_col), n_buckets)
+    # >= 2 words <=> >= 1 bigram; filtering on the word count instead of
+    # size(_buckets) keeps the Filter from re-evaluating the whole gram
+    # hash tree a second time before the Project
+    docs = df.filter(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) > 1
+    ).select(
         F.col(id_col),
         target.cast("int").alias("_is_target"),
-        F.explode(hashed_bigram_buckets(F.col(text_col), n_buckets)).alias("bucket"),
+        buckets.alias("_buckets"),
     )
-    counts = grams.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.sum("_is_target").alias("n_target"),
+    rows = (
+        docs.select(F.col("_is_target"), F.explode("_buckets").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum("_is_target").alias("n_target"),
+        )
+        .collect()
     )
-    tw = Window.partitionBy()  # bucket table only (n_buckets rows)
-    a = F.lit(float(alpha))
-    b = F.lit(float(n_buckets))
-    weights = counts.select(
-        "bucket",
-        (
-            F.log((F.col("n_target") + a) / (F.sum("n_target").over(tw) + a * b))
-            - F.log((F.col("n_raw") + a) / (F.sum("n_raw").over(tw) + a * b))
-        ).alias("log_w"),
-    )
-    return (
-        grams.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col)
-        .agg(F.avg("log_w").alias("importance"))
-    )
+    n_raw = [0.0] * n_buckets
+    n_target = [0.0] * n_buckets
+    for r in rows:
+        n_raw[r["bucket"]] = float(r["n_raw"])
+        n_target[r["bucket"]] = float(r["n_target"])
+    tot_raw, tot_target = sum(n_raw), sum(n_target)
+    a = float(alpha)
+    ab = a * n_buckets
+    log_w = [
+        math.log((n_target[i] + a) / (tot_target + ab))
+        - math.log((n_raw[i] + a) / (tot_raw + ab))
+        for i in range(n_buckets)
+    ]
+    arr = F.lit(log_w)  # constant-folded to one array literal
+    score = F.aggregate(
+        F.transform(F.col("_buckets"), lambda b: F.element_at(arr, b + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("_buckets")
+    return docs.select(F.col(id_col), score.alias("importance"))
 
 
 # --------------------------------------------------------- drift / PSI
