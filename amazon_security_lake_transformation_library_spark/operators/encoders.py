@@ -98,15 +98,20 @@ def frequency_encode(
     the corpus never shuffles. |categories| must fit in a broadcast
     (~10M rows is fine); beyond that this becomes a plain shuffle join
     on a uniform key, still one corpus pass.
+
+    NULL categories are a group like any other (groupBy keeps the NULL
+    key; the join back is null-safe), so no input row is dropped.
     """
     counts = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias(f"{out_col}_n"))
     total = counts.agg(F.sum(f"{out_col}_n").alias("_tot"))
     table = counts.crossJoin(F.broadcast(total)).select(
-        cat_col,
+        F.col(cat_col).alias("_cat_key"),
         f"{out_col}_n",
         (F.col(f"{out_col}_n") / F.col("_tot")).alias(out_col),
     )
-    return df.join(F.broadcast(table), cat_col)
+    return df.join(
+        F.broadcast(table), F.col(cat_col).eqNullSafe(F.col("_cat_key"))
+    ).drop("_cat_key")
 
 
 # --------------------------------------------------------- group z-score
@@ -128,18 +133,28 @@ def zscore_by_group(
     the identical result but force a full sort within each group;
     mean/std need no ordering, so the agg+join form is strictly
     cheaper and skew-immune (the agg key skews, the join side is
-    broadcast).
+    broadcast). NULL groups are kept (null-safe join keys), matching
+    the window-form semantics where NULL partitions together.
     """
     v = F.col(value_col).cast("double")
     stats = df.groupBy(*group_cols).agg(
         F.avg(v).alias("_mean"),
         F.stddev_pop(v).alias("_std"),
     )
+    stats = stats.select(
+        *[F.col(g).alias(f"_gk_{i}") for i, g in enumerate(group_cols)],
+        "_mean",
+        "_std",
+    )
+    cond = None
+    for i, g in enumerate(group_cols):
+        c = F.col(g).eqNullSafe(F.col(f"_gk_{i}"))
+        cond = c if cond is None else cond & c
     z = F.when(F.col("_std") == 0.0, F.lit(0.0)).otherwise(
         (v - F.col("_mean")) / F.col("_std")
     )
     return (
-        df.join(F.broadcast(stats), group_cols)
+        df.join(F.broadcast(stats), cond)
         .select(*df.columns, z.alias(out_col))
     )
 

@@ -141,6 +141,29 @@ def test_frequency_encode_matches_value_counts(spark):
         assert out.loc[i, "freq"] == pytest.approx(vc[c] / 100.0)
 
 
+def test_frequency_and_zscore_keep_null_groups(spark):
+    # NULL category rows must survive the join-back as their own group
+    pdf = pd.DataFrame(
+        {
+            "id": range(6),
+            "cat": ["a", "a", None, None, None, "b"],
+            "v": [1.0, 3.0, 10.0, 20.0, 30.0, 5.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fr = E.frequency_encode(df, "cat").orderBy("id").collect()
+    assert len(fr) == 6
+    assert [r["freq_n"] for r in fr] == [2, 2, 3, 3, 3, 1]
+    zs = E.zscore_by_group(df, "v", ["cat"]).orderBy("id").collect()
+    assert len(zs) == 6
+    # NULL group mean 20, pop std sqrt(200/3)
+    import math as _m
+
+    s = _m.sqrt(200.0 / 3.0)
+    assert zs[2]["z"] == pytest.approx(-10.0 / s)
+    assert zs[5]["z"] == 0.0  # singleton group
+
+
 # ----------------------------------------------------------- zscore_by_group
 
 
