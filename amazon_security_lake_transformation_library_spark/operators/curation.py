@@ -155,11 +155,22 @@ def domain_mixture(
 def hashed_bigram_buckets(text: Column, n_buckets: int = 4096) -> Column:
     """array<int> of hashed word-bigram buckets for one document: bucket =
     (first 16 bits of md5(bigram)) mod n_buckets. In-row projection —
-    tokenize once, slide once; no explode, no shuffle."""
+    no explode, no shuffle.
+
+    Built as ``zip_with(words[:-1], words[1:])`` rather than
+    ``transform(..., element_at(words, i+2))``: a non-lambda-dependent
+    subtree referenced INSIDE a higher-order-function lambda is
+    re-evaluated per element (Spark's subexpression elimination does not
+    hoist across lambdas), so the element_at form re-ran the regex
+    split once per word — O(words^2) tokenization per document. The
+    zip_with form evaluates the split a constant number of times per
+    row."""
     words = F.split(F.trim(text), r"\s+")
-    grams = F.transform(
-        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
-        lambda wd, i: F.concat_ws(" ", wd, F.element_at(words, i + 2)),
+    n1 = F.greatest(F.size(words) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(words, 1, n1),
+        F.slice(words, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     return F.transform(
         grams,

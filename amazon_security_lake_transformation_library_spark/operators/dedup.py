@@ -200,17 +200,23 @@ def minhash_candidate_pairs(
 
 def ngram_set(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; < n tokens -> empty array.
-    1-based indices to match the SQL oracle's list semantics."""
+
+    Built as a zip_with reduction over n shifted slices of the token
+    array — each slice is evaluated once per ROW. The earlier
+    ``transform(sequence(...), i -> element_at(toks, i+j))`` form
+    re-evaluated the tokenizer split inside the lambda once per gram
+    per offset (Spark does not hoist non-lambda-dependent subtrees out
+    of higher-order-function lambdas), i.e. O(n * words) tokenizations
+    per document."""
     toks = tokens(text)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    gram = F.slice(toks, 1, m)
+    for j in range(1, n):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.array_distinct(gram)
 
 

@@ -287,8 +287,13 @@ def top_ngrams(
     the final top-k is a TakeOrderedAndProject on the driver — k rows,
     not a sort of the vocabulary. Ties broken by gram text so the result
     is deterministic for the differential gate."""
-    grams = df.select(
-        F.explode(ngram_array(F.split(F.col(text_col), " "), n)).alias("gram")
+    # materialize the token array as a bound column BEFORE the gram
+    # lambda: passing the raw split expression into ngram_array would
+    # re-evaluate it per gram inside the transform lambda (CollapseProject
+    # keeps the multiply-referenced alias separate; see the same __w
+    # idiom in repetition_stats)
+    grams = df.select(F.split(F.col(text_col), " ").alias("__w")).select(
+        F.explode(ngram_array(F.col("__w"), n)).alias("gram")
     )
     return (
         grams.groupBy("gram")
