@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from amazon_security_lake_transformation_library_spark.functions.timeops import eventday
 from amazon_security_lake_transformation_library_spark.operators import asof as asof_ops
+from amazon_security_lake_transformation_library_spark.operators import chatprep as chp
 from amazon_security_lake_transformation_library_spark.operators import curation as cur
 from amazon_security_lake_transformation_library_spark.operators import datasetops as dso
 from amazon_security_lake_transformation_library_spark.operators import dedup as dd
@@ -1601,6 +1602,46 @@ def _q_mutual_info(spark, sf_dir):
     ).select((F.round("mi", 6) + 0.0).alias("mi"))
 
 
+def _q_chat_render(spark, sf_dir):
+    """Chat-template rendering: one training document per conversation,
+    `<|role|>`-headed segments concatenated in turn order
+    (chatprep.render_conversations) — one conv_id hash agg."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return chp.render_conversations(t)
+
+
+def _q_chat_loss_spans(spark, sf_dir):
+    """Per-turn character spans + SFT loss mask inside the rendered
+    document, from ONE window cumsum — the document itself is never
+    materialized (chatprep.loss_mask_spans)."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return chp.loss_mask_spans(t)
+
+
+def _q_conv_prefix_dedup(spark, sf_dir):
+    """Conversation-prefix dedup: md5 over the first 4 turns' role+text,
+    canonical = min conv_id per fingerprint
+    (chatprep.conv_prefix_fingerprint)."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return chp.conv_prefix_fingerprint(t, k=4)
+
+
+def _q_validate_turns(spark, sf_dir):
+    """Structural QA per conversation: contiguous turn_idx,
+    user/assistant alternation (tool-transparent), non-decreasing ts
+    (chatprep.validate_turns)."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return chp.validate_turns(t)
+
+
+def _q_context_budget(spark, sf_dir):
+    """Context-window budgeting: token-estimate cumsum from the
+    conversation tail; keep the suffix that fits 256 tokens
+    (chatprep.context_budget)."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return chp.context_budget(t, budget_tokens=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's differential gate records rows for
     the FIRST 50 dict entries only. Rounds 1-3 checked the (stable) first
@@ -1666,7 +1707,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_encode_events": _q_frequency_encode,
         "zscore_value_by_type": _q_zscore_by_type,
         "mutual_info_type_value": _q_mutual_info,
-        # ---- entries 33-50: re-checked this round (driver-green in r3)
+        # training-example assembly over transcripts (new r4)
+        "chat_render": _q_chat_render,
+        "chat_loss_spans": _q_chat_loss_spans,
+        "conv_prefix_dedup": _q_conv_prefix_dedup,
+        "validate_turns": _q_validate_turns,
+        "context_budget": _q_context_budget,
+        # ---- tail: re-checked in r3 (driver-green rows in CORRECTNESS_r03)
         # north-rule window / as-of surface (events stream)
         "lag_lead_events": _q_lag_lead,
         "ffill_events": _q_ffill,
@@ -1827,6 +1874,14 @@ _QUERY_IDS_SQL = "(" + ",".join(str(i) for i in QUERY_VEC_IDS) + ")"
 
 _TR_W = "PARTITION BY conv_id ORDER BY ts, turn_idx"
 _TR_CUM = _TR_W + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+
+def _tr_dir() -> str:
+    """Transcripts fixture dir for oracle SQL (same scale contract as
+    _flagship_oracle_sql: sf0.01 default, $SPARK_GRAFT_ORACLE_SF override)."""
+    return synth.ensure_fixture(
+        float(os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01"))
+    )
 
 
 def _flagship_oracle_sql() -> str:
@@ -3000,6 +3055,105 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT round(sum(pxy * ln(pxy / (px * py))), 6) + 0.0 AS mi
             FROM p
+        """,
+        # ---- training-example assembly over transcripts (chatprep, r4):
+        # same parquet fixture as the flagship oracles; chr(10/30/31) keep
+        # the byte-exact separators out of SQL string literals.
+        "chat_render": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            seg AS (
+              SELECT conv_id, turn_idx,
+                     '<|' || role ||
+                     CASE WHEN tool IS NOT NULL THEN ':' || tool ELSE '' END
+                     || '|>' || chr(10) || text || chr(10) AS seg
+              FROM t
+            )
+            SELECT conv_id, count(*)::BIGINT AS n_turns,
+                   string_agg(seg, '' ORDER BY turn_idx) AS rendered,
+                   length(string_agg(seg, '' ORDER BY turn_idx))::BIGINT
+                     AS rendered_len
+            FROM seg GROUP BY conv_id
+        """,
+        "chat_loss_spans": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            x AS (
+              SELECT conv_id, turn_idx, role,
+                     (2 + length(role)
+                        + CASE WHEN tool IS NOT NULL
+                               THEN length(tool) + 1 ELSE 0 END
+                        + 3)::BIGINT AS hlen,
+                     length(text)::BIGINT AS tlen
+              FROM t
+            ), y AS (
+              SELECT conv_id, turn_idx, role, hlen, tlen,
+                     COALESCE(sum(hlen + tlen + 1) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS seg_start
+              FROM x
+            )
+            SELECT conv_id, turn_idx, role, seg_start,
+                   (seg_start + hlen)::BIGINT AS text_start,
+                   (seg_start + hlen + tlen + 1)::BIGINT AS text_end,
+                   role = 'assistant' AS loss
+            FROM y
+        """,
+        "conv_prefix_dedup": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            p AS (
+              SELECT conv_id, count(*)::BIGINT AS n_prefix_turns,
+                     md5(string_agg(role || chr(31) || text, chr(30)
+                                    ORDER BY turn_idx)) AS prefix_fp
+              FROM t WHERE turn_idx < 4 GROUP BY conv_id
+            )
+            SELECT conv_id, n_prefix_turns, prefix_fp,
+                   min(conv_id) OVER (PARTITION BY prefix_fp)
+                     AS canonical_conv,
+                   conv_id <> min(conv_id) OVER (PARTITION BY prefix_fp)
+                     AS is_dup
+            FROM p
+        """,
+        "validate_turns": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            x AS (
+              SELECT conv_id, turn_idx,
+                     ts >= COALESCE(lag(ts) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx), ts) AS ts_ok,
+                     CASE WHEN role = 'tool' THEN TRUE
+                          ELSE role <> COALESCE(lag(role) OVER (
+                            PARTITION BY conv_id, role <> 'tool'
+                            ORDER BY turn_idx), '') END AS alt_ok
+              FROM t
+            ), a AS (
+              SELECT conv_id, count(*)::BIGINT AS n_turns,
+                     (min(turn_idx) = 0
+                      AND max(turn_idx) = count(*) - 1
+                      AND count(DISTINCT turn_idx) = count(*))
+                       AS idx_contiguous,
+                     bool_and(alt_ok) AS roles_alternate,
+                     bool_and(ts_ok) AS ts_monotone
+              FROM x GROUP BY conv_id
+            )
+            SELECT *, idx_contiguous AND roles_alternate AND ts_monotone AS ok
+            FROM a
+        """,
+        "context_budget": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            x AS (
+              SELECT conv_id, turn_idx,
+                     (ceil(length(text) / 4.0) + 4)::BIGINT AS est_tokens
+              FROM t
+            )
+            SELECT conv_id, turn_idx, est_tokens,
+                   sum(est_tokens) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum_from_end,
+                   sum(est_tokens) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) <= 256 AS keep
+            FROM x
         """,
         "psi_value_by_split": """
             WITH s AS (

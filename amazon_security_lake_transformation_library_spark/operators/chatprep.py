@@ -1,0 +1,263 @@
+"""Training-example assembly over multi-turn transcripts.
+
+The reference library stops at schema normalization
+(``transformation_function/app.py`` emits OCSF rows — SURVEY.md §2.A);
+these are the passes an LLM training pipeline runs NEXT on the
+normalized transcript table to turn conversations into model inputs:
+
+- :func:`render_conversations` — chat-template rendering: one training
+  document per conversation, turns concatenated in ``turn_idx`` order
+  with ``<|role|>`` headers (byte-deterministic, so the per-row
+  invariant "per-turn text byte-equality under stable ordering"
+  extends to the rendered document).
+- :func:`loss_mask_spans` — per-turn character spans in that rendered
+  document plus the loss mask (train only on the loss role's text, the
+  standard SFT masking rule). Pure window cumsum — no render needed.
+- :func:`conv_prefix_fingerprint` — conversation-prefix dedup: system
+  prompts / few-shot preambles repeat across conversations; fingerprint
+  the first ``k`` turns and mark every non-canonical holder.
+- :func:`validate_turns` — structural QA per conversation: contiguous
+  ``turn_idx`` from 0, user/assistant alternation (tool turns pass
+  through), non-decreasing timestamps.
+- :func:`context_budget` — context-window budgeting: cumulative token
+  estimate from the conversation TAIL, keeping the most recent turns
+  that fit — the truncation rule chat fine-tuning uses.
+
+Every operator is a single-Exchange DataFrame program (one hash agg or
+one window over ``conv_id``) built from JVM expressions only — no
+Python in any per-row path — and each carries an exact DuckDB oracle in
+``__spark_entry__.oracle_sql`` over the same parquet fixture.
+
+Scale notes (10^12 turns): every shape here keys by ``conv_id``, so on
+the conv_id-bucketed lakehouse layout (plans/bucketed.py) the Exchange
+disappears entirely — these are the same zero-shuffle reads as the
+flagship. :func:`render_conversations` materializes one row per
+conversation; a pathological hot conversation (operators/salted.py
+territory) should be length-capped or routed out BEFORE rendering —
+the ``max_turns`` guard here is that cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ turn segments
+
+
+def _segment(role: str = "role", tool: str = "tool", text: str = "text") -> Column:
+    """One turn's rendered segment: ``<|role|>`` or ``<|role:tool|>``
+    header, newline, the turn text, newline. Pure string concat —
+    byte-deterministic in any engine."""
+    header = F.concat(
+        F.lit("<|"),
+        F.col(role),
+        F.when(F.col(tool).isNotNull(), F.concat(F.lit(":"), F.col(tool))).otherwise(
+            F.lit("")
+        ),
+        F.lit("|>\n"),
+    )
+    return F.concat(header, F.col(text), F.lit("\n"))
+
+
+def _header_len(role: str = "role", tool: str = "tool") -> Column:
+    # len("<|") + role + optional ":" + tool + len("|>\n")
+    return (
+        F.lit(2)
+        + F.length(role)
+        + F.coalesce(F.length(tool) + F.lit(1), F.lit(0))
+        + F.lit(3)
+    ).cast("long")
+
+
+# ------------------------------------------------------- rendered documents
+
+
+def render_conversations(t: DataFrame, max_turns: int | None = None) -> DataFrame:
+    """One training document per conversation: segments concatenated in
+    ``turn_idx`` order. Returns ``(conv_id, n_turns, rendered,
+    rendered_len)``.
+
+    Shape: one hash aggregate on ``conv_id`` (collect_list of
+    (turn_idx, segment) structs — the one Exchange; zero on the
+    bucketed layout), ``sort_array`` for deterministic order regardless
+    of scan order, ``array_join`` back to a string. The ``transform``
+    lambda touches only its own argument (never a computed outer array
+    — the O(n^2) HOF re-evaluation trap recorded in BASELINE.md §7.6).
+
+    ``max_turns`` caps how many leading turns render (the hot-entity
+    guard): rows with ``turn_idx >= max_turns`` are filtered BEFORE the
+    aggregate, so the cap also bounds per-group state at scale.
+    """
+    x = t if max_turns is None else t.filter(F.col("turn_idx") < F.lit(max_turns))
+    segs = x.select(
+        "conv_id",
+        F.struct(F.col("turn_idx"), _segment().alias("seg")).alias("s"),
+    )
+    agg = segs.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list("s")).alias("ss")
+    )
+    rendered = F.array_join(F.transform("ss", lambda s: s["seg"]), "")
+    return agg.select(
+        "conv_id",
+        F.size("ss").cast("long").alias("n_turns"),
+        rendered.alias("rendered"),
+        F.length(rendered).cast("long").alias("rendered_len"),
+    )
+
+
+# ---------------------------------------------------------- loss-mask spans
+
+
+def loss_mask_spans(t: DataFrame, loss_role: str = "assistant") -> DataFrame:
+    """Per-turn character spans inside :func:`render_conversations`'s
+    document, computed WITHOUT rendering it: ``seg_start`` is the
+    running sum of prior segment lengths (one window, ROWS frame),
+    ``text_start``/``text_end`` bracket the turn's text plus its
+    trailing newline, and ``loss`` marks the spans the training loss
+    reads (the ``loss_role``'s text only — headers and other roles are
+    masked, the standard SFT rule).
+
+    Shape: ONE window (Exchange + Sort on ``conv_id``; zero Exchange on
+    the bucketed layout) — the span arithmetic is in-row after the
+    cumsum. Equality with the rendered document is pinned by
+    tests (spans sliced out of ``rendered`` reproduce each turn's
+    text byte-for-byte).
+    """
+    seg_len = (_header_len() + F.length("text") + F.lit(1)).cast("long")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg_start = F.coalesce(F.sum(seg_len).over(w), F.lit(0).cast("long"))
+    text_start = seg_start + _header_len()
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        seg_start.alias("seg_start"),
+        text_start.alias("text_start"),
+        (text_start + F.length("text") + F.lit(1)).cast("long").alias("text_end"),
+        (F.col("role") == F.lit(loss_role)).alias("loss"),
+    )
+
+
+# ------------------------------------------------------------- prefix dedup
+
+
+def conv_prefix_fingerprint(t: DataFrame, k: int = 4) -> DataFrame:
+    """Conversation-prefix dedup: md5 over the first ``k`` turns'
+    ``role US text`` pieces (0x1f / 0x1e separators — unambiguous
+    against any natural text), canonical holder = min ``conv_id`` per
+    fingerprint. Returns ``(conv_id, n_prefix_turns, prefix_fp,
+    canonical_conv, is_dup)``.
+
+    Shape: prefix filter (k rows per conversation — the aggregate state
+    is O(k), never conversation-length) -> one hash agg on ``conv_id``
+    -> one window on the fingerprint. The fingerprint table is
+    |convs|-sized, not |turns|-sized, so the second Exchange is tiny.
+    """
+    piece = F.concat(F.col("role"), F.lit("\x1f"), F.col("text"))
+    pref = (
+        t.filter(F.col("turn_idx") < F.lit(k))
+        .select("conv_id", F.struct("turn_idx", piece.alias("p")).alias("s"))
+        .groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(
+            "conv_id",
+            F.size("ss").cast("long").alias("n_prefix_turns"),
+            F.md5(
+                F.array_join(F.transform("ss", lambda s: s["p"]), "\x1e")
+            ).alias("prefix_fp"),
+        )
+    )
+    wfp = Window.partitionBy("prefix_fp")
+    return pref.select(
+        "*",
+        F.min("conv_id").over(wfp).alias("canonical_conv"),
+    ).withColumn("is_dup", F.col("conv_id") != F.col("canonical_conv"))
+
+
+# -------------------------------------------------------- structural checks
+
+
+def validate_turns(t: DataFrame) -> DataFrame:
+    """Per-conversation structural QA: ``(conv_id, n_turns,
+    idx_contiguous, roles_alternate, ts_monotone, ok)``.
+
+    * ``idx_contiguous`` — turn_idx is exactly 0..n-1 (min 0, max n-1,
+      distinct count n).
+    * ``roles_alternate`` — among non-tool turns, no two consecutive
+      share a role (tool turns are transparent, as in agent traces).
+    * ``ts_monotone`` — ts never decreases in turn order (ties allowed).
+
+    Shape: one window pass for the lag comparisons + one hash agg of
+    bool_and/min/max — both keyed on ``conv_id`` (zero Exchange on the
+    bucketed layout).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wr = Window.partitionBy("conv_id", F.col("role") != F.lit("tool")).orderBy(
+        "turn_idx"
+    )
+    x = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts",
+        (F.col("ts") >= F.coalesce(F.lag("ts").over(w), F.col("ts"))).alias("_ts_ok"),
+        F.when(
+            F.col("role") == F.lit("tool"), F.lit(True)
+        ).otherwise(
+            F.col("role") != F.coalesce(F.lag("role").over(wr), F.lit(""))
+        ).alias("_alt_ok"),
+    )
+    return x.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (
+            (F.min("turn_idx") == F.lit(0))
+            & (F.max("turn_idx") == F.count(F.lit(1)) - F.lit(1))
+            & (F.count_distinct("turn_idx") == F.count(F.lit(1)))
+        ).alias("idx_contiguous"),
+        F.bool_and("_alt_ok").alias("roles_alternate"),
+        F.bool_and("_ts_ok").alias("ts_monotone"),
+    ).withColumn(
+        "ok",
+        F.col("idx_contiguous") & F.col("roles_alternate") & F.col("ts_monotone"),
+    )
+
+
+# ------------------------------------------------------ context-window budget
+
+
+def context_budget(
+    t: DataFrame, budget_tokens: int, chars_per_token: int = 4, overhead: int = 4
+) -> DataFrame:
+    """Context-window truncation from the tail: estimate each turn's
+    token count (``ceil(len(text)/chars_per_token) + overhead`` for the
+    header), cumulate from the LAST turn backwards, and keep the suffix
+    that fits ``budget_tokens`` — chat fine-tuning's "most recent turns
+    win" rule. Returns ``(conv_id, turn_idx, est_tokens,
+    cum_from_end, keep)``; a turn is kept iff the whole suffix starting
+    at it fits.
+
+    Shape: one window (Exchange + Sort on ``conv_id``, descending
+    turn_idx; zero Exchange bucketed) — the same single-frame cumsum as
+    the flagship's features, just reversed.
+    """
+    est = (
+        F.ceil(F.length("text") / F.lit(float(chars_per_token))) + F.lit(overhead)
+    ).cast("long")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(est).over(w)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        est.alias("est_tokens"),
+        cum.alias("cum_from_end"),
+        (cum <= F.lit(budget_tokens)).alias("keep"),
+    )

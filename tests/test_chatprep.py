@@ -1,0 +1,134 @@
+"""Training-example assembly over transcripts (operators/chatprep.py).
+
+The load-bearing invariant: loss_mask_spans computes character offsets
+WITHOUT rendering, so spans sliced out of render_conversations' document
+must reproduce every turn byte-for-byte — the per-row "text byte-equal
+under stable ordering" contract extended to the rendered example.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_security_lake_transformation_library_spark.operators import chatprep as chp
+
+
+@pytest.fixture(scope="module")
+def rendered(spark, transcripts_df):
+    return {
+        r["conv_id"]: r["rendered"]
+        for r in chp.render_conversations(transcripts_df).collect()
+    }
+
+
+def test_render_matches_manual_concat(spark, transcripts_df, rendered):
+    # independent per-row reconstruction in Python (driver-side, test only)
+    rows = transcripts_df.collect()
+    by_conv: dict = {}
+    for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        head = f"<|{r['role']}:{r['tool']}|>\n" if r["tool"] is not None else f"<|{r['role']}|>\n"
+        by_conv.setdefault(r["conv_id"], []).append(head + r["text"] + "\n")
+    assert set(by_conv) == set(rendered)
+    for cid, segs in by_conv.items():
+        assert rendered[cid] == "".join(segs)
+
+
+def test_spans_slice_rendered_document(spark, transcripts_df, rendered):
+    spans = chp.loss_mask_spans(transcripts_df).collect()
+    turn_text = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in transcripts_df.select("conv_id", "turn_idx", "text").collect()
+    }
+    assert len(spans) == len(turn_text)
+    for s in spans:
+        doc = rendered[s["conv_id"]]
+        expect = turn_text[(s["conv_id"], s["turn_idx"])] + "\n"
+        assert doc[s["text_start"]:s["text_end"]] == expect
+        # the full segment starts with the header
+        assert doc[s["seg_start"]:s["seg_start"] + 2] == "<|"
+
+
+def test_loss_mask_marks_assistant_only(spark, transcripts_df):
+    spans = chp.loss_mask_spans(transcripts_df, loss_role="assistant")
+    bad = spans.filter(
+        (F.col("loss") & (F.col("role") != "assistant"))
+        | (~F.col("loss") & (F.col("role") == "assistant"))
+    )
+    assert bad.count() == 0
+
+
+def test_render_max_turns_cap(spark, transcripts_df):
+    capped = chp.render_conversations(transcripts_df, max_turns=3)
+    assert capped.agg(F.max("n_turns")).first()[0] <= 3
+    # cap keeps the LEADING turns: capped doc is a prefix of the full doc
+    full = {r["conv_id"]: r["rendered"]
+            for r in chp.render_conversations(transcripts_df).collect()}
+    for r in capped.collect():
+        assert full[r["conv_id"]].startswith(r["rendered"])
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+
+
+def test_prefix_dedup_groups_shared_prefixes(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    shared = [("user", "hi"), ("assistant", "hello"), ("user", "do X"),
+              ("assistant", "ok")]
+    rows = []
+    for cid in ("conv_a", "conv_b"):
+        for i, (role, txt) in enumerate(shared + [("user", f"tail {cid}")]):
+            rows.append((cid, i, role, txt, None, t0))
+    # conv_c diverges inside the prefix window
+    for i, (role, txt) in enumerate(shared):
+        rows.append(("conv_c", i, role, txt + ("!" if i == 3 else ""), None, t0))
+    out = {r["conv_id"]: r for r in
+           chp.conv_prefix_fingerprint(_mk(spark, rows), k=4).collect()}
+    assert out["conv_a"]["prefix_fp"] == out["conv_b"]["prefix_fp"]
+    assert out["conv_c"]["prefix_fp"] != out["conv_a"]["prefix_fp"]
+    assert out["conv_a"]["canonical_conv"] == "conv_a"
+    assert not out["conv_a"]["is_dup"] and out["conv_b"]["is_dup"]
+    assert not out["conv_c"]["is_dup"]
+    assert out["conv_a"]["n_prefix_turns"] == 4
+
+
+def test_validate_turns_flags_each_defect(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    rows = []
+    # good: alternation with a transparent tool turn in the middle
+    for i, role in enumerate(["user", "assistant", "tool", "user", "assistant"]):
+        rows.append(("good", i, role, "t", None, t0 + i * sec))
+    # gap in turn_idx
+    for i, role in zip([0, 1, 3], ["user", "assistant", "user"]):
+        rows.append(("gap", i, role, "t", None, t0 + i * sec))
+    # double user turn
+    for i, role in enumerate(["user", "user", "assistant"]):
+        rows.append(("dbl", i, role, "t", None, t0 + i * sec))
+    # timestamp regression
+    for i, ts in enumerate([t0, t0 + 2 * sec, t0 + sec]):
+        rows.append(("tsr", i, ["user", "assistant", "user"][i], "t", None, ts))
+    out = {r["conv_id"]: r for r in chp.validate_turns(_mk(spark, rows)).collect()}
+    assert out["good"]["ok"]
+    assert not out["gap"]["idx_contiguous"] and out["gap"]["roles_alternate"]
+    assert not out["dbl"]["roles_alternate"] and out["dbl"]["idx_contiguous"]
+    assert not out["tsr"]["ts_monotone"] and not out["tsr"]["ok"]
+
+
+def test_context_budget_keeps_fitting_suffix(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    # est_tokens = ceil(len/4) + 4; craft lengths 40 -> 14 tokens each
+    rows = [("c", i, "user", "x" * 40, None, t0) for i in range(5)]
+    out = chp.context_budget(_mk(spark, rows), budget_tokens=30).collect()
+    by_idx = {r["turn_idx"]: r for r in out}
+    assert all(r["est_tokens"] == 14 for r in out)
+    # from the end: idx4 cum=14 keep, idx3 cum=28 keep, idx2 cum=42 drop
+    assert by_idx[4]["keep"] and by_idx[3]["keep"]
+    assert not by_idx[2]["keep"] and not by_idx[0]["keep"]
+    # kept set is always a suffix: keep is monotone in turn_idx
+    kept = [r["turn_idx"] for r in out if r["keep"]]
+    assert kept and min(kept) + len(kept) - 1 == max(kept) == 4
