@@ -12,6 +12,12 @@ Covers both window strategies:
               rows) serializes into one task and caps scaling;
   * salted  — chunk-and-carry fused block (salted_features): the hot
               conversation spreads across tasks.
+Plus `--strategies curation`: the r4 curation/encoder pipeline (group
+z-score + frequency encode + forward-horizon label + ordered target
+encoding) — one shared conv_id Exchange/Sort for both windows, two
+broadcast-agg encoders. Use --hot-frac 0.001 for its scaling cell: the
+plain-window label/target frames inherit the same hot-entity serialization
+the flagship's salted path exists to fix.
 
 Usage: python tools/bench_scaling.py [--n-convs 40000] [--runs 2]
 Prints one JSON line; paste the table into BASELINE.md.
@@ -115,7 +121,37 @@ def worker(args) -> None:
 
     def job():
         chunk = time_chunk(chunk_seconds=6 * 3600)
-        if args.strategy == "bucketed":
+        if args.strategy == "curation":
+            # representative r4 curation/encoder pipeline (NOT the as-of
+            # flagship): two broadcast-agg encoders on the raw table
+            # (z-scored text length by role, tool frequency), then the
+            # forward-horizon label and the ordered target encoding —
+            # both Windows partition on conv_id and order on the same
+            # micros key, so they share one Exchange + one Sort.
+            from pyspark.sql import functions as F
+
+            from amazon_security_lake_transformation_library_spark.operators.curation import (
+                label_horizon,
+            )
+            from amazon_security_lake_transformation_library_spark.operators.encoders import (
+                frequency_encode, target_encode_ordered, zscore_by_group,
+            )
+
+            x = zscore_by_group(
+                t.withColumn("_len", F.length("text")), "_len", ["role"]
+            )
+            x = frequency_encode(x, "tool")
+            x = label_horizon(
+                x, "conv_id", "ts", F.col("role") == "assistant", 3600.0
+            )
+            x = target_encode_ordered(
+                x, "conv_id", F.col("role") == "assistant", "ts", prior=0.5
+            )
+            out = x.select(
+                "conv_id", "turn_idx", "z", "freq", "label_n", "label",
+                "te_n", "te",
+            )
+        elif args.strategy == "bucketed":
             out = flagship_bucketed(spark, "sc_t", "sc_cf")
         elif args.strategy == "fused":
             out = asof_turn_features(t, f)

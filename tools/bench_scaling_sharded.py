@@ -108,6 +108,8 @@ def worker(args) -> None:
                                 n_buckets=args.n_buckets,
                                 sort_cols=("conv_id", "ts"))
         t = spark.table("sh_t")
+    elif args.plan == "curation":
+        t = spark.read.parquet(*args.t_files.split(","))
     else:
         t = spark.read.parquet(*args.t_files.split(","))
         cf = spark.read.parquet(*args.cf_files.split(","))
@@ -120,11 +122,13 @@ def worker(args) -> None:
         time.sleep(0.05)
 
     walls, rows = [], 0
-    for _ in range(args.runs):
+    for run_idx in range(args.runs):
         spark.catalog.clearCache()
         t0 = time.time()
         if args.plan == "bucketed":
             out = flagship_bucketed(spark, "sh_t", "sh_cf")
+        elif args.plan == "curation":
+            out = _curation_job(spark, t, args, run_idx)
         else:
             out = asof_turn_features(t, cf)
         from pyspark.sql import Observation
@@ -137,6 +141,106 @@ def worker(args) -> None:
         walls.append(time.time() - t0)
     print(json.dumps({"shard": args.shard, "rows": rows,
                       "wall": round(min(walls), 3)}))
+
+
+def _curation_job(spark, t, args, run_idx: int):
+    """The r4 curation/encoder pipeline as a faithful TWO-STAGE cluster
+    job over conv_id-disjoint shards.
+
+    Stage 1 (timed): this worker's shard computes PARTIAL encoder stats
+    — per-role (n, sum(len), sum(len^2)) and per-tool counts — exactly
+    the map-side partial aggregation Spark's own hash agg emits. The
+    tiny partials land in a stats file; the wait for all W files is the
+    stage boundary (the same straggler wait a real 2-stage job pays at
+    its shuffle barrier; the reduce itself is O(W x |groups|)).
+
+    Stage 2 (timed): every worker merges the partials with the SAME
+    deterministic fold (so all levels produce bit-identical global
+    stats), broadcast-joins the merged z-score/frequency tables, and
+    runs the conv_id-local windows (forward-horizon label + ordered
+    target encoding) over its shard. Both windows partition by conv_id,
+    so conv_id-disjoint sharding is value-identical to the 1-proc run.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from amazon_security_lake_transformation_library_spark.operators.curation import label_horizon
+    from amazon_security_lake_transformation_library_spark.operators.encoders import (
+        target_encode_ordered,
+    )
+
+    # ---- stage 1: partial stats over this shard (one pruned scan)
+    part = (
+        t.select("role", "tool", F.length("text").alias("_len"))
+        .groupBy("role", "tool")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_len").cast("double")).alias("s1"),
+            F.sum((F.col("_len") * F.col("_len")).cast("double")).alias("s2"),
+        )
+        .collect()
+    )
+    stats_path = f"{args.barrier}.stats.{run_idx}.{args.shard}"
+    with open(stats_path + ".tmp", "w") as fh:
+        json.dump([[r["role"], r["tool"], r["n"], r["s1"], r["s2"]]
+                   for r in part], fh)
+    os.rename(stats_path + ".tmp", stats_path)  # atomic publish
+
+    # ---- stage boundary: wait for every shard's partial
+    want = [f"{args.barrier}.stats.{run_idx}.{i}"
+            for i in range(args.procs_total)]
+    while not all(os.path.exists(p) for p in want):
+        time.sleep(0.02)
+
+    # ---- deterministic merge (sorted fold -> identical floats at
+    # every level; W x |groups| rows, microseconds)
+    role_acc: dict = {}
+    tool_acc: dict = {}
+    rows_all = []
+    for p in want:
+        rows_all.extend(json.load(open(p)))
+    for role, tool, n, s1, s2 in sorted(
+            rows_all, key=lambda r: (str(r[0]), str(r[1]))):
+        a = role_acc.setdefault(role, [0, 0.0, 0.0])
+        a[0] += n
+        a[1] += s1
+        a[2] += s2
+        tool_acc[tool] = tool_acc.get(tool, 0) + n
+    total = sum(tool_acc.values())
+    role_rows = []
+    for role, (n, s1, s2) in sorted(role_acc.items(), key=lambda kv: str(kv[0])):
+        mean = s1 / n
+        var = max(s2 / n - mean * mean, 0.0)
+        role_rows.append((role, mean, math.sqrt(var)))
+    tool_rows = [
+        (tool, n, n / total)
+        for tool, n in sorted(tool_acc.items(), key=lambda kv: str(kv[0]))
+    ]
+    role_stats = spark.createDataFrame(role_rows, "role_k string, _mean double, _std double")
+    tool_stats = spark.createDataFrame(tool_rows, "tool_k string, freq_n long, freq double")
+
+    # ---- stage 2: broadcast encoders + conv_id-local windows
+    x = (
+        t.withColumn("_len", F.length("text").cast("double"))
+        .join(F.broadcast(role_stats), F.col("role").eqNullSafe(F.col("role_k")))
+        .withColumn(
+            "z",
+            F.when(F.col("_std") == 0.0, F.lit(0.0)).otherwise(
+                (F.col("_len") - F.col("_mean")) / F.col("_std")
+            ),
+        )
+        .drop("role_k", "_mean", "_std")
+        .join(F.broadcast(tool_stats), F.col("tool").eqNullSafe(F.col("tool_k")))
+        .drop("tool_k")
+    )
+    x = label_horizon(x, "conv_id", "ts", F.col("role") == "assistant", 3600.0)
+    x = target_encode_ordered(
+        x, "conv_id", F.col("role") == "assistant", "ts", prior=0.5
+    )
+    return x.select(
+        "conv_id", "turn_idx", "z", "freq", "label_n", "label", "te_n", "te"
+    )
 
 
 def ensure_shard_layout(layout: str, procs: int) -> str:
@@ -197,7 +301,7 @@ def run_level(layout: str, procs: int, cores: int, runs: int, heap: str,
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--shard", str(i), "--cores", str(cores), "--heap", heap,
                "--runs", str(runs), "--barrier", barrier, "--plan", plan,
-               "--n-buckets", str(nb),
+               "--n-buckets", str(nb), "--procs-total", str(procs),
                "--t-files", tf, "--cf-files", cff]
         children.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
@@ -241,7 +345,12 @@ def main() -> None:
     p.add_argument("--runs", type=int, default=2)
     # worker-mode flags
     p.add_argument("--heap", default="6g")
-    p.add_argument("--plan", default="fused", choices=["fused", "bucketed"])
+    p.add_argument("--plan", default="fused",
+                   choices=["fused", "bucketed", "curation"])
+    p.add_argument("--procs-total", type=int, default=1,
+                   help="(worker mode) total shard count this level runs — "
+                        "the curation plan's stage barrier waits for this "
+                        "many partial-stats files")
     p.add_argument("--n-buckets", type=int, default=0)
     p.add_argument("--worker", action="store_true")
     p.add_argument("--shard", type=int)
