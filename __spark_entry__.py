@@ -1642,6 +1642,45 @@ def _q_context_budget(spark, sf_dir):
     return chp.context_budget(t, budget_tokens=256)
 
 
+def _q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential keys over the exact-binary-fraction hash uniform):
+    100 documents proportional to length (curation.sample_weighted) —
+    global top-n = TakeOrderedAndProject, no corpus sort."""
+    docs = _t(spark, sf_dir, "documents")
+    out = cur.sample_weighted(docs, "doc_id", F.length("text"), n=100)
+    return out.select("doc_id", (F.round("es_key", 6) + 0.0).alias("es_key"))
+
+
+def _q_boilerplate_turns(spark, sf_dir):
+    """Templated-response detection at turn granularity
+    (chatprep.boilerplate_turns). The fixture's texts are unique by
+    construction, so the query replays the first two turns of every
+    conversation under a '_r' conv_id (the oracle does the identical
+    UNION ALL) — each replayed text then occurs in exactly 2
+    conversations and must cross the min_convs=2 threshold."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    replay = t.filter(F.col("turn_idx") < 2).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_r"))
+    )
+    return chp.boilerplate_turns(t.unionByName(replay), min_convs=2)
+
+
+def _q_conv_profile(spark, sf_dir):
+    """Conversation-level profile (chatprep.conv_profile): session
+    count, tool-call count, assistant char share, duration, mean gap —
+    one lag window + one conv_id aggregate."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    out = chp.conv_profile(t, gap_seconds=float(GAP_S))
+    return out.select(
+        "conv_id", "n_turns", "n_sessions", "n_tool_calls",
+        "n_assistant_turns",
+        (F.round("assistant_char_frac", 6) + 0.0).alias("assistant_char_frac"),
+        (F.round("duration_s", 4) + 0.0).alias("duration_s"),
+        (F.round("mean_gap_s", 4) + 0.0).alias("mean_gap_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's differential gate records rows for
     the FIRST 50 dict entries only. Rounds 1-3 checked the (stable) first
@@ -1713,6 +1752,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_prefix_dedup": _q_conv_prefix_dedup,
         "validate_turns": _q_validate_turns,
         "context_budget": _q_context_budget,
+        # weighted sampling + transcript hygiene (new r4); conv_profile is
+        # entry 51 — past this round's gate cap, r5 rotates it in (it has
+        # the same local check_oracle evidence as every entry)
+        "sample_weighted_docs": _q_sample_weighted,
+        "boilerplate_assistant_turns": _q_boilerplate_turns,
+        "conv_profile": _q_conv_profile,
         # ---- tail: re-checked in r3 (driver-green rows in CORRECTNESS_r03)
         # north-rule window / as-of surface (events stream)
         "lag_lead_events": _q_lag_lead,
@@ -3154,6 +3199,60 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) <= 256 AS keep
             FROM x
+        """,
+        # Efraimidis-Spirakis weighted sample: the uniform is the same
+        # exact-binary-fraction nibble sum as the KMV sketch (bitwise
+        # equal across engines), the 2^-33 guard term dodges ln(0).
+        "sample_weighted_docs": f"""
+            WITH b AS (
+              SELECT doc_id, length(text)::DOUBLE AS w,
+                     md5('wsample-v1' || doc_id::VARCHAR) AS h
+              FROM documents
+            ), k AS (
+              SELECT doc_id,
+                     -ln(({_KMV_FRAC}) + power(2.0, -33)) / w AS key
+              FROM b WHERE w > 0
+            )
+            SELECT doc_id, round(key, 6) + 0.0 AS es_key
+            FROM k ORDER BY key, doc_id LIMIT 100
+        """,
+        "boilerplate_assistant_turns": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            u AS (
+              SELECT conv_id, role, text FROM t
+              UNION ALL
+              SELECT conv_id || '_r', role, text FROM t WHERE turn_idx < 2
+            )
+            SELECT md5(text) AS text_fp,
+                   count(DISTINCT conv_id)::BIGINT AS n_convs,
+                   count(*)::BIGINT AS n_occurrences,
+                   min(text) AS text
+            FROM u WHERE role = 'assistant'
+            GROUP BY md5(text)
+            HAVING count(DISTINCT conv_id) >= 2
+        """,
+        "conv_profile": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            x AS (
+              SELECT conv_id, role, tool, length(text)::BIGINT AS chars, ts,
+                     (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx)))
+                       / 1000000.0 AS gap
+              FROM t
+            )
+            SELECT conv_id, count(*)::BIGINT AS n_turns,
+                   (1 + sum(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END))::BIGINT
+                     AS n_sessions,
+                   sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_tool_calls,
+                   sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_assistant_turns,
+                   round(sum(CASE WHEN role = 'assistant' THEN chars ELSE 0 END)::DOUBLE
+                         / sum(chars)::DOUBLE, 6) + 0.0 AS assistant_char_frac,
+                   round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 4)
+                     + 0.0 AS duration_s,
+                   round(avg(gap), 4) + 0.0 AS mean_gap_s
+            FROM x GROUP BY conv_id
         """,
         "psi_value_by_split": """
             WITH s AS (

@@ -227,6 +227,85 @@ def validate_turns(t: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- boilerplate turns
+
+
+def boilerplate_turns(
+    t: DataFrame, role: str = "assistant", min_convs: int = 3
+) -> DataFrame:
+    """Templated-response detection: the same ``role`` text occurring in
+    ``min_convs``+ distinct conversations is boilerplate (canned
+    greetings, refusal templates, tool preambles) — the transcript
+    analogue of corpus-level exact dedup, at turn granularity. Returns
+    one row per boilerplate text: ``(text_fp, n_convs, n_occurrences,
+    text)``.
+
+    Shape: role filter -> ONE hash aggregate keyed by md5(text) (the
+    128-bit key shuffles, never the text bodies twice — min(text)
+    carries one copy per group for auditability; count_distinct plans
+    as the standard two-phase partial-distinct agg). Output is
+    |distinct templated texts|, a vanishing fraction of the corpus.
+    """
+    return (
+        t.filter(F.col("role") == F.lit(role))
+        .groupBy(F.md5("text").alias("text_fp"))
+        .agg(
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("text").alias("text"),
+        )
+        .filter(F.col("n_convs") >= F.lit(min_convs))
+    )
+
+
+# --------------------------------------------------------- conversation profile
+
+
+def conv_profile(t: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+    """Conversation-level profile table — the per-entity summary a
+    curation pass filters and stratifies on: ``(conv_id, n_turns,
+    n_sessions, n_tool_calls, n_assistant_turns, assistant_char_frac,
+    duration_s, mean_gap_s)``.
+
+    Shape: one lag window for inter-turn gaps + one conv_id hash agg —
+    the same single Exchange+Sort as the flagship's feature block
+    (zero Exchange on the bucketed layout). ``n_sessions`` counts gap >
+    ``gap_seconds`` breaks exactly like the flagship's sessionizer, so
+    the two agree by construction.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    ).cast("double") / F.lit(1e6)
+    x = t.select(
+        "conv_id",
+        "role",
+        "tool",
+        F.length("text").cast("long").alias("_chars"),
+        "ts",
+        gap.alias("_gap"),
+    )
+    total_chars = F.sum("_chars")
+    asst_chars = F.sum(F.when(F.col("role") == "assistant", F.col("_chars")).otherwise(F.lit(0)))
+    return x.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (
+            F.lit(1)
+            + F.sum(F.when(F.col("_gap") > gap_seconds, 1).otherwise(0))
+        ).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).cast("long").alias("n_tool_calls"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).cast("long").alias("n_assistant_turns"),
+        (asst_chars.cast("double") / total_chars.cast("double")).alias("assistant_char_frac"),
+        (
+            (F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))).cast("double")
+            / F.lit(1e6)
+        ).alias("duration_s"),
+        F.avg("_gap").alias("mean_gap_s"),
+    )
+
+
 # ------------------------------------------------------ context-window budget
 
 

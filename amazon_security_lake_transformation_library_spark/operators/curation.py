@@ -111,6 +111,48 @@ def sample_topn_per_group(
     )
 
 
+def sample_weighted(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    n: int,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, probability proportional
+    to ``weight``: Efraimidis-Spirakis exponential keys. Each row draws
+    a deterministic uniform u from ``md5(salt || id)`` and is ranked by
+    ``-ln(u) / w`` ascending (equivalently u^(1/w) descending); the
+    bottom-n ranks are the sample. One pass, no rejection loop, exact
+    sample size, and — because the only randomness is the salted hash —
+    reproducible under any partitioning or cluster size, like every
+    sampler in this module.
+
+    Rows with weight <= 0 or NULL never sample — they are filtered out,
+    so an under-full sample is never backfilled with zero-weight rows.
+    Ties on the key break by ``id_col``.
+
+    Scale shape: global top-n is a ``TakeOrderedAndProject`` — every
+    map task keeps an n-row heap, the driver merges W heaps; nothing
+    resembling a corpus sort or shuffle happens (the classic
+    distributed weighted-reservoir construction). The key column is
+    exposed so the selection is auditable. The uniform reuses
+    sketch.hash_frac's exact-binary-fraction construction, so the key
+    is bit-identical in any engine (the 2^-32 guard term dodges
+    ln(0) at u=0 without breaking that exactness).
+    """
+    from amazon_security_lake_transformation_library_spark.operators.sketch import hash_frac
+
+    u = hash_frac(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    wgt = weight.cast("double")
+    key = -F.log(u + F.lit(2.0**-33)) / wgt
+    return (
+        df.filter(wgt > 0.0)  # weight<=0/NULL never samples (not even to
+        .select("*", key.alias("es_key"))  # backfill an under-full n)
+        .orderBy("es_key", id_col)
+        .limit(n)
+    )
+
+
 # ------------------------------------------------------- domain mixing
 
 

@@ -132,3 +132,52 @@ def test_context_budget_keeps_fitting_suffix(spark):
     # kept set is always a suffix: keep is monotone in turn_idx
     kept = [r["turn_idx"] for r in out if r["keep"]]
     assert kept and min(kept) + len(kept) - 1 == max(kept) == 4
+
+
+def test_boilerplate_turns_threshold_on_distinct_convs(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # "canned" appears once in each of 3 convs; "repeat" 3x within ONE conv
+    for j, cid in enumerate(["c1", "c2", "c3"]):
+        rows.append((cid, 0, "user", "q", None, t0))
+        rows.append((cid, 1, "assistant", "canned", None, t0))
+    for i in range(3):
+        rows.append(("c4", i, "assistant", "repeat", None, t0))
+    out = {r["text"]: r for r in
+           chp.boilerplate_turns(_mk(spark, rows), min_convs=3).collect()}
+    assert set(out) == {"canned"}
+    assert out["canned"]["n_convs"] == 3 and out["canned"]["n_occurrences"] == 3
+    # lowering the threshold surfaces the within-conv repeat with n_convs=1
+    out2 = {r["text"]: r for r in
+            chp.boilerplate_turns(_mk(spark, rows), min_convs=1).collect()}
+    assert out2["repeat"]["n_convs"] == 1 and out2["repeat"]["n_occurrences"] == 3
+
+
+def test_conv_profile_handcrafted(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    mins = dt.timedelta(minutes=1)
+    rows = [
+        ("c", 0, "user", "aaaa", None, t0),
+        ("c", 1, "assistant", "bbbbbb", None, t0 + mins),
+        ("c", 2, "tool", "cc", "tool_01", t0 + 2 * mins),
+        # 31-minute gap -> session break (gap_seconds=1800)
+        ("c", 3, "user", "dd", None, t0 + 33 * mins),
+        ("c", 4, "assistant", "ee", None, t0 + 34 * mins),
+    ]
+    p = chp.conv_profile(_mk(spark, rows), gap_seconds=1800.0).collect()[0]
+    assert p["n_turns"] == 5 and p["n_sessions"] == 2
+    assert p["n_tool_calls"] == 1 and p["n_assistant_turns"] == 2
+    assert abs(p["assistant_char_frac"] - 8 / 16) < 1e-12
+    assert p["duration_s"] == 34 * 60.0
+    # mean over the 4 gaps: (60 + 60 + 1860 + 60) / 4
+    assert abs(p["mean_gap_s"] - 510.0) < 1e-9
+
+
+def test_conv_profile_sessions_agree_with_flagship_sessionizer(spark, transcripts_df):
+    from amazon_security_lake_transformation_library_spark.operators import features as feat
+    prof = chp.conv_profile(transcripts_df, gap_seconds=1800.0)
+    sess = (feat.sessionize(transcripts_df, gap_seconds=1800.0)
+            .groupBy("conv_id")
+            .agg(F.countDistinct("session_id").alias("n")))
+    joined = prof.join(sess, "conv_id")
+    assert joined.filter(F.col("n_sessions") != F.col("n")).count() == 0

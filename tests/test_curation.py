@@ -245,3 +245,45 @@ def test_psi_degenerate_constant_value(spark):
     )
     out = C.psi_by_split(df, "split", "v").collect()
     assert len(out) == 1 and abs(out[0]["psi"]) < 1e-12
+
+
+# ------------------------------------------------- weighted sampling (ES)
+
+
+def test_sample_weighted_exact_n_and_partition_invariance(spark):
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(500)], "id long, w double"
+    )
+    a = C.sample_weighted(df, "id", F.col("w"), n=50)
+    b = C.sample_weighted(df.repartition(13), "id", F.col("w"), n=50)
+    ids_a = sorted(r["id"] for r in a.collect())
+    ids_b = sorted(r["id"] for r in b.collect())
+    assert len(ids_a) == 50 and ids_a == ids_b  # partitioning-invariant
+
+
+def test_sample_weighted_excludes_nonpositive_weights(spark):
+    rows = [(i, 1.0 if i < 10 else (0.0 if i < 20 else -1.0)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sorted(r["id"] for r in
+                 C.sample_weighted(df, "id", F.col("w"), n=15).collect())
+    # only the 10 positive-weight rows can ever sample
+    assert got == list(range(10))
+
+
+def test_sample_weighted_skews_toward_heavy_rows(spark):
+    # 1000 rows, 100 with weight 50, 900 with weight 1: heavy rows hold
+    # ~84.8% of total mass; a size-200 ES sample must be heavy-dominated
+    rows = [(i, 50.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r["id"] for r in C.sample_weighted(df, "id", F.col("w"), n=200).collect()]
+    heavy = sum(1 for i in got if i < 100)
+    # all 100 heavy rows are near-certain to make a 200-sample; allow slack
+    assert heavy >= 90
+
+
+def test_sample_weighted_plan_is_take_ordered(spark):
+    df = spark.createDataFrame([(i, 1.0) for i in range(100)], "id long, w double")
+    plan = C.sample_weighted(df, "id", F.col("w"), n=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle: per-task heaps, driver merge
