@@ -64,10 +64,24 @@ def label_horizon(
     by both outputs (single Window operator); the frame is a sliding
     two-pointer pass — never a self-join. At 100 TB this rides the same
     conv_id/user_id partitioning every other feature window uses.
+
+    Layout-aware ordering: if ``ts_col`` is already an integral column
+    (epoch MICROSECONDS, e.g. a ``ts_us`` materialized into the
+    lakehouse layout's sort key), the window orders by the column
+    itself instead of a ``unix_micros(cast(...))`` expression. Sort
+    elimination against a bucketed-sorted scan is SYNTACTIC — an
+    order-isomorphic expression still plans a Sort — so on a table
+    bucketed by entity and sorted ``(entity, ts_us)`` this path plans
+    ZERO Exchange and ZERO Sort (pinned in test_plans_quality).
     """
+    ts_key = (
+        F.col(ts_col)
+        if dict(df.dtypes).get(ts_col) in ("int", "bigint", "smallint")
+        else F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
     w = (
         Window.partitionBy(entity)
-        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .orderBy(ts_key)
         .rangeBetween(1, int(horizon_seconds * 1_000_000))
     )
     n = F.count(F.when(target, F.lit(1))).over(w)

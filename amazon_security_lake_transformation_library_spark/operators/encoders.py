@@ -58,6 +58,13 @@ def target_encode_ordered(
     forward pass (never O(n^2) per partition), deterministic under any
     input order because RANGE frames are keyed by the ts value.
 
+    Layout-aware ordering: an integral ``ts_col`` (epoch microseconds,
+    e.g. a ``ts_us`` in the lakehouse sort key) is ordered by directly,
+    so on a table bucketed by ``cat_col`` and sorted
+    ``(cat_col, ts_us)`` the window plans zero Exchange and zero Sort
+    (Sort elimination is syntactic; a ``unix_micros(cast(...))``
+    expression would re-sort).
+
     Scale shape: one Exchange + sort on ``cat_col``. For a
     LOW-cardinality categorical this concentrates the corpus into
     |categories| partitions — at 100 TB route such columns through a
@@ -67,9 +74,14 @@ def target_encode_ordered(
     mid/high-cardinality keys (user ids, domains), where the partition
     count is the key count.
     """
+    ts_key = (
+        F.col(ts_col)
+        if dict(df.dtypes).get(ts_col) in ("int", "bigint", "smallint")
+        else F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
     w = (
         Window.partitionBy(cat_col)
-        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .orderBy(ts_key)
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     t = target.cast("double")

@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from amazon_security_lake_transformation_library_spark.plans.writer import SnapshotWriter
@@ -308,3 +309,72 @@ def test_register_bucketed_table_validates_bucket_count(spark, tmp_path):
     )
     assert spark.table("tb_val_test").count() == t.count()
     spark.sql("DROP TABLE tb_val_test")
+
+
+def test_curation_windows_zero_exchange_on_micros_sorted_layout(spark, tmp_path):
+    """Layout-aware curation/encoder windows (BASELINE.md §7.7): on a
+    table bucketed by conv_id and sorted (conv_id, ts_us) — integer
+    epoch-micros materialized INTO the sort key — the full curation
+    stage-2 (two broadcast-agg encoders + forward-horizon label +
+    ordered target encoding) plans ZERO Exchange and ZERO Sort, because
+    both windows order by the ts_us COLUMN (Sort elimination is
+    syntactic; the unix_micros(cast(ts)) expression form re-sorts).
+    Output must equal the expression-form pipeline on the same rows."""
+    from amazon_security_lake_transformation_library_spark.operators.curation import label_horizon
+    from amazon_security_lake_transformation_library_spark.operators.encoders import (
+        frequency_encode, target_encode_ordered, zscore_by_group,
+    )
+    from amazon_security_lake_transformation_library_spark.plans import bucketed
+    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
+        gen_transcripts, write_parquet,
+    )
+
+    d = str(tmp_path)
+    write_parquet(gen_transcripts(200), f"{d}/t.parquet")
+    t = spark.read.parquet(f"{d}/t.parquet").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    bucketed.write_bucketed_table(
+        t, "tb_cur_plan", n_buckets=8, sort_cols=("conv_id", "ts_us"),
+        path=f"{d}/tables/tb_cur_plan",
+    )
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+
+    def stage2(df, ts_col):
+        x = zscore_by_group(df.withColumn("_len", F.length("text")), "_len", ["role"])
+        x = frequency_encode(x, "tool")
+        x = label_horizon(x, "conv_id", ts_col, F.col("role") == "assistant", 3600.0)
+        x = target_encode_ordered(
+            x, "conv_id", F.col("role") == "assistant", ts_col, prior=0.5
+        )
+        # z's group mean/std are partial-agg summation-order sensitive
+        # (bucketed scan vs plain scan partition differently), so the
+        # equality check compares it at 9 dp; everything else is exact
+        return x.select("conv_id", "turn_idx", F.round("z", 9).alias("z"),
+                        "freq", "label_n", "label", "te_n", "te")
+
+    out = stage2(spark.table("tb_cur_plan"), "ts_us")
+    plan = _plan(out)
+    # the CORPUS never shuffles or sorts: no conv_id Exchange, no Sort
+    # anywhere — both windows consume the bucketed files' sort order.
+    # (The only Exchanges left are the tiny encoder-stats aggregates —
+    # |roles|/|tools| rows after map-side partial agg — and their
+    # broadcasts; at 10^12 turns those carry O(groups) rows, not corpus.)
+    assert len(re.findall(r"Exchange hashpartitioning\(conv_id", plan)) == 0, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 0, plan
+    assert "Bucketed: true" in plan
+    # the expression-ordered form on the SAME bucketed scan re-sorts —
+    # the syntactic-elimination contrast this layout exists to avoid
+    plan_expr = _plan(
+        stage2(spark.table("tb_cur_plan").withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))), "ts")
+    )
+    assert len(re.findall(r"\bSort \[", plan_expr)) >= 1, plan_expr
+
+    # value equality with the expression-ordered form on the plain scan
+    ref = stage2(t, "ts")
+    assert out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(out).count() == 0
+    spark.sql("DROP TABLE tb_cur_plan")

@@ -108,6 +108,17 @@ def worker(args) -> None:
                                 n_buckets=args.n_buckets,
                                 sort_cols=("conv_id", "ts"))
         t = spark.table("sh_t")
+    elif args.plan == "curation_bucketed":
+        # conv_id-bucketed table sorted (conv_id, ts_us): both curation
+        # windows order by the ts_us COLUMN, so stage 2 plans with zero
+        # corpus Exchange AND zero Sort (pinned by
+        # test_plans_quality.py::test_curation_windows_zero_exchange_...)
+        register_bucketed_table(spark, "sh_cur_t", args.t_files,
+                                n_buckets=args.n_buckets,
+                                sort_cols=("conv_id", "ts_us"))
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        t = spark.table("sh_cur_t")
     elif args.plan == "curation":
         t = spark.read.parquet(*args.t_files.split(","))
     else:
@@ -129,6 +140,8 @@ def worker(args) -> None:
             out = flagship_bucketed(spark, "sh_t", "sh_cf")
         elif args.plan == "curation":
             out = _curation_job(spark, t, args, run_idx)
+        elif args.plan == "curation_bucketed":
+            out = _curation_job(spark, t, args, run_idx, ts_col="ts_us")
         else:
             out = asof_turn_features(t, cf)
         from pyspark.sql import Observation
@@ -143,7 +156,7 @@ def worker(args) -> None:
                       "wall": round(min(walls), 3)}))
 
 
-def _curation_job(spark, t, args, run_idx: int):
+def _curation_job(spark, t, args, run_idx: int, ts_col: str = "ts"):
     """The r4 curation/encoder pipeline as a faithful TWO-STAGE cluster
     job over conv_id-disjoint shards.
 
@@ -234,9 +247,9 @@ def _curation_job(spark, t, args, run_idx: int):
         .join(F.broadcast(tool_stats), F.col("tool").eqNullSafe(F.col("tool_k")))
         .drop("tool_k")
     )
-    x = label_horizon(x, "conv_id", "ts", F.col("role") == "assistant", 3600.0)
+    x = label_horizon(x, "conv_id", ts_col, F.col("role") == "assistant", 3600.0)
     x = target_encode_ordered(
-        x, "conv_id", F.col("role") == "assistant", "ts", prior=0.5
+        x, "conv_id", F.col("role") == "assistant", ts_col, prior=0.5
     )
     return x.select(
         "conv_id", "turn_idx", "z", "freq", "label_n", "label", "te_n", "te"
@@ -257,10 +270,13 @@ def ensure_shard_layout(layout: str, procs: int) -> str:
     cf_map = bucket_files(os.path.join(layout, "sc_cf"))
     spark = get_spark("shard-setup", master="local[8]", shuffle_partitions=16,
                       extra_conf={"spark.local.dir": "/dev/shm/shard-setup"})
+    allb = sorted(t_map)
     for i in range(procs):
-        # round-robin so EVERY bucket is assigned even when procs does not
-        # divide the bucket count (a dropped tail silently shrinks the job)
-        bs = sorted(t_map)[i::procs]
+        # contiguous ranges: every bucket assigned (no dropped tail) AND
+        # the re-bucket hash%8 fills all 8 child buckets — a strided
+        # (round-robin) assignment leaves most child buckets empty
+        # because 32 and 8 share factors (see ensure_curation_layout)
+        bs = allb[i * len(allb) // procs:(i + 1) * len(allb) // procs]
         write_bucketed_table(
             spark.read.parquet(*[t_map[b] for b in bs]), f"sh_setup_t_{i}",
             n_buckets=8, sort_cols=("conv_id", "ts", "turn_idx"),
@@ -269,6 +285,45 @@ def ensure_shard_layout(layout: str, procs: int) -> str:
             spark.read.parquet(*[cf_map[b] for b in bs]), f"sh_setup_cf_{i}",
             n_buckets=8, sort_cols=("conv_id", "ts"),
             path=f"{out_root}/shard_{i}/cf")
+    spark.stop()
+    open(os.path.join(out_root, "_SUCCESS"), "w").write("1")
+    return out_root
+
+
+def ensure_curation_layout(layout: str, procs: int) -> str:
+    """One-time re-write for the curation_bucketed plan: W shard tables,
+    each conv_id-bucketed and sorted ``(conv_id, ts_us)`` with the epoch
+    micros MATERIALIZED into the sort key — the layout under which the
+    curation windows plan zero Exchange / zero Sort. procs=1 writes one
+    32-bucket table (same plan, parallelism the only variable)."""
+    out_root = f"{layout}-cur{procs}"
+    if os.path.exists(os.path.join(out_root, "_SUCCESS")):
+        return out_root
+    from pyspark.sql import functions as F
+
+    from amazon_security_lake_transformation_library_spark.plans.bucketed import write_bucketed_table
+    from amazon_security_lake_transformation_library_spark.session import get_spark
+    t_map = bucket_files(os.path.join(layout, "sc_t"))
+    spark = get_spark("curshard-setup", master="local[8]",
+                      shuffle_partitions=16,
+                      extra_conf={"spark.local.dir": "/dev/shm/curshard-setup"})
+    nb = 8 if procs > 1 else 32
+    allb = sorted(t_map)
+    for i in range(procs):
+        # CONTIGUOUS bucket ranges, not round-robin: shard i owning
+        # buckets [i*k, (i+1)*k) of the 32-bucket parent means
+        # hash%32 in [8i, 8i+8), so the re-bucket hash%8 covers ALL 8
+        # child buckets uniformly. A strided assignment maps every
+        # parent bucket to the same one or two child buckets (32 and 8
+        # share factors), leaving 6 of 8 declared buckets empty — which
+        # register_bucketed_table's layout validation rightly rejects.
+        lo, hi = i * len(allb) // procs, (i + 1) * len(allb) // procs
+        bs = allb[lo:hi]
+        df = spark.read.parquet(*[t_map[b] for b in bs]).withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        write_bucketed_table(df, f"cur_setup_t_{i}", n_buckets=nb,
+                             sort_cols=("conv_id", "ts_us"),
+                             path=f"{out_root}/shard_{i}/t")
     spark.stop()
     open(os.path.join(out_root, "_SUCCESS"), "w").write("1")
     return out_root
@@ -284,7 +339,11 @@ def run_level(layout: str, procs: int, cores: int, runs: int, heap: str,
     for f in glob.glob(barrier + "*"):
         os.remove(f)
 
-    if plan == "bucketed" and procs > 1:
+    if plan == "curation_bucketed":
+        shard_root = ensure_curation_layout(layout, procs)
+        nb = 8 if procs > 1 else 32
+        specs = [(f"{shard_root}/shard_{i}/t", "", nb) for i in range(procs)]
+    elif plan == "bucketed" and procs > 1:
         shard_root = ensure_shard_layout(layout, procs)
         specs = [(f"{shard_root}/shard_{i}/t", f"{shard_root}/shard_{i}/cf", 8)
                  for i in range(procs)]
@@ -346,7 +405,8 @@ def main() -> None:
     # worker-mode flags
     p.add_argument("--heap", default="6g")
     p.add_argument("--plan", default="fused",
-                   choices=["fused", "bucketed", "curation"])
+                   choices=["fused", "bucketed", "curation",
+                            "curation_bucketed"])
     p.add_argument("--procs-total", type=int, default=1,
                    help="(worker mode) total shard count this level runs — "
                         "the curation plan's stage barrier waits for this "
