@@ -183,10 +183,19 @@ def rolling_time_window(
     """
     # integer-microsecond order key: RANGE boundaries are exact integer
     # arithmetic (a double epoch key would make frame membership depend on
-    # float rounding at the boundary — unreproducible across engines)
+    # float rounding at the boundary — unreproducible across engines).
+    # Layout-aware: an integral ts_col (epoch micros materialized into the
+    # lakehouse sort key) is ordered by directly, so a (entity, ts_us)-
+    # sorted bucketed scan plans this window with zero Exchange/Sort —
+    # Sort elimination is syntactic (BASELINE.md §7.7).
+    ts_key = (
+        F.col(ts_col)
+        if dict(df.dtypes).get(ts_col) in ("int", "bigint", "smallint")
+        else F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
     w = (
         Window.partitionBy(entity)
-        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .orderBy(ts_key)
         .rangeBetween(-int(window_seconds * 1_000_000), 0)
     )
     return df.select(
