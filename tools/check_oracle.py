@@ -9,6 +9,8 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
+import re
 import sys
 import time
 
@@ -48,6 +50,16 @@ def frame_sig(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+
+    # The fixture-backed oracles (flagship transcripts, BPE, lang-ID, …)
+    # key their precomputed expected tables on $SPARK_GRAFT_ORACLE_SF
+    # (default 0.01, the driver gate's scale). When this harness runs at a
+    # DIFFERENT sf_dir the two sides silently disagree on input size —
+    # derive the override from sf_dir unless the caller pinned it.
+    if "SPARK_GRAFT_ORACLE_SF" not in os.environ:
+        m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+        if m:
+            os.environ["SPARK_GRAFT_ORACLE_SF"] = m.group(1)
 
     con = duckdb.connect()
     for t in TABLES:
