@@ -1681,6 +1681,35 @@ def _q_conv_profile(spark, sf_dir):
     )
 
 
+def _q_hot_conversations(spark, sf_dir):
+    """Exact hot-conversation detection in two bounded-memory passes
+    (sketch.heavy_hitters): per-partition Misra-Gries candidates ->
+    broadcast-flagged exact count. The shuffle carries <= k*partitions+1
+    rows instead of one row per distinct conv_id — at 10^12 turns /
+    10^9 conversations the naive groupBy-count hot-key pre-pass is a
+    billion-row exchange; this is the scale path that feeds the skew
+    router. The fixture's ~10%-hot conversation clears min_frac=0.05;
+    the ~20-turn tail does not. Oracle: plain GROUP BY .. HAVING over
+    the same parquet — a different algorithm with no sketch."""
+    from amazon_security_lake_transformation_library_spark.operators import sketch as sk
+
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return sk.heavy_hitters(t, "conv_id", min_frac=0.05)
+
+
+def _q_heavy_users_events(spark, sf_dir):
+    """heavy_hitters on the events stream (user_id, min_frac=0.008):
+    k=126 MG counters < 150 distinct users at sf0.01, so the sketch is
+    genuinely lossy and the exact second pass is what guarantees the
+    answer. Keys are cast to string in the operator (sketch contract);
+    the oracle casts identically."""
+    from amazon_security_lake_transformation_library_spark.operators import sketch as sk
+
+    return sk.heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", min_frac=0.008
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's differential gate records rows for
     the FIRST 50 dict entries only. Rounds 1-3 checked the (stable) first
@@ -1758,6 +1787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_docs": _q_sample_weighted,
         "boilerplate_assistant_turns": _q_boilerplate_turns,
         "conv_profile": _q_conv_profile,
+        # exact heavy hitters via Misra-Gries candidates (late r4; entries
+        # 52-53, past this round's gate cap — r5 rotates them in)
+        "hot_conversations": _q_hot_conversations,
+        "heavy_users_events": _q_heavy_users_events,
         # ---- tail: re-checked in r3 (driver-green rows in CORRECTNESS_r03)
         # north-rule window / as-of surface (events stream)
         "lag_lead_events": _q_lag_lead,
@@ -3253,6 +3286,21 @@ def oracle_sql() -> dict[str, str]:
                      + 0.0 AS duration_s,
                    round(avg(gap), 4) + 0.0 AS mean_gap_s
             FROM x GROUP BY conv_id
+        """,
+        "hot_conversations": f"""
+            SELECT conv_id, count(*)::BIGINT AS n_rows
+            FROM read_parquet('{_tr_dir()}/transcripts.parquet')
+            GROUP BY conv_id
+            HAVING count(*) >= greatest(1, ceil(0.05 * (
+                SELECT count(*)
+                FROM read_parquet('{_tr_dir()}/transcripts.parquet'))))
+        """,
+        "heavy_users_events": """
+            SELECT user_id::VARCHAR AS user_id, count(*)::BIGINT AS n_rows
+            FROM events
+            GROUP BY 1
+            HAVING count(*) >= greatest(1, ceil(0.008 * (
+                SELECT count(*) FROM events)))
         """,
         "psi_value_by_split": """
             WITH s AS (

@@ -47,7 +47,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_frac", "kmv_distinct"]
+__all__ = [
+    "hash_frac", "kmv_distinct",
+    "mg_candidates", "heavy_hitters", "heavy_hitters_abs",
+]
 
 _HEX = "0123456789abcdef"
 
@@ -147,4 +150,130 @@ def kmv_distinct(
                 + F.lit(0.0)
             ).alias("estimate"),
         )
+    )
+
+
+# --------------------------------------------------------- heavy hitters
+
+def _partition_mg(k: int):
+    """Per-partition Misra-Gries summary (merge form, Agarwal et al.,
+    "Mergeable Summaries", PODS'12): fold each Arrow batch's exact
+    ``value_counts`` into a counter table capped at ``k`` entries by
+    subtracting the (k+1)-th largest counter and dropping the
+    non-positive remainder. Each such step removes >= (k+1) * delta of
+    stored mass, so the cumulative deficit of any key is <= n_i/(k+1) —
+    every key with partition count > n_i/(k+1) survives to the output,
+    regardless of batch boundaries. State: <= k counters between
+    batches; one <= k-row batch out per partition."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s: pd.Series | None = None
+        for b in batches:
+            vc = b["k"].dropna().value_counts()
+            if vc.empty:
+                continue
+            s = vc if s is None else s.add(vc, fill_value=0)
+            if len(s) > k:
+                kth = s.nlargest(k + 1).iloc[-1]
+                s = s[s > kth] - kth
+        keys = [] if s is None else list(s.index)
+        yield pd.DataFrame({"k": pd.Series(keys, dtype=object)})
+
+    return fn
+
+
+def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Candidate heavy-hitter keys: the union of per-partition
+    Misra-Gries(k) summaries — a SUPERSET of every key whose global count
+    exceeds N/(k+1) (if count(key) > N/(k+1) then some partition has
+    count_i > n_i/(k+1) by averaging, and MG keeps it there). At most
+    ``k * n_partitions`` rows ever leave the map side, independent of
+    data volume or key cardinality."""
+    cands = df.select(
+        F.col(key_col).cast("string").alias("k")
+    ).mapInPandas(_partition_mg(k), schema="k string")
+    return cands.distinct().select(F.col("k").alias(key_col))
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, min_frac: float
+) -> DataFrame:
+    """EXACT heavy hitters — ``(key, n_rows)`` for every key occurring in
+    at least ``ceil(min_frac * N)`` of the N input rows — in two
+    bounded-memory passes, never shuffling one row per distinct key:
+
+    1. sketch pass: per-partition Misra-Gries with k = ceil(1/min_frac)
+       counters (:func:`mg_candidates`) — the candidate superset;
+    2. count pass: one scan that broadcast-flags candidate rows and
+       hash-aggregates exact counts per candidate while folding ALL
+       non-candidate rows into a single null group, so the same
+       aggregate yields N (the tiny result table is summed with one
+       unbounded window) and the exact threshold filter needs no extra
+       job.
+
+    Contrast with the naive ``groupBy(key).count().filter(...)``: that
+    plan's exchange carries one partially-combined row per distinct key
+    (at 10^12 turns / 10^9 conversations: a billion-row shuffle to find
+    a handful of hot keys); this plan's exchanges carry
+    <= k * n_partitions + 1 rows total. The output is a pure function of
+    the input multiset — the sketch only proposes candidates, the exact
+    count disposes — property-tested under repartition/batching in
+    tests/test_sketch.py. Null keys count toward N but are never
+    hitters (SQL semantics: GROUP BY key HAVING count >= ceil(...)
+    over the full table). Feeds the skew router (salted.hot_entities)
+    as the scale path for hot-entity detection.
+    """
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    k = int(-(-1.0 // min_frac)) + 1  # ceil(1/min_frac) + 1 safety
+    # threshold from the SAME aggregate's total: ceil(min_frac * N)
+    thresh = lambda n_total: F.greatest(  # noqa: E731
+        F.lit(1).cast("long"), F.ceil(F.lit(float(min_frac)) * n_total)
+    )
+    return _exact_count_pass(df, key_col, k, thresh)
+
+
+def heavy_hitters_abs(
+    df: DataFrame, key_col: str, min_count: int
+) -> DataFrame:
+    """Absolute-threshold form for the skew router: keys with
+    ``count >= min_count``. Sizes the sketch from an exact row count
+    (metadata-only on a parquet scan), then reuses the exact two-pass
+    plan with the literal threshold (no fraction round-trip, so a key
+    with exactly ``min_count`` rows can never fall to a ulp);
+    min_count > N/(k+1) holds for k = ceil(N/min_count), so the
+    candidate superset property carries over."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    n = df.count()
+    k = 1 if n == 0 else int(-(-n // min_count))  # ceil(N/min_count)
+    return _exact_count_pass(
+        df, key_col, k, lambda _n: F.lit(int(min_count)).cast("long")
+    )
+
+
+def _exact_count_pass(df: DataFrame, key_col: str, k: int, thresh):
+    """Shared pass 2: broadcast-flag MG candidates, one exact hash
+    aggregate with all non-candidate rows folded into a null group (so
+    the aggregate also yields N), filter by ``thresh(n_total_col)``."""
+    cands = mg_candidates(df, key_col, k).withColumn("__hh", F.lit(True))
+    flagged = df.select(F.col(key_col).cast("string").alias(key_col)).join(
+        F.broadcast(cands), on=key_col, how="left"
+    )
+    counts = flagged.groupBy(
+        F.when(F.col("__hh"), F.col(key_col)).alias(key_col)
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    from pyspark.sql import Window
+
+    # N = sum over the counts table via one unbounded window. The table is
+    # <= k * n_partitions + 1 rows, so the single-partition WindowExec the
+    # runtime warns about is a sketch-sized pass, NOT a corpus pass — and
+    # unlike a crossJoin against counts.agg(...), the window reuses the
+    # one computed aggregate instead of re-scanning the corpus for a
+    # second plan branch.
+    n_total = F.sum("n_rows").over(Window.partitionBy())
+    return (
+        counts.withColumn("__t", thresh(n_total))
+        .where(F.col(key_col).isNotNull() & (F.col("n_rows") >= F.col("__t")))
+        .select(key_col, "n_rows")
     )

@@ -114,3 +114,89 @@ def test_merge_broadcasts_update_keys(spark, base_df):
         mg.merge_upsert(base_df, upd, "k")._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ----------------------------------------------------------- heavy hitters
+
+def _zipf_rows(n_keys: int, scale: int, seed: int) -> list[tuple[str]]:
+    """Deterministic zipf-ish multiset: key i appears ~ scale/i times,
+    shuffled so partition boundaries mix hot and cold keys."""
+    import random
+
+    rows = []
+    for i in range(1, n_keys + 1):
+        rows += [(f"k{i:04d}",)] * max(1, scale // i)
+    random.Random(seed).shuffle(rows)
+    return rows
+
+
+def _exact_hitters(rows, min_frac):
+    import math
+    from collections import Counter
+
+    t = max(1, math.ceil(min_frac * len(rows)))
+    c = Counter(r[0] for r in rows if r[0] is not None)
+    return {(k, v) for k, v in c.items() if v >= t}
+
+
+@pytest.mark.parametrize("min_frac", [0.05, 0.01, 0.004])
+def test_heavy_hitters_exact_vs_naive(spark, min_frac):
+    rows = _zipf_rows(150, 600, seed=11)
+    df = spark.createDataFrame(rows, "conv_id string")
+    got = {(r[0], r[1])
+           for r in sk.heavy_hitters(df, "conv_id", min_frac).collect()}
+    assert got == _exact_hitters(rows, min_frac)
+
+
+@pytest.mark.parametrize("parts", [1, 3, 17])
+def test_heavy_hitters_partitioning_invariant(spark, parts):
+    # the MG candidate SET may vary with partitioning; the exact output
+    # must not — the sketch proposes, the exact count disposes
+    rows = _zipf_rows(80, 400, seed=5)
+    df = spark.createDataFrame(rows, "conv_id string").repartition(parts)
+    got = {(r[0], r[1])
+           for r in sk.heavy_hitters(df, "conv_id", 0.02).collect()}
+    assert got == _exact_hitters(rows, 0.02)
+
+
+def test_heavy_hitters_abs_exact_at_threshold(spark):
+    # a key with EXACTLY min_count rows must be returned (no fraction
+    # round-trip ulp): 7 keys x 100 rows each, min_count=100
+    rows = [(f"k{i}",) for i in range(7) for _ in range(100)]
+    df = spark.createDataFrame(rows, "conv_id string").repartition(5)
+    got = sk.heavy_hitters_abs(df, "conv_id", 100).collect()
+    assert sorted((r[0], r[1]) for r in got) == [
+        (f"k{i}", 100) for i in range(7)
+    ]
+    assert sk.heavy_hitters_abs(df, "conv_id", 101).count() == 0
+
+
+def test_heavy_hitters_nulls_count_toward_n_but_never_hit(spark):
+    rows = [("a",)] * 50 + [(None,)] * 150
+    df = spark.createDataFrame(rows, "conv_id string")
+    # N=200: 'a' at 25% clears frac=0.25 but not 0.26
+    assert [(r[0], r[1])
+            for r in sk.heavy_hitters(df, "conv_id", 0.25).collect()] == [
+        ("a", 50)
+    ]
+    assert sk.heavy_hitters(df, "conv_id", 0.26).count() == 0
+
+
+def test_mg_candidates_bounded_output(spark):
+    # adversarial near-uniform input: candidate rows never exceed
+    # k * n_partitions even when distinct >> k
+    parts = 4
+    rows = [(f"k{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "conv_id string").repartition(parts)
+    k = 10
+    assert sk.mg_candidates(df, "conv_id", k).count() <= k * parts
+
+
+def test_heavy_hitters_rejects_bad_args(spark):
+    df = spark.createDataFrame([("a",)], "conv_id string")
+    with pytest.raises(ValueError):
+        sk.heavy_hitters(df, "conv_id", 0.0)
+    with pytest.raises(ValueError):
+        sk.heavy_hitters(df, "conv_id", 1.5)
+    with pytest.raises(ValueError):
+        sk.heavy_hitters_abs(df, "conv_id", 0)
