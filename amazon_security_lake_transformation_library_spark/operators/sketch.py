@@ -218,10 +218,18 @@ def heavy_hitters(
     <= k * n_partitions + 1 rows total. The output is a pure function of
     the input multiset — the sketch only proposes candidates, the exact
     count disposes — property-tested under repartition/batching in
-    tests/test_sketch.py. Null keys count toward N but are never
+    tests/test_sketch_merge.py. Null keys count toward N but are never
     hitters (SQL semantics: GROUP BY key HAVING count >= ceil(...)
-    over the full table). Feeds the skew router (salted.hot_entities)
-    as the scale path for hot-entity detection.
+    over the full table).
+
+    Scope note vs the skew router: this wins when the threshold is a
+    FRACTION of the corpus (k = 1/min_frac counters; the broadcast
+    candidate set is <= k * n_partitions keys). The router's absolute
+    per-task budget (hot_threshold_rows ~ 10^5 at N ~ 10^12) would need
+    k = N/threshold ~ 10^7 counters per partition — there the exact
+    map-side-combined groupBy pre-pass (salted.hot_entities) remains the
+    right plan; :func:`heavy_hitters_abs` refuses such thresholds rather
+    than silently ballooning (``max_k``).
     """
     if not (0.0 < min_frac <= 1.0):
         raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
@@ -234,19 +242,31 @@ def heavy_hitters(
 
 
 def heavy_hitters_abs(
-    df: DataFrame, key_col: str, min_count: int
+    df: DataFrame, key_col: str, min_count: int, max_k: int = 100_000
 ) -> DataFrame:
-    """Absolute-threshold form for the skew router: keys with
-    ``count >= min_count``. Sizes the sketch from an exact row count
-    (metadata-only on a parquet scan), then reuses the exact two-pass
-    plan with the literal threshold (no fraction round-trip, so a key
-    with exactly ``min_count`` rows can never fall to a ulp);
-    min_count > N/(k+1) holds for k = ceil(N/min_count), so the
-    candidate superset property carries over."""
+    """Absolute-threshold form: keys with ``count >= min_count``. Sizes
+    the sketch from an exact row count (metadata-only on a parquet
+    scan), then reuses the exact two-pass plan with the literal
+    threshold (no fraction round-trip, so a key with exactly
+    ``min_count`` rows can never fall to a ulp); min_count > N/(k+1)
+    holds for k = ceil(N/min_count), so the candidate superset property
+    carries over.
+
+    Raises when the implied k = ceil(N/min_count) exceeds ``max_k``:
+    that regime (a threshold far below N/max_k) needs more sketch state
+    per partition than the exact map-side-combined groupBy pre-pass
+    would shuffle — use salted.hot_entities there instead of letting
+    per-partition counter tables and the candidate broadcast balloon."""
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     n = df.count()
     k = 1 if n == 0 else int(-(-n // min_count))  # ceil(N/min_count)
+    if k > max_k:
+        raise ValueError(
+            f"min_count={min_count} over N={n} rows implies k={k} MG "
+            f"counters (> max_k={max_k}); at this threshold the exact "
+            "groupBy pre-pass (salted.hot_entities) is the better plan"
+        )
     return _exact_count_pass(
         df, key_col, k, lambda _n: F.lit(int(min_count)).cast("long")
     )

@@ -200,3 +200,10 @@ def test_heavy_hitters_rejects_bad_args(spark):
         sk.heavy_hitters(df, "conv_id", 1.5)
     with pytest.raises(ValueError):
         sk.heavy_hitters_abs(df, "conv_id", 0)
+
+
+def test_heavy_hitters_abs_refuses_ballooning_k(spark):
+    rows = [(f"k{i}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "conv_id string")
+    with pytest.raises(ValueError, match="max_k"):
+        sk.heavy_hitters_abs(df, "conv_id", 2, max_k=100)
