@@ -30,6 +30,33 @@ from amazon_security_lake_transformation_library_spark.session import get_spark
 # blocked path; at sf0.1 it is 12.5M pairs and would dominate the suite).
 EXCLUDE = {"dedup_embedding_cosine"}
 
+# The driver records only the LAST 2000 chars of this script's output
+# (BENCH_r03.json's "parsed": null — the full per-query dict outgrew the
+# capture window and the truncated line no longer parsed). The printed
+# JSON line therefore carries a fixed headline SUBSET of per-query times;
+# the complete map for every suite entry is written to BENCH_DETAIL.json
+# at the repo root on every run.
+HEADLINE = [
+    # north-rule flagship (all four strategies) + as-of family
+    "flagship_transcripts", "flagship_transcripts_bucketed",
+    "flagship_transcripts_salted", "flagship_transcripts_hybrid",
+    "asof_join_events", "asof_join_events_interval", "asof_join_events_multi",
+    # window/feature family
+    "lag_lead_events", "ffill_events", "sessionize_events", "cumsum_events",
+    "rolling_1h_events", "session_window_events", "ewma_events_grouped",
+    # dedup + ANN (the r3-regressed cells all included)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash_hamming", "dedup_clusters", "duplicate_ngram_spans",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_kmeans_centroids",
+    "dedup_embedding_cosine_blocked",
+    # text analysis / curation / encoders
+    "doc_stats", "doc_lang_trigram", "repetition_stats", "tfidf_top_terms",
+    "decontaminate_docs", "domain_mixture_docs", "target_encode_events",
+    "chat_render", "conv_prefix_dedup", "hot_conversations",
+    # reference-parity + joins/aggs representatives
+    "alb_parse", "mapping_dispatch", "q1_pricing_summary", "q3_top_orders",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,8 +113,17 @@ def main() -> None:
             if times.get("flagship_transcripts") else None
         ),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "n_queries": len(times),
+        "detail": "BENCH_DETAIL.json",
     }
-    print(json.dumps(out))
+    # full per-query map — the printed line holds only the HEADLINE subset
+    # so it survives the driver's 2000-char output capture
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    compact = dict(out)
+    compact["queries"] = {k: round(times[k], 2) for k in HEADLINE if k in times}
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

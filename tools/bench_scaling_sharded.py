@@ -119,12 +119,19 @@ def worker(args) -> None:
         spark.conf.set(
             "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         t = spark.table("sh_cur_t")
-    elif args.plan == "curation":
+    elif args.plan in ("curation", "hotkeys"):
         t = spark.read.parquet(*args.t_files.split(","))
     else:
         t = spark.read.parquet(*args.t_files.split(","))
         cf = spark.read.parquet(*args.cf_files.split(","))
     t.count()  # warm scan; excluded from the timed region by the barrier
+    if args.plan == "hotkeys":
+        # warm the pyspark worker daemons: mapInPandas pays fork + numpy/
+        # pandas import on first use — a per-SESSION cost a real cluster
+        # amortizes across jobs (workers are reused), so it belongs with
+        # JVM startup outside the timed region
+        from amazon_security_lake_transformation_library_spark.operators.sketch import mg_candidates
+        mg_candidates(t.limit(50_000), "conv_id", 4).count()
 
     # barrier: report ready, wait for the coordinator's go-file so every
     # worker's timed region overlaps (JVM startup excluded)
@@ -142,6 +149,8 @@ def worker(args) -> None:
             out = _curation_job(spark, t, args, run_idx)
         elif args.plan == "curation_bucketed":
             out = _curation_job(spark, t, args, run_idx, ts_col="ts_us")
+        elif args.plan == "hotkeys":
+            out = _hotkeys_job(spark, t, args, run_idx)
         else:
             out = asof_turn_features(t, cf)
         from pyspark.sql import Observation
@@ -254,6 +263,85 @@ def _curation_job(spark, t, args, run_idx: int, ts_col: str = "ts"):
     return x.select(
         "conv_id", "turn_idx", "z", "freq", "label_n", "label", "te_n", "te"
     )
+
+
+def _hotkeys_job(spark, t, args, run_idx: int):
+    """The exact heavy-hitters job (operators/sketch.py:heavy_hitters) as
+    a faithful TWO-STAGE cluster job. Nothing here exploits the layout's
+    conv_id-disjointness — the algorithm is the general one a non-
+    co-partitioned table needs:
+
+    Stage 1 (timed): this worker runs the Misra-Gries candidate sketch
+    over its shard (one mapInPandas corpus scan, <= k keys out per
+    partition) and publishes its candidate keys + local row count. The
+    wait for all W candidate files is the stage boundary (= the
+    broadcast collect of a real job).
+
+    Stage 2 (timed): every worker folds the SAME sorted candidate union
+    and global N, then computes exact counts of the global candidate set
+    over its shard (broadcast semi-join + hash agg — the second corpus
+    scan) and publishes them; the final fold sums per-key counts and
+    applies threshold ceil(MIN_FRAC * N). All workers derive the
+    identical hitter set; shard 0 emits it (a real job's final
+    |hitters|-row reduce also lands on one node), the rest emit empty —
+    so rows_total is level-invariant.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from amazon_security_lake_transformation_library_spark.operators.sketch import mg_candidates
+
+    MIN_FRAC = 0.0005  # hot conv at --hot-frac 0.001 clears it; tail never
+    k = int(1.0 / MIN_FRAC) + 1
+
+    # ---- stage 1: MG candidate sketch over this shard (corpus scan 1)
+    cands = sorted(r[0] for r in mg_candidates(t, "conv_id", k).collect())
+    local_n = t.count()
+    c_path = f"{args.barrier}.hhcand.{run_idx}.{args.shard}"
+    with open(c_path + ".tmp", "w") as fh:
+        json.dump({"n": local_n, "cands": cands}, fh)
+    os.rename(c_path + ".tmp", c_path)
+
+    want = [f"{args.barrier}.hhcand.{run_idx}.{i}"
+            for i in range(args.procs_total)]
+    while not all(os.path.exists(p) for p in want):
+        time.sleep(0.02)
+    global_n, cand_union = 0, set()
+    for p in want:
+        d = json.load(open(p))
+        global_n += d["n"]
+        cand_union.update(d["cands"])
+    cand_rows = [(c,) for c in sorted(cand_union)]
+
+    # ---- stage 2: exact counts of the GLOBAL candidate set over this
+    # shard (corpus scan 2: broadcast semi-join + hash agg)
+    cdf = spark.createDataFrame(cand_rows, "conv_id string")
+    local_counts = (
+        t.join(F.broadcast(cdf), "conv_id", "semi")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    s_path = f"{args.barrier}.hhcount.{run_idx}.{args.shard}"
+    with open(s_path + ".tmp", "w") as fh:
+        json.dump([[r["conv_id"], r["n_rows"]] for r in local_counts], fh)
+    os.rename(s_path + ".tmp", s_path)
+
+    want = [f"{args.barrier}.hhcount.{run_idx}.{i}"
+            for i in range(args.procs_total)]
+    while not all(os.path.exists(p) for p in want):
+        time.sleep(0.02)
+    totals: dict = {}
+    for p in want:
+        for key, n in json.load(open(p)):
+            totals[key] = totals.get(key, 0) + n
+    thresh = max(1, math.ceil(MIN_FRAC * global_n))
+    hitters = sorted((key, n) for key, n in totals.items() if n >= thresh)
+    if args.shard == 0:
+        assert hitters, "hotkeys cell found no hitters — wrong layout?"
+        return spark.createDataFrame(hitters, "conv_id string, n_rows long")
+    return spark.createDataFrame([], "conv_id string, n_rows long")
 
 
 def ensure_shard_layout(layout: str, procs: int) -> str:
@@ -406,7 +494,7 @@ def main() -> None:
     p.add_argument("--heap", default="6g")
     p.add_argument("--plan", default="fused",
                    choices=["fused", "bucketed", "curation",
-                            "curation_bucketed"])
+                            "curation_bucketed", "hotkeys"])
     p.add_argument("--procs-total", type=int, default=1,
                    help="(worker mode) total shard count this level runs — "
                         "the curation plan's stage barrier waits for this "
