@@ -1710,6 +1710,63 @@ def _q_heavy_users_events(spark, sf_dir):
     )
 
 
+def _q_sft_pairs(spark, sf_dir):
+    """SFT pair extraction (chatprep.sft_pairs): one (prompt, response)
+    example per assistant turn, prompt = rendered context of the 8 most
+    recent prior turns. ONE conv_id window with a trailing ROWS frame —
+    collect_list over the frame keeps frame order, so the prompt is a
+    byte-exact slice of the rendered document."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return chp.sft_pairs(t, max_prompt_turns=8)
+
+
+def _q_tool_chains(spark, sf_dir):
+    """Tool-call sequence mining (chatprep.tool_chains): ordered tool
+    invocation chain per conversation, counted across the corpus. Tool
+    filter pushed to the scan -> conv_id agg -> |chains|-sized agg."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return chp.tool_chains(t)
+
+
+def _q_decontaminate_bloom(spark, sf_dir):
+    """decontaminate with the explicit Bloom-bitmap prefilter
+    (datasetops.decontaminate_bloom): a 512 KiB broadcast bitmap of the
+    train grams drops non-matching eval grams map-side BEFORE the exact
+    fingerprint join, so the shuffle carries ~(matches + fp_rate x
+    stream). Output identical to `decontaminate_docs` (false positives
+    removed by the exact join) — the two queries share one oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dso.decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _conv_clones(t):
+    """Deterministic near-duplicate conversations for the conv-level
+    dedup gate: every conversation whose id ends in '00' is replayed as
+    `<conv_id>_v2` with turn 3 dropped — byte-identical turns otherwise
+    (the synthetic corpus embeds the ORIGINAL conv id in each turn's
+    text, so the clone's rendered document shares all surviving
+    shingles). The oracle performs the identical SQL construction."""
+    clones = (
+        t.filter(F.col("conv_id").endswith("00") & (F.col("turn_idx") != 3))
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_v2")))
+    )
+    return t.unionByName(clones)
+
+
+def _q_conv_near_dup(spark, sf_dir):
+    """Conversation-level MinHash+LSH near-dup candidates
+    (chatprep.conv_near_dup_pairs): render -> shingle -> banded minhash
+    -> bucket join, at conversation granularity — catches replayed
+    conversations that per-turn exact / prefix dedup miss. Input is the
+    fixture plus deterministic near-dup clones (_conv_clones) so the
+    candidate set is non-empty and the verify path is exercised."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return chp.conv_near_dup_pairs(_conv_clones(t))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's differential gate records rows for
     the FIRST 50 dict entries only. Rounds 1-3 checked the (stable) first
@@ -1787,6 +1844,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact heavy hitters via Misra-Gries candidates (new r4)
         "hot_conversations": _q_hot_conversations,
         "heavy_users_events": _q_heavy_users_events,
+        # late-r4 additions (past this round's 50-entry gate cap — local
+        # check_oracle evidence now, r5 rotates them in)
+        "sft_pairs": _q_sft_pairs,
+        "tool_chains": _q_tool_chains,
+        "decontaminate_docs_bloom": _q_decontaminate_bloom,
+        "conv_near_dup_minhash": _q_conv_near_dup,
         # ---- tail: driver-green rows in CORRECTNESS_r02/r03 ----
         # variants whose sibling stayed in the gate (simhash_hamming,
         # ivf_topk, cosine_blocked cover the same code paths)
@@ -1897,15 +1960,20 @@ SELECT doc_id,
 FROM documents
 """
 
-_SHINGLES = """
+def _minhash_pairs_sql(src: str) -> str:
+    """LSH candidate-pair oracle parameterized over the corpus source —
+    ``src`` is any SQL producing ``(doc_id, text)``. Reused verbatim by
+    the document-level query (``documents``) and the conversation-level
+    query (rendered transcripts CTE), so both gates share one
+    independently-derived algorithm."""
+    shingles = f"""
 SELECT doc_id, CASE WHEN len(ws) >= 3
          THEN list_transform(range(1, len(ws) - 1),
                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
          ELSE []::VARCHAR[] END AS g
-FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ({src}))
 """
-
-_MINHASH_SIG = f"""
+    sig = f"""
 SELECT doc_id,
        [list_min(list_transform(h0, s -> substr(s, 1, 8))),
         list_min(list_transform(h0, s -> substr(s, 9, 8))),
@@ -1919,21 +1987,41 @@ FROM (
   SELECT doc_id,
          list_transform(g, x -> md5('s0:' || x)) AS h0,
          list_transform(g, x -> md5('s1:' || x)) AS h1
-  FROM ({_SHINGLES})
+  FROM ({shingles})
 )
 """
-
-_BANDS = f"""
+    bands = f"""
 SELECT s.doc_id, b.band_id,
        md5(s.mh[b.band_id * 2 + 1] || '|' || s.mh[b.band_id * 2 + 2]) AS bucket
-FROM ({_MINHASH_SIG}) s, (VALUES (0),(1),(2),(3)) b(band_id)
+FROM ({sig}) s, (VALUES (0),(1),(2),(3)) b(band_id)
 """
-
-_MINHASH_PAIRS = f"""
+    return f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_bands
-FROM ({_BANDS}) a JOIN ({_BANDS}) b
+FROM ({bands}) a JOIN ({bands}) b
   ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+
+_MINHASH_PAIRS = _minhash_pairs_sql("SELECT doc_id, text FROM documents")
+
+_DECON_SQL = """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(0, len(toks) - 7))) AS i,
+             toks
+      FROM d
+    ), fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+      FROM g
+    )
+    SELECT e.doc_id, count(DISTINCT e.fp)::BIGINT AS n_shared
+    FROM (SELECT * FROM fp WHERE doc_id % 2 = 1) e
+    JOIN (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0) t USING (fp)
+    GROUP BY e.doc_id
 """
 
 _EMB = "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
@@ -2869,24 +2957,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "doc_chunks_udtf": _DOC_CHUNKS_SQL,
-        "decontaminate_docs": """
-            WITH d AS (
-              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-            ), g AS (
-              SELECT doc_id,
-                     unnest(generate_series(1, greatest(0, len(toks) - 7))) AS i,
-                     toks
-              FROM d
-            ), fp AS (
-              SELECT doc_id,
-                     md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
-              FROM g
-            )
-            SELECT e.doc_id, count(DISTINCT e.fp)::BIGINT AS n_shared
-            FROM (SELECT * FROM fp WHERE doc_id % 2 = 1) e
-            JOIN (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0) t USING (fp)
-            GROUP BY e.doc_id
-        """,
+        "decontaminate_docs": _DECON_SQL,
+        # the bloom prefilter is performance-transparent (exact join after
+        # it) — deliberately the SAME oracle
+        "decontaminate_docs_bloom": _DECON_SQL,
         "doc_length_quantiles": """
             SELECT lang,
                    round(quantile_cont(n_chars, 0.25), 4) AS p25,
@@ -3303,6 +3377,57 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= greatest(1, ceil(0.008 * (
                 SELECT count(*) FROM events)))
         """,
+        "sft_pairs": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            seg AS (
+              SELECT conv_id, turn_idx, role, text,
+                     '<|' || role ||
+                     CASE WHEN tool IS NOT NULL THEN ':' || tool ELSE '' END
+                     || '|>' || chr(10) || text || chr(10) AS seg
+              FROM t
+            ), x AS (
+              SELECT conv_id, turn_idx, role, text,
+                     count(*) OVER w::BIGINT AS n_prompt_turns,
+                     string_agg(seg, '') OVER w AS prompt
+              FROM seg
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT conv_id, turn_idx, n_prompt_turns, prompt,
+                   text AS response
+            FROM x WHERE role = 'assistant' AND turn_idx > 0
+        """,
+        "tool_chains": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            pc AS (
+              SELECT conv_id,
+                     string_agg(tool, '>' ORDER BY turn_idx) AS chain,
+                     count(*)::BIGINT AS n_calls
+              FROM t WHERE tool IS NOT NULL GROUP BY conv_id
+            )
+            SELECT chain, min(n_calls)::BIGINT AS n_calls,
+                   count(DISTINCT conv_id)::BIGINT AS n_convs
+            FROM pc GROUP BY chain
+        """,
+        "conv_near_dup_minhash": _minhash_pairs_sql(f"""
+            WITH t0 AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            t AS (
+              SELECT * FROM t0
+              UNION ALL
+              SELECT conv_id || '_v2' AS conv_id, turn_idx, role, text, tool, ts
+              FROM t0 WHERE conv_id LIKE '%00' AND turn_idx <> 3
+            ),
+            seg AS (
+              SELECT conv_id, turn_idx,
+                     '<|' || role ||
+                     CASE WHEN tool IS NOT NULL THEN ':' || tool ELSE '' END
+                     || '|>' || chr(10) || text || chr(10) AS seg
+              FROM t
+            )
+            SELECT conv_id AS doc_id,
+                   string_agg(seg, '' ORDER BY turn_idx) AS text
+            FROM seg GROUP BY conv_id
+        """),
         "psi_value_by_split": """
             WITH s AS (
               SELECT CASE WHEN substr(md5('split-v1' || user_id::VARCHAR), 1, 4) < 'cccc' THEN 'train'

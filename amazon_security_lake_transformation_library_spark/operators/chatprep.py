@@ -340,3 +340,140 @@ def context_budget(
         cum.alias("cum_from_end"),
         (cum <= F.lit(budget_tokens)).alias("keep"),
     )
+
+
+# --------------------------------------------------------------- SFT pairs
+
+
+def sft_pairs(
+    t: DataFrame,
+    response_role: str = "assistant",
+    max_prompt_turns: int | None = None,
+) -> DataFrame:
+    """Supervised fine-tuning pair extraction: one training example per
+    ``response_role`` turn — the rendered context that precedes it as
+    the prompt, the turn's own text as the response. Returns
+    ``(conv_id, turn_idx, n_prompt_turns, prompt, response)``; turns
+    with an empty context (``turn_idx == 0``) are dropped (no prompt to
+    condition on).
+
+    The prompt is the same byte-deterministic segment stream
+    :func:`render_conversations` emits, so a pair's prompt is exactly a
+    prefix slice of the conversation's rendered document (pinned by
+    test). ``max_prompt_turns`` bounds the context to the most recent
+    N turns — at 10^12 turns the UNBOUNDED form materializes
+    O(sum n_i^2) prompt bytes (every turn re-carries its prefix), so
+    production pairs cap the context exactly like
+    :func:`context_budget` caps the fine-tuning window.
+
+    Shape: ONE window over ``conv_id`` (Exchange + Sort; zero Exchange
+    on the conv_id-bucketed layout) with a trailing ROWS frame —
+    ``collect_list`` over the frame preserves frame order, so no
+    re-sort of the collected segments is needed. The response filter
+    prunes AFTER the window (every turn is some prompt's suffix, so the
+    window must see all rows), but Catalyst still prunes unread columns
+    from the scan.
+    """
+    lo = Window.unboundedPreceding if max_prompt_turns is None else -int(max_prompt_turns)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(lo, -1)
+    )
+    prompt_arr = F.collect_list(_segment()).over(w)
+    return (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("text").alias("response"),
+            prompt_arr.alias("_p"),
+        )
+        .filter((F.col("role") == F.lit(response_role)) & (F.col("turn_idx") > 0))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.size("_p").cast("long").alias("n_prompt_turns"),
+            F.array_join("_p", "").alias("prompt"),
+            "response",
+        )
+    )
+
+
+# --------------------------------------------------------------- tool chains
+
+
+def tool_chains(t: DataFrame, min_convs: int = 1) -> DataFrame:
+    """Tool-call sequence mining: the ordered sequence of tool
+    invocations per conversation, aggregated across the corpus — the
+    agent-transcript analogue of n-gram mining (which tool pipelines do
+    agents actually run?). Returns one row per distinct chain:
+    ``(chain, n_calls, n_convs)``, tool names joined with ``>``.
+    Conversations that never call a tool don't emit a chain.
+
+    ``n_calls`` is a property of the chain string itself (same sequence
+    => same length), so the second aggregate carries it with ``first``
+    — no reconciliation join.
+
+    Shape: tool-turn filter (pushed to the scan) -> one conv_id hash
+    agg (sort_array(collect_list) for scan-order independence; zero
+    Exchange on the bucketed layout) -> one chain hash agg over the
+    |convs|-sized intermediate. Per-group state is the conversation's
+    tool-call count, bounded by the same hot-entity caps as rendering.
+    """
+    per_conv = (
+        t.filter(F.col("tool").isNotNull())
+        .select(
+            "conv_id",
+            F.struct(F.col("turn_idx"), F.col("tool")).alias("s"),
+        )
+        .groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(
+            "conv_id",
+            F.array_join(F.transform("ss", lambda s: s["tool"]), ">").alias("chain"),
+            F.size("ss").cast("long").alias("n_calls"),
+        )
+    )
+    return (
+        per_conv.groupBy("chain")
+        .agg(
+            F.first("n_calls").alias("n_calls"),
+            F.count_distinct("conv_id").alias("n_convs"),
+        )
+        .filter(F.col("n_convs") >= F.lit(min_convs))
+    )
+
+
+# -------------------------------------------------- conversation-level near-dup
+
+
+def conv_near_dup_pairs(
+    t: DataFrame,
+    max_turns: int | None = None,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Conversation-level near-duplicate candidates: MinHash+LSH over the
+    RENDERED conversation — re-running a shared system prompt + largely
+    identical dialogue produces near-identical rendered documents, which
+    per-turn exact dedup (:func:`boilerplate_turns`) and prefix dedup
+    (:func:`conv_prefix_fingerprint`) both miss when any single turn
+    diverges. Returns ``(doc_a, doc_b, n_shared_bands)`` with conv_ids
+    as the doc keys.
+
+    Pure composition — :func:`render_conversations` feeds
+    ``operators.dedup.minhash_candidate_pairs`` unchanged, so the LSH
+    scale properties (banded bucket join, never all-pairs) carry over,
+    and the corpus-side cost is ONE conv_id aggregate + the signature
+    scan over |convs| rendered rows (not |turns|). ``max_turns`` is the
+    hot-entity cap rendering already enforces.
+    """
+    from .dedup import minhash_candidate_pairs
+
+    docs = render_conversations(t, max_turns=max_turns).select(
+        F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    return minhash_candidate_pairs(
+        docs, "text", "doc_id", n_hashes=n_hashes, band_size=band_size
+    )

@@ -49,6 +49,8 @@ __all__ = [
     "chunk_tokens",
     "ngram_fingerprints",
     "decontaminate",
+    "bloom_bitmap",
+    "decontaminate_bloom",
 ]
 
 
@@ -261,6 +263,111 @@ def decontaminate(
     """
     tf = ngram_fingerprints(train, text_col, id_col, n).select("fp").distinct()
     ef = ngram_fingerprints(eval_df, text_col, id_col, n)
+    return (
+        ef.join(tf, "fp")
+        .groupBy(id_col)
+        .agg(F.count_distinct("fp").alias("n_shared"))
+    )
+
+
+def bloom_bitmap(
+    fps: DataFrame, fp_col: str = "fp", m_bits: int = 1 << 22, k: int = 2
+) -> DataFrame:
+    """A Bloom filter over a fingerprint column, materialized as a
+    DISTRIBUTED bitmap table ``(word_idx:long, bits:long)`` of at most
+    ``m_bits / 64`` rows (64 bits packed per row via ``bit_or``) —
+    never a driver-side byte array, so the build is one explode + one
+    hash agg regardless of |fps|, and the result broadcasts (a 2^22-bit
+    filter is 512 KiB as 65,536 rows).
+
+    Hash family: ``xxhash64(j, fp)`` for ``j in 0..k-1`` — Spark's
+    JVM-side 64-bit hash, seeded by position, reduced mod ``m_bits``
+    (pmod keeps it non-negative).
+    """
+    m = F.lit(int(m_bits))
+    pos = [
+        F.pmod(F.xxhash64(F.lit(j), F.col(fp_col)), m).cast("long")
+        for j in range(k)
+    ]
+    return (
+        fps.select(F.explode(F.array(*pos)).alias("_pos"))
+        .select(
+            (F.col("_pos") / F.lit(64)).cast("long").alias("word_idx"),
+            # SQL-form shiftleft: the DSL function requires a literal int
+            # shift, the SQL function takes any expression
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(_b)").alias("bits"))
+    )
+
+
+def _bloom_pass(df: DataFrame, bloom: DataFrame, fp_col: str, m_bits: int, j: int) -> DataFrame:
+    """Keep rows whose j-th bloom position is set. One broadcast equi-join
+    on word_idx + a bitwise test; rows hashing to an absent word drop via
+    the inner join itself."""
+    pos = F.pmod(F.xxhash64(F.lit(j), F.col(fp_col)), F.lit(int(m_bits))).cast("long")
+    x = (
+        df.withColumn("_pos", pos)
+        .withColumn("_w", (F.col("_pos") / F.lit(64)).cast("long"))
+        .withColumn(
+            "_m",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"),
+        )
+    )
+    return (
+        x.join(F.broadcast(bloom), x["_w"] == bloom["word_idx"])
+        .filter((F.col("bits").bitwiseAND(F.col("_m"))) != 0)
+        .drop("_pos", "_w", "_m", "word_idx", "bits")
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    m_bits: int = 1 << 22,
+    k: int = 2,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter on the eval side —
+    IDENTICAL output (the filter admits false positives, never false
+    negatives, and an exact fingerprint join runs after it), but the
+    shuffle that joins eval grams against train grams carries only the
+    bloom-surviving sliver of the eval stream.
+
+    Why this matters at 100 TB: ``decontaminate``'s cost is dominated by
+    shuffling the EVAL fingerprint stream (|eval docs| × grams rows) to
+    meet the distinct train-gram set. A Bloom bitmap of the train grams
+    is a fixed 512 KiB broadcast (``m_bits``-invariant in the corpus
+    size once sized for the target false-positive rate), so the
+    prefilter runs map-side inside the eval scan stage and the
+    subsequent exact join shuffles ~(true matches + fp_rate × stream)
+    instead of the full stream. This is the same plan shape Spark's own
+    runtime bloom pushdown (``spark.sql.optimizer.runtime.bloomFilter
+    .enabled``) injects for selective equi-joins; building it explicitly
+    makes the filter's size, hash family, and placement part of the
+    pipeline contract instead of an optimizer heuristic.
+
+    The exact verify join also double-checks the k=0 hash test (belt and
+    braces for rows the word-level join admitted), so correctness never
+    depends on the bitmap at all — pinned by the shared oracle with
+    :func:`decontaminate`.
+    """
+    from ..caching import persist_tracked
+
+    tf = persist_tracked(
+        ngram_fingerprints(train, text_col, id_col, n).select("fp").distinct()
+    )
+    # persisted: the bitmap subtree feeds k broadcast joins — without the
+    # pin each join's broadcast exchange would rebuild it from the scan
+    bloom = persist_tracked(bloom_bitmap(tf, "fp", m_bits, k))
+    ef = ngram_fingerprints(eval_df, text_col, id_col, n)
+    for j in range(k):
+        ef = _bloom_pass(ef, bloom, "fp", m_bits, j)
     return (
         ef.join(tf, "fp")
         .groupBy(id_col)

@@ -181,3 +181,89 @@ def test_conv_profile_sessions_agree_with_flagship_sessionizer(spark, transcript
             .agg(F.countDistinct("session_id").alias("n")))
     joined = prof.join(sess, "conv_id")
     assert joined.filter(F.col("n_sessions") != F.col("n")).count() == 0
+
+
+# ----------------------------------------------------------------- SFT pairs
+
+
+def test_sft_pairs_prompt_is_rendered_prefix(spark, transcripts_df, rendered):
+    """Unbounded sft_pairs: each prompt must be a byte-exact PREFIX of the
+    conversation's rendered document, cut at the response turn's segment
+    start (the loss_mask_spans offset) — prompt construction and span
+    arithmetic agree by construction."""
+    spans = {
+        (r["conv_id"], r["turn_idx"]): r["seg_start"]
+        for r in chp.loss_mask_spans(transcripts_df).collect()
+    }
+    turns = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+        for r in transcripts_df.collect()
+    }
+    pairs = chp.sft_pairs(transcripts_df).collect()
+    expect_n = sum(
+        1 for (cid, ti), (role, _) in turns.items()
+        if role == "assistant" and ti > 0
+    )
+    assert len(pairs) == expect_n and expect_n > 0
+    for r in pairs:
+        key = (r["conv_id"], r["turn_idx"])
+        assert turns[key][0] == "assistant"
+        assert r["response"] == turns[key][1]
+        assert r["prompt"] == rendered[r["conv_id"]][: spans[key]]
+        assert r["n_prompt_turns"] == r["turn_idx"]
+
+
+def test_sft_pairs_max_prompt_turns_cap(spark, transcripts_df, rendered):
+    capped = chp.sft_pairs(transcripts_df, max_prompt_turns=2).collect()
+    full = {
+        (r["conv_id"], r["turn_idx"]): r["prompt"]
+        for r in chp.sft_pairs(transcripts_df).collect()
+    }
+    assert {(r["conv_id"], r["turn_idx"]) for r in capped} == set(full)
+    for r in capped:
+        assert r["n_prompt_turns"] == min(2, r["turn_idx"])
+        # the capped prompt is a SUFFIX of the unbounded prompt
+        assert full[(r["conv_id"], r["turn_idx"])].endswith(r["prompt"])
+        assert len(r["prompt"]) > 0
+
+
+# ---------------------------------------------------------------- tool chains
+
+
+def test_tool_chains_counts(spark):
+    ts = dt.datetime(2024, 1, 1)
+    rows = []
+    # conv a and b run the same pipeline search>fetch; conv c runs fetch;
+    # conv d never calls a tool
+    for cid, tools in [
+        ("a", ["search", None, "fetch"]),
+        ("b", ["search", "fetch", None]),
+        ("c", [None, "fetch"]),
+        ("d", [None, None]),
+    ]:
+        for i, tool in enumerate(tools):
+            rows.append((cid, i, "assistant", f"t{i}", tool, ts))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r["chain"]: (r["n_calls"], r["n_convs"]) for r in chp.tool_chains(t).collect()}
+    assert got == {"search>fetch": (2, 2), "fetch": (1, 1)}
+    got2 = {r["chain"] for r in chp.tool_chains(t, min_convs=2).collect()}
+    assert got2 == {"search>fetch"}
+
+
+# ------------------------------------------------- conversation-level near-dup
+
+
+def test_conv_near_dup_finds_cloned_conversation(spark, transcripts_df):
+    """A replayed conversation with one turn dropped must surface as an
+    LSH candidate pair with its original; unrelated synthetic convs (which
+    share no shingles — texts embed the conv id) must not pair."""
+    some = transcripts_df.orderBy("conv_id").select("conv_id").first()["conv_id"]
+    clone = (
+        transcripts_df.filter((F.col("conv_id") == some) & (F.col("turn_idx") != 2))
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_v2")))
+    )
+    pairs = chp.conv_near_dup_pairs(transcripts_df.unionByName(clone)).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(some, some + "_v2")}
+    assert all(r["n_shared_bands"] >= 1 for r in pairs)

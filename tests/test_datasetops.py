@@ -267,3 +267,48 @@ def test_decontaminate_plan_has_no_cartesian(spark):
     ev = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
     plan = D.decontaminate(train, ev)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------- bloom decontaminate
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """The bloom prefilter is performance-transparent: identical output to
+    the exact path, even with a deliberately TINY bitmap (m=256 bits over
+    thousands of grams => most positions collide, the filter passes nearly
+    everything, and the exact join must do all the work)."""
+    rng = np.random.default_rng(23)
+    vocab = np.array([f"w{i}" for i in range(400)])
+
+    def mk(n_docs, start_id):
+        return [
+            (start_id + i, " ".join(rng.choice(vocab, size=40)))
+            for i in range(n_docs)
+        ]
+
+    train_rows, eval_rows = mk(60, 0), mk(60, 1000)
+    t3 = train_rows[3][1].split(" ")[10:18]
+    eval_rows[0] = (1000, eval_rows[0][1] + " " + " ".join(t3))
+    eval_rows[1] = (1001, train_rows[7][1])
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    exact = {r["doc_id"]: r["n_shared"] for r in D.decontaminate(train, ev).collect()}
+    for m_bits in (1 << 22, 256):
+        got = {
+            r["doc_id"]: r["n_shared"]
+            for r in D.decontaminate_bloom(train, ev, m_bits=m_bits).collect()
+        }
+        assert got == exact, m_bits
+    assert set(exact) == {1000, 1001}
+
+
+def test_bloom_bitmap_no_false_negatives(spark):
+    """Every inserted fingerprint must pass its own filter (Bloom's one
+    guarantee), for each hash index independently."""
+    fps = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(500)], "fp string"
+    )
+    bloom = D.bloom_bitmap(fps, "fp", m_bits=1 << 12, k=2)
+    for j in range(2):
+        kept = D._bloom_pass(fps, bloom, "fp", 1 << 12, j).count()
+        assert kept == 500
