@@ -267,3 +267,18 @@ def test_conv_near_dup_finds_cloned_conversation(spark, transcripts_df):
     pairs = chp.conv_near_dup_pairs(transcripts_df.unionByName(clone)).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(some, some + "_v2")}
     assert all(r["n_shared_bands"] >= 1 for r in pairs)
+
+
+def test_sft_and_chains_empty_and_degenerate(spark):
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    assert chp.sft_pairs(empty).count() == 0
+    assert chp.tool_chains(empty).count() == 0
+    assert chp.conv_near_dup_pairs(empty).count() == 0
+    # a conversation whose only turn is the assistant's: no prompt => no pair
+    one = spark.createDataFrame(
+        [("c", 0, "assistant", "hi", None, dt.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    assert chp.sft_pairs(one).count() == 0
