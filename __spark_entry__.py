@@ -1684,7 +1684,7 @@ def _q_conv_profile(spark, sf_dir):
 def _q_hot_conversations(spark, sf_dir):
     """Exact hot-conversation detection in two bounded-memory passes
     (sketch.heavy_hitters): per-partition Misra-Gries candidates ->
-    broadcast-flagged exact count. The shuffle carries <= k*partitions+1
+    broadcast-flagged exact count. The shuffle carries <= k merged-candidate
     rows instead of one row per distinct conv_id — at 10^12 turns /
     10^9 conversations the naive groupBy-count hot-key pre-pass is a
     billion-row exchange; this is the scale path that feeds the skew

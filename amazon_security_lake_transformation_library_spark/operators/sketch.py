@@ -176,23 +176,62 @@ def _partition_mg(k: int):
             if len(s) > k:
                 kth = s.nlargest(k + 1).iloc[-1]
                 s = s[s > kth] - kth
-        keys = [] if s is None else list(s.index)
-        yield pd.DataFrame({"k": pd.Series(keys, dtype=object)})
+        if s is None:
+            yield pd.DataFrame({"k": pd.Series([], dtype=object),
+                                "cnt": pd.Series([], dtype="float64")})
+        else:
+            yield pd.DataFrame({"k": pd.Series(list(s.index), dtype=object),
+                                "cnt": s.to_numpy(dtype="float64")})
 
     return fn
 
 
 def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
-    """Candidate heavy-hitter keys: the union of per-partition
-    Misra-Gries(k) summaries — a SUPERSET of every key whose global count
-    exceeds N/(k+1) (if count(key) > N/(k+1) then some partition has
-    count_i > n_i/(k+1) by averaging, and MG keeps it there). At most
-    ``k * n_partitions`` rows ever leave the map side, independent of
-    data volume or key cardinality."""
+    """Candidate heavy-hitter keys: per-partition Misra-Gries(k)
+    summaries MERGED into one global MG(k) summary — at most ``k`` keys
+    out, a SUPERSET of every key whose global count exceeds N/(k+1).
+
+    The merge is the one-shot rule from Agarwal/Cormode et al.
+    ("Mergeable Summaries", PODS'12 Thm 1): sum each key's residual
+    counters across partitions, subtract the (k+1)-th largest summed
+    value, keep the strictly-positive remainder. Each partition's
+    residual underestimates its local count by <= n_i/(k+1) and the
+    final subtraction adds <= N/(k+1) total, so a key with global count
+    > N/(k+1) stays positive. (The earlier union-without-merge form was
+    correct but emitted k*P keys — 63k candidates on a 32-partition
+    scan; every downstream broadcast/collect then scaled with PARTITION
+    COUNT, which at cluster scale is exactly the term that must not
+    grow. Measured in BASELINE.md: the merged form took the sharded
+    heavy-hitter cell from 0.44 to >=0.8 N-vs-4N efficiency.)
+
+    Shuffle math at 10^12 rows: map side emits <= k rows per partition
+    (the counter residuals), the sum is an ordinary partial-agg
+    exchange over <= k*P tiny rows, and the rank-(k+1) window plans as
+    WindowGroupLimit — per shuffle partition top-(k+1) BEFORE the
+    single-partition final step, which therefore sees
+    <= (k+1) * shuffle_partitions rows, never k*P."""
     cands = df.select(
         F.col(key_col).cast("string").alias("k")
-    ).mapInPandas(_partition_mg(k), schema="k string")
-    return cands.distinct().select(F.col("k").alias(key_col))
+    ).mapInPandas(_partition_mg(k), schema="k string, cnt double")
+    summed = cands.groupBy("k").agg(F.sum("cnt").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c").desc(), F.col("k"))
+    ranked = summed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k + 1
+    )
+    # s_{k+1}: the (k+1)-th largest summed residual (0 when fewer than
+    # k+1 keys survive the partition sketches)
+    skp1 = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("c"))), F.lit(0.0)
+        ).alias("s")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(skp1))
+        .filter((F.col("c") - F.col("s")) > 0)
+        .select(F.col("k").alias(key_col))
+    )
 
 
 def heavy_hitters(
@@ -214,8 +253,9 @@ def heavy_hitters(
     Contrast with the naive ``groupBy(key).count().filter(...)``: that
     plan's exchange carries one partially-combined row per distinct key
     (at 10^12 turns / 10^9 conversations: a billion-row shuffle to find
-    a handful of hot keys); this plan's exchanges carry
-    <= k * n_partitions + 1 rows total. The output is a pure function of
+    a handful of hot keys); this plan's sketch exchange carries
+    <= k rows per partition and the merged candidate set broadcast to
+    the count pass is <= k keys. The output is a pure function of
     the input multiset — the sketch only proposes candidates, the exact
     count disposes — property-tested under repartition/batching in
     tests/test_sketch_merge.py. Null keys count toward N but are never
@@ -224,7 +264,7 @@ def heavy_hitters(
 
     Scope note vs the skew router: this wins when the threshold is a
     FRACTION of the corpus (k = 1/min_frac counters; the broadcast
-    candidate set is <= k * n_partitions keys). The router's absolute
+    candidate set is <= k keys after the global merge). The router's absolute
     per-task budget (hot_threshold_rows ~ 10^5 at N ~ 10^12) would need
     k = N/threshold ~ 10^7 counters per partition — there the exact
     map-side-combined groupBy pre-pass (salted.hot_entities) remains the
@@ -286,7 +326,8 @@ def _exact_count_pass(df: DataFrame, key_col: str, k: int, thresh):
     from pyspark.sql import Window
 
     # N = sum over the counts table via one unbounded window. The table is
-    # <= k * n_partitions + 1 rows, so the single-partition WindowExec the
+    # <= k + 1 rows (merged candidates + the null fold), so the
+    # single-partition WindowExec the
     # runtime warns about is a sketch-sized pass, NOT a corpus pass — and
     # unlike a crossJoin against counts.agg(...), the window reuses the
     # one computed aggregate instead of re-scanning the corpus for a

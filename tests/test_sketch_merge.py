@@ -183,13 +183,32 @@ def test_heavy_hitters_nulls_count_toward_n_but_never_hit(spark):
 
 
 def test_mg_candidates_bounded_output(spark):
-    # adversarial near-uniform input: candidate rows never exceed
-    # k * n_partitions even when distinct >> k
+    # adversarial near-uniform input: the MERGED summary never exceeds k
+    # keys even when distinct >> k and partitions each saturate their
+    # local sketch (global merge rule, Mergeable Summaries Thm 1)
     parts = 4
     rows = [(f"k{i}",) for i in range(5000)]
     df = spark.createDataFrame(rows, "conv_id string").repartition(parts)
     k = 10
-    assert sk.mg_candidates(df, "conv_id", k).count() <= k * parts
+    assert sk.mg_candidates(df, "conv_id", k).count() <= k
+
+
+def test_mg_candidates_superset_of_heavy_keys(spark):
+    # merged-summary guarantee: every key with global count > N/(k+1)
+    # appears among the candidates, under any partitioning
+    rows = _zipf_rows(120, 900, seed=7)
+    n = len(rows)
+    k = 25
+    counts: dict = {}
+    for (key,) in rows:
+        counts[key] = counts.get(key, 0) + 1
+    heavy = {key for key, c in counts.items() if c > n / (k + 1)}
+    assert heavy  # the fixture must actually exercise the property
+    for parts in (1, 3, 17):
+        df = spark.createDataFrame(rows, "conv_id string").repartition(parts)
+        cands = {r[0] for r in sk.mg_candidates(df, "conv_id", k).collect()}
+        assert heavy <= cands, parts
+        assert len(cands) <= k
 
 
 def test_heavy_hitters_rejects_bad_args(spark):

@@ -272,7 +272,7 @@ def _hotkeys_job(spark, t, args, run_idx: int):
     co-partitioned table needs:
 
     Stage 1 (timed): this worker runs the Misra-Gries candidate sketch
-    over its shard (one mapInPandas corpus scan, <= k keys out per
+    over its shard (one mapInPandas corpus scan, <= k MERGED keys per
     partition) and publishes its candidate keys + local row count. The
     wait for all W candidate files is the stage boundary (= the
     broadcast collect of a real job).
