@@ -51,8 +51,9 @@ HEADLINE = [
     "dedup_embedding_cosine_blocked",
     # text analysis / curation / encoders
     "doc_stats", "doc_lang_trigram", "repetition_stats", "tfidf_top_terms",
-    "decontaminate_docs", "domain_mixture_docs", "target_encode_events",
-    "chat_render", "conv_prefix_dedup", "hot_conversations",
+    "decontaminate_docs", "decontaminate_docs_bloom", "domain_mixture_docs",
+    "target_encode_events", "chat_render", "sft_pairs", "tool_chains",
+    "conv_near_dup_minhash", "conv_prefix_dedup", "hot_conversations",
     # reference-parity + joins/aggs representatives
     "alb_parse", "mapping_dispatch", "q1_pricing_summary", "q3_top_orders",
 ]
