@@ -219,6 +219,39 @@ def _q_asof_multi(spark, sf_dir):
     return step2.select("event_id", "user_id", "purchase_val", "error_val")
 
 
+def _q_asof_stacked(spark, sf_dir):
+    """Single-pass K-table point-in-time assembly (asof_join_stacked):
+    same feature-vector semantics as `asof_join_events_multi` but THREE
+    sources resolved in ONE Exchange + ONE Sort + ONE Window total — the
+    stacked union form a feature store wants when K grows (chaining costs
+    K joins; this is K `last(ignorenulls)` calls sharing one window spec,
+    plan pinned in tests/test_asof_stacked.py)."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.select("event_id", "user_id", "ts")
+
+    def _build(etype: str) -> DataFrame:
+        w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id", "ts", F.round("value", 4).alias("val"),
+                    F.row_number().over(w).alias("__rn"))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+
+    out = asof_ops.asof_join_stacked(
+        probe,
+        {"purchase": _build("purchase"), "error": _build("error"),
+         "click": _build("click")},
+        on="user_id", ts="ts",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("purchase_val").alias("purchase_v"),
+        F.col("error_val").alias("error_v"),
+        F.col("click_val").alias("click_v"),
+    )
+
+
 def _q_asof_tolerance(spark, sf_dir):
     # bounded-staleness as-of (north rule's "r.ts BETWEEN l.ts - horizon
     # AND l.ts"): a match older than the horizon is as good as no match —
@@ -1867,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events_interval": _q_asof_interval,
         "asof_join_events_tolerance": _q_asof_tolerance,
         "asof_join_events_multi": _q_asof_multi,
+        "asof_join_events_stacked": _q_asof_stacked,
         "tumbling_hourly_events": _q_tumbling_hourly,
         "sliding_rate_events": _q_sliding_rate,
         "session_window_events": _q_session_window,
@@ -2512,6 +2546,33 @@ def oracle_sql() -> dict[str, str]:
             FROM s1
             ASOF LEFT JOIN (SELECT * FROM eb WHERE rn = 1) b2
               ON s1.user_id = b2.user_id AND s1.ts >= b2.ts
+        """,
+        "asof_join_events_stacked": """
+            WITH b AS (
+              SELECT event_type, user_id, ts, round(value, 4) AS val,
+                     row_number() OVER (PARTITION BY event_type, user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type IN ('purchase', 'error', 'click')
+            ), s1 AS (
+              SELECT e.event_id, e.user_id, e.ts, p.val AS purchase_v
+              FROM events e
+              ASOF LEFT JOIN (SELECT * FROM b WHERE rn = 1
+                              AND event_type = 'purchase') p
+                ON e.user_id = p.user_id AND e.ts >= p.ts
+            ), s2 AS (
+              SELECT s1.event_id, s1.user_id, s1.ts, s1.purchase_v,
+                     r.val AS error_v
+              FROM s1
+              ASOF LEFT JOIN (SELECT * FROM b WHERE rn = 1
+                              AND event_type = 'error') r
+                ON s1.user_id = r.user_id AND s1.ts >= r.ts
+            )
+            SELECT s2.event_id, s2.user_id, s2.purchase_v, s2.error_v,
+                   c.val AS click_v
+            FROM s2
+            ASOF LEFT JOIN (SELECT * FROM b WHERE rn = 1
+                            AND event_type = 'click') c
+              ON s2.user_id = c.user_id AND s2.ts >= c.ts
         """,
         "session_window_events": f"""
             WITH s AS (

@@ -239,3 +239,131 @@ def asof_join_range(
         .filter(F.col("__rn") == 1)
         .drop("__rn", *[f"__b_{k}" for k in keys])
     )
+
+
+def asof_join_stacked(
+    probe: DataFrame,
+    builds: "dict[str, DataFrame]",
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    build_cols: "dict[str, Sequence[str]] | None" = None,
+    strict: bool = False,
+    asof_ts_suffix: str = "_asof_ts",
+) -> DataFrame:
+    """Single-pass multi-table point-in-time join: attach, to every probe
+    row, the as-of-latest row from EACH of K feature tables, in ONE
+    shuffle + ONE sort total.
+
+    This is the feature-store spine-assembly shape (a label spine enriched
+    from K independently-updated feature tables). Chaining K
+    :func:`asof_join_interval` calls costs K joins — K Exchanges + K Sorts
+    on an unbucketed layout, and the probe spine (re-shuffled each step)
+    widens as it goes. Here every build table is tagged with its own
+    payload struct column (null on all other sources' rows), unioned with
+    the probe side, and filled by K ``last(..., ignorenulls=True)`` calls
+    that share ONE window spec — Catalyst collapses same-spec window
+    functions into a single WindowExec, so the physical plan is one
+    Exchange over ``n_probe + sum(n_build_k)`` rows, one Sort, one Window,
+    regardless of K (pinned in tests/test_plans_quality.py). Over a
+    bucketed ts-sorted layout the Exchange and Sort both vanish and K-table
+    assembly is a single in-partition merge.
+
+    Output columns: each source ``s``'s payload column ``c`` appears as
+    ``{s}_{c}``, plus ``{s}{asof_ts_suffix}`` (the matched build
+    timestamp, NULL when no build row is as-of-visible). Unmatched probe
+    rows keep NULLs everywhere (left-outer semantics, like every other
+    as-of form here).
+
+    Precondition (shared with the other forms): each build table unique
+    per ``(on, ts)`` — pre-shrink with :func:`latest_per_key`. Leakage
+    contract: with ``strict=False`` a build row at ts T is visible to
+    probes at T and later; never to earlier probes (build rows sort before
+    probe rows at equal ts; ``strict=True`` flips that side order, so
+    equal-ts build rows are invisible).
+
+    The reference library has no record-to-record joins at all
+    (SURVEY.md §2.B); this operator is north-rule surface
+    (BASELINE.json: "full as-of/point-in-time join ... over conv_id-
+    bucketed, ts-sorted partitions").
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    names = list(builds)
+    cols = {
+        s: (
+            list(build_cols[s]) if build_cols and s in build_cols
+            else [c for c in builds[s].columns if c not in {*keys, ts}]
+        )
+        for s in names
+    }
+    probe_extra = [c for c in probe.columns if c not in {*keys, ts}]
+    stk = {s: f"__stk_{s}" for s in names}
+
+    def payload(s: str):
+        return F.struct(
+            F.col(ts).alias(f"{s}{asof_ts_suffix}"),
+            *[F.col(c).alias(f"{s}_{c}") for c in cols[s]],
+        )
+
+    # Build each side with the full aligned column set: keys, ts, side
+    # tag, one struct per source (typed NULL off-source), typed-NULL probe
+    # extras on build rows.
+    sides = []
+    for s in names:
+        b = builds[s]
+        sides.append(
+            b.select(
+                *keys,
+                F.col(ts).alias(ts),
+                F.lit(2 if strict else 0).alias(_SIDE),
+                *[
+                    payload(s2).alias(stk[s2]) if s2 == s
+                    else F.lit(None).cast(
+                        # struct type as the source table would produce it
+                        builds[s2].select(payload(s2)).schema[0].dataType
+                    ).alias(stk[s2])
+                    for s2 in names
+                ],
+                *[
+                    F.lit(None).cast(probe.schema[c].dataType).alias(c)
+                    for c in probe_extra
+                ],
+            )
+        )
+    probe_struct_types = {
+        s: builds[s].select(payload(s)).schema[0].dataType for s in names
+    }
+    sides.append(
+        probe.select(
+            *keys,
+            F.col(ts).alias(ts),
+            F.lit(1).alias(_SIDE),
+            *[
+                F.lit(None).cast(probe_struct_types[s]).alias(stk[s])
+                for s in names
+            ],
+            *probe_extra,
+        )
+    )
+    unioned = sides[0]
+    for sd in sides[1:]:
+        unioned = unioned.unionByName(sd)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(stk[s]), ignorenulls=True).over(w).alias(f"__f_{s}")
+            for s in names
+        ],
+    ).filter(F.col(_SIDE) == 1)
+
+    out_cols = [*keys, ts, *probe_extra]
+    for s in names:
+        f = F.col(f"__f_{s}")
+        out_cols.append(f[f"{s}{asof_ts_suffix}"].alias(f"{s}{asof_ts_suffix}"))
+        out_cols.extend(f[f"{s}_{c}"].alias(f"{s}_{c}") for c in cols[s])
+    return filled.select(*out_cols)

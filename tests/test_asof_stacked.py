@@ -1,0 +1,146 @@
+"""Single-pass stacked multi-table as-of join (asof_join_stacked):
+per-source equivalence to pandas merge_asof, tie semantics, left-outer
+NULLs for sources with no visible row, and the one-Window plan shape.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from amazon_security_lake_transformation_library_spark.operators.asof import (
+    asof_join_stacked,
+)
+
+
+def _mk_inputs(seed=7, n_entities=12, n_probe=240, n_build=60):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2026-01-01")
+
+    def tbl(n, value_name, entity_drop=None):
+        ents = rng.integers(0, n_entities, size=n)
+        if entity_drop is not None:
+            ents = ents[ents != entity_drop]
+        ts = base + pd.to_timedelta(rng.integers(0, 50_000, size=len(ents)), unit="s")
+        df = pd.DataFrame(
+            {
+                "conv_id": [f"c{e:03d}" for e in ents],
+                "ts": ts,
+                value_name: rng.normal(size=len(ents)).round(6),
+            }
+        )
+        # unique per (conv_id, ts): the operator's documented precondition
+        return df.drop_duplicates(["conv_id", "ts"]).reset_index(drop=True)
+
+    probe = pd.DataFrame(
+        {
+            "conv_id": [f"c{e:03d}" for e in rng.integers(0, n_entities, n_probe)],
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 50_000, size=n_probe), unit="s"),
+            "probe_id": np.arange(n_probe, dtype="int64"),
+        }
+    )
+    builds = {
+        "alpha": tbl(n_build, "a_val"),
+        "beta": tbl(n_build, "b_val"),
+        # gamma never has rows for entity 0 -> those probes must keep NULLs
+        "gamma": tbl(n_build, "g_val", entity_drop=0),
+    }
+    return probe, builds
+
+
+def _oracle(probe, builds, strict):
+    """Per-source pandas merge_asof on the same inputs."""
+    out = probe.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    for s, b in builds.items():
+        val = [c for c in b.columns if c not in ("conv_id", "ts")][0]
+        bb = b.sort_values("ts", kind="mergesort").rename(
+            columns={"ts": f"{s}_asof_ts", val: f"{s}_{val}"}
+        )
+        out = pd.merge_asof(
+            out,
+            bb,
+            left_on="ts",
+            right_on=f"{s}_asof_ts",
+            by="conv_id",
+            allow_exact_matches=not strict,
+            direction="backward",
+        )
+    return out.sort_values("probe_id", kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_stacked_matches_merge_asof_per_source(spark, strict):
+    probe, builds = _mk_inputs()
+    got = (
+        asof_join_stacked(
+            spark.createDataFrame(probe),
+            {s: spark.createDataFrame(b) for s, b in builds.items()},
+            on="conv_id",
+            ts="ts",
+            strict=strict,
+        )
+        .toPandas()
+        .sort_values("probe_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = _oracle(probe, builds, strict)
+    assert len(got) == len(probe)
+    for s, b in builds.items():
+        val = [c for c in b.columns if c not in ("conv_id", "ts")][0]
+        np.testing.assert_allclose(
+            got[f"{s}_{val}"].to_numpy("float64"),
+            want[f"{s}_{val}"].to_numpy("float64"),
+        )
+        gt = got[f"{s}_asof_ts"].astype("datetime64[us]")
+        wt = want[f"{s}_asof_ts"].astype("datetime64[us]")
+        assert (gt.isna() == wt.isna()).all()
+        assert (gt.dropna() == wt.dropna()).all()
+
+
+def test_stacked_zero_leakage(spark):
+    """No matched build timestamp may exceed the probe timestamp (the
+    north rule's temporal-leakage invariant), for every source at once."""
+    probe, builds = _mk_inputs(seed=11)
+    got = asof_join_stacked(
+        spark.createDataFrame(probe),
+        {s: spark.createDataFrame(b) for s, b in builds.items()},
+        on="conv_id",
+        ts="ts",
+    ).toPandas()
+    for s in builds:
+        m = got[f"{s}_asof_ts"].notna()
+        assert (got.loc[m, f"{s}_asof_ts"] <= got.loc[m, "ts"]).all()
+
+
+def test_stacked_missing_source_entity_keeps_nulls(spark):
+    probe, builds = _mk_inputs(seed=3)
+    got = asof_join_stacked(
+        spark.createDataFrame(probe),
+        {s: spark.createDataFrame(b) for s, b in builds.items()},
+        on="conv_id",
+        ts="ts",
+    ).toPandas()
+    e0 = got[got["conv_id"] == "c000"]
+    assert len(e0) > 0
+    assert e0["gamma_g_val"].isna().all()
+    assert e0["gamma_asof_ts"].isna().all()
+
+
+def test_stacked_single_window_plan(spark):
+    """K=3 sources must plan as ONE Window / ONE Sort and at most ONE
+    Exchange on the union (that collapse is the whole point vs chaining
+    K as-of joins)."""
+    probe, builds = _mk_inputs(seed=5)
+    df = asof_join_stacked(
+        spark.createDataFrame(probe),
+        {s: spark.createDataFrame(b) for s, b in builds.items()},
+        on="conv_id",
+        ts="ts",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
+    n_sort = sum(
+        1 for ln in plan.splitlines() if ln.lstrip("+-* :").startswith("Sort ")
+    )
+    assert n_sort == 1
+    assert plan.count("Exchange") <= 1
