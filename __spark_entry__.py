@@ -29,6 +29,7 @@ from amazon_security_lake_transformation_library_spark.operators import dedup as
 from amazon_security_lake_transformation_library_spark.operators import encoders as enc
 from amazon_security_lake_transformation_library_spark.operators import features as feat
 from amazon_security_lake_transformation_library_spark.operators import fused as fused_ops
+from amazon_security_lake_transformation_library_spark.operators import merge as merge_ops
 from amazon_security_lake_transformation_library_spark.operators import repetition as rep
 from amazon_security_lake_transformation_library_spark.operators import similarity as sim
 from amazon_security_lake_transformation_library_spark.operators import textstats as ts_ops
@@ -1307,6 +1308,19 @@ def _q_dataset_split(spark, sf_dir):
     return dso.split_assign(ev, "user_id").select("event_id", "user_id", "split")
 
 
+def _q_split_temporal(spark, sf_dir):
+    """Temporal split with a purge/embargo strip
+    (datasetops.split_temporal_embargo): train strictly before
+    cutoff - 2 days, test at/after the cutoff, the 2-day strip labeled
+    'embargo' so look-back features cannot straddle the boundary. Pure
+    narrow projection — zero shuffle, cluster-size invariant."""
+    ev = _t(spark, sf_dir, "events")
+    out = dso.split_temporal_embargo(
+        ev, cutoff="2024-01-22 00:00:00", embargo_seconds=172800.0
+    )
+    return out.select("event_id", "split")
+
+
 def _q_sample_stratified(spark, sf_dir):
     """Data-mixture rebalancing: deterministically downsample English docs
     to 25% while keeping every other language — hash-threshold keep rule,
@@ -1714,6 +1728,31 @@ def _q_conv_profile(spark, sf_dir):
     )
 
 
+def _q_conv_profile_incremental(spark, sf_dir):
+    """Incremental view maintenance of the conversation profile
+    (merge.incremental_refresh): the snapshot built from pre-cutoff turns
+    is refreshed with the post-cutoff delta by recomputing ONLY the
+    delta-touched conversations from their full history — and the result
+    must equal a full rebuild bit-for-bit, which is exactly what the
+    oracle (the plain conv_profile SQL over ALL turns) checks. Neither
+    the history scan nor the snapshot scan shuffles: the affected-key set
+    broadcasts into a semi/anti join pair."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    cutoff = F.lit("2024-01-28 00:00:00").cast("timestamp_ntz")
+    prof = lambda turns: chp.conv_profile(turns, gap_seconds=float(GAP_S))  # noqa: E731
+    base = prof(t.filter(F.col("ts") < cutoff))
+    out = merge_ops.incremental_refresh(
+        base, t, t.filter(F.col("ts") >= cutoff), prof, keys="conv_id"
+    )
+    return out.select(
+        "conv_id", "n_turns", "n_sessions", "n_tool_calls",
+        "n_assistant_turns",
+        (F.round("assistant_char_frac", 6) + 0.0).alias("assistant_char_frac"),
+        (F.round("duration_s", 4) + 0.0).alias("duration_s"),
+        (F.round("mean_gap_s", 4) + 0.0).alias("mean_gap_s"),
+    )
+
+
 def _q_hot_conversations(spark, sf_dir):
     """Exact hot-conversation detection in two bounded-memory passes
     (sketch.heavy_hitters): per-partition Misra-Gries candidates ->
@@ -1800,17 +1839,53 @@ def _q_conv_near_dup(spark, sf_dir):
     return chp.conv_near_dup_pairs(_conv_clones(t))
 
 
+# ORDERING CONTRACT: the driver's differential gate records rows for the
+# FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
+# that has no driver-green row in any earlier round's CORRECTNESS artifact
+# (44 as of late r4) followed by prior-green re-pin anchors (the four
+# §7.2-regressed cells + the flagship pair) up to the 50-slot budget;
+# _gate_order() moves them to the front so the official artifact covers
+# them. Across the r2+r3+r4 artifacts every entry then has at least one
+# driver-green row. When adding a query, ALSO add its name to _GATE_FRONT
+# (new entries are by definition never-checked). See README 'driver gate
+# coverage'.
+_GATE_FRONT = [
+    # --- never driver-checked before the r4 gate runs (44) ---
+    "kmv_distinct_users", "merge_orders_cdc",
+    "dataset_split_events", "split_temporal_events",
+    "sample_stratified_docs", "pack_sequences", "doc_chunks",
+    "decontaminate_docs", "doc_length_quantiles", "iqr_value_by_user",
+    "doc_chunks_udtf", "ewma_events", "ewma_events_grouped",
+    "dedup_clusters", "flagship_transcripts_bucketed",
+    "dedup_stream_batch", "stream_interval_join_batch",
+    "duplicate_ngram_spans", "scrub_duplicate_spans",
+    "label_horizon_events", "sample_topn_per_group",
+    "domain_mixture_docs", "importance_weights_docs",
+    "psi_value_by_split", "target_encode_events",
+    "frequency_encode_events", "zscore_value_by_type",
+    "mutual_info_type_value", "chat_render", "chat_loss_spans",
+    "conv_prefix_dedup", "validate_turns", "context_budget",
+    "sample_weighted_docs", "boilerplate_assistant_turns",
+    "conv_profile", "conv_profile_incremental", "hot_conversations",
+    "heavy_users_events", "sft_pairs", "tool_chains",
+    "decontaminate_docs_bloom", "conv_near_dup_minhash",
+    "asof_join_events_stacked",
+    # --- prior-green re-pin anchors (6) ---
+    "ann_kmeans_centroids", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "flagship_transcripts",
+    "flagship_transcripts_salted",
+]
+
+
+def _gate_order(d: dict) -> dict:
+    front = [k for k in _GATE_FRONT if k in d]
+    rest = {k: v for k, v in d.items() if k not in set(front)}
+    return {**{k: d[k] for k in front}, **rest}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ORDERING CONTRACT: the driver's differential gate records rows for
-    the FIRST 50 dict entries only. Rounds 1-3 checked the (stable) first
-    50; round 4 rotates every never-driver-checked entry — the r3 tail
-    plus all r4 additions, 37 in all — into the front block, keeping 13
-    prior-green anchors (the four §7.2-regressed cells + the flagship
-    family) for cross-round re-confirmation. Across the r2+r3+r4
-    CORRECTNESS artifacts every one of the 103 entries has at least one
-    driver-green row. Do not reorder casually: see README 'driver gate
-    coverage'."""
-    return {
+    """See the _GATE_FRONT ordering contract above."""
+    return _gate_order({
         # ---- r4 front block: entries the r1-r3 driver gates never reached
         # sketch / CDC merge
         "kmv_distinct_users": _q_kmv_distinct_users,
@@ -1818,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dataset assembly: splits / mixtures / packing / chunking /
         # decontamination / exact quantiles
         "dataset_split_events": _q_dataset_split,
+        "split_temporal_events": _q_split_temporal,
         "sample_stratified_docs": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
@@ -1874,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_docs": _q_sample_weighted,
         "boilerplate_assistant_turns": _q_boilerplate_turns,
         "conv_profile": _q_conv_profile,
+        "conv_profile_incremental": _q_conv_profile_incremental,
         # exact heavy hitters via Misra-Gries candidates (new r4)
         "hot_conversations": _q_hot_conversations,
         "heavy_users_events": _q_heavy_users_events,
@@ -1949,7 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": _q_corpus_filter,
         "scrub_pii": _q_scrub_pii,
         "doc_lang_trigram": _q_doc_lang_trigram,
-    }
+    })
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -2446,7 +2523,7 @@ _SUBSTR_SPANS_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _alias_oracles({
         "lag_lead_events": f"""
             SELECT event_id, user_id,
                    lag(value) OVER ({_EVENT_WINDOW}) AS prev_value,
@@ -2998,6 +3075,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM events
         """,
+        "split_temporal_events": """
+            SELECT event_id,
+                   CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+                               - INTERVAL 172800 SECOND THEN 'train'
+                        WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+                        ELSE 'embargo' END AS split
+            FROM events
+        """,
         "sample_stratified_docs": """
             SELECT doc_id, lang FROM documents
             WHERE substr(md5('sample-v1' || doc_id::VARCHAR), 1, 4)
@@ -3520,4 +3605,13 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g LEFT JOIN base USING (bin) LEFT JOIN oth USING (split, bin)
             GROUP BY 1
         """,
-    }
+    })
+
+
+def _alias_oracles(sql: dict[str, str]) -> dict[str, str]:
+    """Queries whose oracle is another query's oracle verbatim — i.e. the
+    Spark side must reproduce the SAME answer through a DIFFERENT physical
+    strategy (the strongest kind of gate: incremental == full rebuild,
+    stacked == chained)."""
+    sql["conv_profile_incremental"] = sql["conv_profile"]
+    return sql

@@ -106,6 +106,43 @@ def split_assign(
     return df.withColumn(out_col, expr)
 
 
+def split_temporal_embargo(
+    df: DataFrame,
+    cutoff: str,
+    embargo_seconds: float = 0.0,
+    ts: str = "ts",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe TEMPORAL split: ``train`` strictly before
+    ``cutoff - embargo``, ``test`` at/after ``cutoff``, and the rows in
+    between labeled ``embargo`` (to be dropped by the caller).
+
+    Why the gap: features built with a look-back horizon (rolling
+    windows, as-of joins with tolerance) let a train row just before the
+    cutoff share source events with a test row just after it; purging an
+    embargo strip at least as long as the feature horizon removes that
+    overlap (the purged/embargoed split of López de Prado, *Advances in
+    Financial Machine Learning* §7 — the time-series analogue of
+    :func:`split_assign`'s entity isolation). Use both together:
+    entity-hash for BETWEEN-entity leakage, temporal embargo for
+    WITHIN-entity look-ahead.
+
+    ``cutoff`` is a timestamp literal string ('2024-01-28 00:00:00'),
+    compared in the column's own type (works for TIMESTAMP and
+    TIMESTAMP_NTZ). Scale shape: pure narrow projection — two
+    comparisons, no shuffle; label assignment is invariant to row order,
+    partitioning, and cluster size.
+    """
+    c = F.lit(cutoff).cast(df.schema[ts].dataType)
+    lo = c - F.expr(f"INTERVAL {float(embargo_seconds)} SECONDS")
+    expr = (
+        F.when(F.col(ts) < lo, F.lit("train"))
+        .when(F.col(ts) >= c, F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return df.withColumn(out_col, expr)
+
+
 def sample_stratified(
     df: DataFrame,
     stratum_col: str,

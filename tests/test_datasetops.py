@@ -312,3 +312,36 @@ def test_bloom_bitmap_no_false_negatives(spark):
     for j in range(2):
         kept = D._bloom_pass(fps, bloom, "fp", 1 << 12, j).count()
         assert kept == 500
+
+
+def test_split_temporal_embargo_labels(spark):
+    """Train strictly below cutoff-embargo, test at/after cutoff, the
+    strip labeled embargo; boundary rows land on the documented side;
+    works on TIMESTAMP_NTZ (parquet) columns."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-10 00:00:00",  # train
+                    "2024-01-19 23:59:59",  # train (just below lo)
+                    "2024-01-20 00:00:00",  # embargo (== lo boundary)
+                    "2024-01-21 12:00:00",  # embargo
+                    "2024-01-22 00:00:00",  # test (== cutoff)
+                ]
+            ).astype("datetime64[us]"),
+        }
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.parquet")
+    rows.to_parquet(p)  # round-trips as TIMESTAMP_NTZ
+    df = spark.read.parquet(p)
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    out = D.split_temporal_embargo(
+        df, cutoff="2024-01-22 00:00:00", embargo_seconds=172800.0
+    )
+    got = {r["event_id"]: r["split"] for r in out.collect()}
+    assert got == {0: "train", 1: "train", 2: "embargo", 3: "embargo", 4: "test"}
