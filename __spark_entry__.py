@@ -253,6 +253,37 @@ def _q_asof_stacked(spark, sf_dir):
     )
 
 
+def _q_asof_skinny(spark, sf_dir):
+    """Same feature vectors as `asof_join_events_stacked` (literally the
+    same oracle SQL) through the skinny/EAV feature-log strategy
+    (asof_join_skinny): all K features read from ONE table, deduped in
+    ONE window, resolved in ONE stacked window — no per-source scan
+    branch, so the whole K-feature assembly is two Exchanges end-to-end
+    (dedupe + stack) vs the per-table form's 2K."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.select("event_id", "user_id", "ts")
+    w = Window.partitionBy("event_type", "user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    log = (
+        ev.filter(F.col("event_type").isin("purchase", "error", "click"))
+        .select("event_type", "user_id", "ts",
+                F.round("value", 4).alias("val"),
+                F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    out = asof_ops.asof_join_skinny(
+        probe, log, sources=["purchase", "error", "click"],
+        source_col="event_type", value_col="val", on="user_id", ts="ts",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("purchase_val").alias("purchase_v"),
+        F.col("error_val").alias("error_v"),
+        F.col("click_val").alias("click_v"),
+    )
+
+
 def _q_asof_tolerance(spark, sf_dir):
     # bounded-staleness as-of (north rule's "r.ts BETWEEN l.ts - horizon
     # AND l.ts"): a match older than the horizon is as good as no match —
@@ -1869,11 +1900,10 @@ _GATE_FRONT = [
     "conv_profile", "conv_profile_incremental", "hot_conversations",
     "heavy_users_events", "sft_pairs", "tool_chains",
     "decontaminate_docs_bloom", "conv_near_dup_minhash",
-    "asof_join_events_stacked",
+    "asof_join_events_stacked", "asof_join_events_skinny",
     # --- prior-green re-pin anchors (6) ---
     "ann_kmeans_centroids", "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "flagship_transcripts",
-    "flagship_transcripts_salted",
 ]
 
 
@@ -1978,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events_tolerance": _q_asof_tolerance,
         "asof_join_events_multi": _q_asof_multi,
         "asof_join_events_stacked": _q_asof_stacked,
+        "asof_join_events_skinny": _q_asof_skinny,
         "tumbling_hourly_events": _q_tumbling_hourly,
         "sliding_rate_events": _q_sliding_rate,
         "session_window_events": _q_session_window,
@@ -3614,4 +3645,5 @@ def _alias_oracles(sql: dict[str, str]) -> dict[str, str]:
     strategy (the strongest kind of gate: incremental == full rebuild,
     stacked == chained)."""
     sql["conv_profile_incremental"] = sql["conv_profile"]
+    sql["asof_join_events_skinny"] = sql["asof_join_events_stacked"]
     return sql

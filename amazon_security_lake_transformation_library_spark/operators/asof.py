@@ -367,3 +367,89 @@ def asof_join_stacked(
         out_cols.append(f[f"{s}{asof_ts_suffix}"].alias(f"{s}{asof_ts_suffix}"))
         out_cols.extend(f[f"{s}_{c}"].alias(f"{s}_{c}") for c in cols[s])
     return filled.select(*out_cols)
+
+
+def asof_join_skinny(
+    probe: DataFrame,
+    build: DataFrame,
+    sources: Sequence[str],
+    source_col: str = "feature",
+    value_col: str = "value",
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    strict: bool = False,
+    asof_ts_suffix: str = "_asof_ts",
+) -> DataFrame:
+    """Point-in-time join against a SKINNY feature log — one table of
+    ``(entity, ts, feature_name, value)`` rows, the EAV layout a feature
+    store's ingestion actually lands (every feature pipeline appends to
+    one log; no per-feature table exists until someone pivots one).
+
+    Same semantics as :func:`asof_join_stacked` (for each probe row and
+    each ``s`` in ``sources``, the latest visible build row with
+    ``source_col == s``), but because all K features live in one table
+    the plan needs NO per-source branch at all: one union of probe +
+    build, one window, and K ``last(when(source == s, payload),
+    ignorenulls=True)`` calls sharing the window spec — nulls from
+    other sources are simply skipped by ``ignorenulls``. Where the
+    per-table form costs one dedupe/scan branch per source (K Exchanges
+    upstream), this is ONE Exchange + ONE Sort + ONE Window end-to-end
+    on top of a single scan — and zero Exchange/Sort over an
+    entity-bucketed ts-sorted log.
+
+    ``build`` must be unique per ``(on, source_col, ts)``; rows whose
+    ``source_col`` is not in ``sources`` are ignored (filter pushed into
+    the scan). Output: probe columns + ``{s}{asof_ts_suffix}`` and
+    ``{s}_{value_col}`` per source, NULL when nothing is visible
+    (left-outer, matching every other as-of form here).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    probe_extra = [c for c in probe.columns if c not in {*keys, ts}]
+
+    payload_t = build.select(
+        F.struct(
+            F.col(ts).alias("a"), F.col(value_col).alias("v")
+        )
+    ).schema[0].dataType
+    build_side = build.filter(F.col(source_col).isin(list(sources))).select(
+        *keys,
+        F.col(ts).alias(ts),
+        F.lit(2 if strict else 0).alias(_SIDE),
+        F.col(source_col).alias("__src"),
+        F.struct(F.col(ts).alias("a"), F.col(value_col).alias("v")).alias(_B),
+        *[
+            F.lit(None).cast(probe.schema[c].dataType).alias(c)
+            for c in probe_extra
+        ],
+    )
+    probe_side = probe.select(
+        *keys,
+        F.col(ts).alias(ts),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast("string").alias("__src"),
+        F.lit(None).cast(payload_t).alias(_B),
+        *probe_extra,
+    )
+    unioned = build_side.unionByName(probe_side)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(
+                F.when(F.col("__src") == s, F.col(_B)), ignorenulls=True
+            ).over(w).alias(f"__f_{i}")
+            for i, s in enumerate(sources)
+        ],
+    ).filter(F.col(_SIDE) == 1)
+
+    out_cols = [*keys, ts, *probe_extra]
+    for i, s in enumerate(sources):
+        f = F.col(f"__f_{i}")
+        out_cols.append(f["a"].alias(f"{s}{asof_ts_suffix}"))
+        out_cols.append(f["v"].alias(f"{s}_{value_col}"))
+    return filled.select(*out_cols)

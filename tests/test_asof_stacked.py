@@ -144,3 +144,86 @@ def test_stacked_single_window_plan(spark):
     )
     assert n_sort == 1
     assert plan.count("Exchange") <= 1
+
+
+def _melt(builds):
+    """Per-table builds -> one skinny (conv_id, ts, feature, value) log."""
+    frames = []
+    for s, b in builds.items():
+        val = [c for c in b.columns if c not in ("conv_id", "ts")][0]
+        frames.append(
+            b.rename(columns={val: "value"}).assign(feature=s)[
+                ["conv_id", "ts", "feature", "value"]
+            ]
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_skinny_equals_stacked(spark, strict):
+    """The skinny/EAV feature-log form must produce the same feature
+    vectors as the per-table stacked form on equivalent inputs."""
+    from amazon_security_lake_transformation_library_spark.operators.asof import (
+        asof_join_skinny,
+    )
+
+    probe, builds = _mk_inputs(seed=13)
+    stacked = (
+        asof_join_stacked(
+            spark.createDataFrame(probe),
+            {s: spark.createDataFrame(b) for s, b in builds.items()},
+            on="conv_id",
+            ts="ts",
+            strict=strict,
+        )
+        .toPandas()
+        .sort_values("probe_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    skinny = (
+        asof_join_skinny(
+            spark.createDataFrame(probe),
+            spark.createDataFrame(_melt(builds)),
+            sources=list(builds),
+            source_col="feature",
+            value_col="value",
+            on="conv_id",
+            ts="ts",
+            strict=strict,
+        )
+        .toPandas()
+        .sort_values("probe_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    for s, b in builds.items():
+        val = [c for c in b.columns if c not in ("conv_id", "ts")][0]
+        np.testing.assert_allclose(
+            skinny[f"{s}_value"].to_numpy("float64"),
+            stacked[f"{s}_{val}"].to_numpy("float64"),
+        )
+        gt = skinny[f"{s}_asof_ts"].astype("datetime64[us]")
+        wt = stacked[f"{s}_asof_ts"].astype("datetime64[us]")
+        assert (gt.isna() == wt.isna()).all()
+        assert (gt.dropna() == wt.dropna()).all()
+
+
+def test_skinny_single_window_plan(spark):
+    from amazon_security_lake_transformation_library_spark.operators.asof import (
+        asof_join_skinny,
+    )
+
+    probe, builds = _mk_inputs(seed=17)
+    df = asof_join_skinny(
+        spark.createDataFrame(probe),
+        spark.createDataFrame(_melt(builds)),
+        sources=list(builds),
+        on="conv_id",
+        ts="ts",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
+    n_sort = sum(
+        1 for ln in plan.splitlines() if ln.lstrip("+-* :").startswith("Sort ")
+    )
+    assert n_sort == 1
+    assert plan.count("Exchange") <= 1
