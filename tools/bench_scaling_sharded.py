@@ -121,6 +121,14 @@ def worker(args) -> None:
         t = spark.table("sh_cur_t")
     elif args.plan in ("curation", "hotkeys"):
         t = spark.read.parquet(*args.t_files.split(","))
+    elif args.plan == "skinny":
+        # probe = this shard's turn files; build = the matching shard of
+        # the ONE skinny EAV feature log (conv_id-disjoint by the same
+        # bucket assignment, so the window's partitionBy(conv_id) makes
+        # sharding value-identical to the 1-proc run)
+        t = spark.read.parquet(*args.t_files.split(","))
+        cf = spark.read.parquet(*args.cf_files.split(","))
+        cf.count()
     else:
         t = spark.read.parquet(*args.t_files.split(","))
         cf = spark.read.parquet(*args.cf_files.split(","))
@@ -151,6 +159,14 @@ def worker(args) -> None:
             out = _curation_job(spark, t, args, run_idx, ts_col="ts_us")
         elif args.plan == "hotkeys":
             out = _hotkeys_job(spark, t, args, run_idx)
+        elif args.plan == "skinny":
+            # K=8 feature assembly from the EAV log in ONE Exchange +
+            # ONE Sort + ONE Window (operators/asof.py:asof_join_skinny);
+            # the noop sink consumes every output column, so Catalyst
+            # cannot prune the K last() fills (the §7.9 count() trap)
+            from amazon_security_lake_transformation_library_spark.operators.asof import asof_join_skinny
+            out = asof_join_skinny(
+                t, cf, sources=[f"f{i}" for i in range(8)])
         else:
             out = asof_turn_features(t, cf)
         from pyspark.sql import Observation
@@ -417,6 +433,53 @@ def ensure_curation_layout(layout: str, procs: int) -> str:
     return out_root
 
 
+def ensure_skinny_layout(layout: str) -> str:
+    """One-time derivation of the SKINNY EAV feature log for the
+    ``skinny`` plan: one ``log_<bucket>.parquet`` per original turn
+    bucket, rows ``(conv_id, ts, feature, value)`` with 8 feature names
+    round-robined over every third turn (unique per
+    ``(conv_id, feature, ts)`` — asof_join_skinny's precondition).
+    Deriving per bucket file preserves conv_id-disjointness by
+    construction, so any contiguous bucket sharding of the turns maps to
+    the same sharding of the log. Input-table synthesis — untimed, like
+    every other ensure_* here."""
+    out_root = f"{layout}-skinnylog"
+    if os.path.exists(os.path.join(out_root, "_SUCCESS")):
+        return out_root
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from amazon_security_lake_transformation_library_spark.session import get_spark
+    t_map = bucket_files(os.path.join(layout, "sc_t"))
+    os.makedirs(out_root, exist_ok=True)
+    spark = get_spark("skinny-setup", master="local[8]",
+                      shuffle_partitions=16,
+                      extra_conf={"spark.local.dir": "/dev/shm/skinny-setup"})
+    for b, f in sorted(t_map.items()):
+        log = (
+            spark.read.parquet(f)
+            .filter(F.col("turn_idx") % 3 == 0)
+            .select(
+                "conv_id", "ts",
+                F.concat(
+                    F.lit("f"), ((F.col("turn_idx") / 3).cast("long") % 8)
+                ).alias("feature"),
+                F.length("text").cast("double").alias("value"),
+            )
+            .groupBy("conv_id", "feature", "ts")
+            .agg(F.max("value").alias("value"))
+        )
+        tmp = os.path.join(out_root, f"_tmp_{b:05d}")
+        log.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(out_root, f"log_{b:05d}.parquet"))
+        shutil.rmtree(tmp)
+    spark.stop()
+    open(os.path.join(out_root, "_SUCCESS"), "w").write("1")
+    return out_root
+
+
 def run_level(layout: str, procs: int, cores: int, runs: int, heap: str,
               plan: str) -> dict:
     t_map = bucket_files(os.path.join(layout, "sc_t"))
@@ -438,6 +501,18 @@ def run_level(layout: str, procs: int, cores: int, runs: int, heap: str,
     elif plan == "bucketed":
         specs = [(os.path.join(layout, "sc_t"), os.path.join(layout, "sc_cf"),
                   len(buckets))]
+    elif plan == "skinny":
+        log_root = ensure_skinny_layout(layout)
+        log_map = {b: os.path.join(log_root, f"log_{b:05d}.parquet")
+                   for b in buckets}
+        assert all(os.path.exists(p) for p in log_map.values()), \
+            "skinny log layout incomplete"
+        # contiguous ranges, like ensure_shard_layout: conv_id-disjoint
+        shards = [buckets[i * len(buckets) // procs:
+                          (i + 1) * len(buckets) // procs]
+                  for i in range(procs)]
+        specs = [(",".join(t_map[b] for b in bs),
+                  ",".join(log_map[b] for b in bs), 0) for bs in shards]
     else:
         shards = [buckets[i::procs] for i in range(procs)]
         specs = [(",".join(t_map[b] for b in bs),
@@ -494,7 +569,7 @@ def main() -> None:
     p.add_argument("--heap", default="6g")
     p.add_argument("--plan", default="fused",
                    choices=["fused", "bucketed", "curation",
-                            "curation_bucketed", "hotkeys"])
+                            "curation_bucketed", "hotkeys", "skinny"])
     p.add_argument("--procs-total", type=int, default=1,
                    help="(worker mode) total shard count this level runs — "
                         "the curation plan's stage barrier waits for this "
