@@ -159,6 +159,35 @@ def _q_asof(spark, sf_dir):
     return joined.select("event_id", "user_id", "feature_val")
 
 
+def _q_asof_forward(spark, sf_dir):
+    # forward direction (pandas merge_asof direction='forward'): first
+    # build row at-or-after the probe ts — the label-attachment shape
+    # ("next outcome observed after this turn"); DuckDB oracles it
+    # natively with ASOF ... ON e.ts <= b.ts
+    ev = _t(spark, sf_dir, "events")
+    joined = asof_ops.asof_join_directional(
+        ev.select("event_id", "user_id", "ts"),
+        _purchase_build(ev),
+        on="user_id", ts="ts", build_cols=["feature_val"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "feature_val")
+
+
+def _q_asof_nearest(spark, sf_dir):
+    # nearest direction: closer of the backward/forward candidates,
+    # exact-distance ties backward (pandas-compatible); oracle rebuilds
+    # the same union + two-frame window choice in DuckDB SQL
+    ev = _t(spark, sf_dir, "events")
+    joined = asof_ops.asof_join_directional(
+        ev.select("event_id", "user_id", "ts"),
+        _purchase_build(ev),
+        on="user_id", ts="ts", build_cols=["feature_val"],
+        direction="nearest",
+    )
+    return joined.select("event_id", "user_id", "feature_val")
+
+
 def _q_asof_range(spark, sf_dir):
     # the range-join fallback strategy must produce identical results to
     # the union+window primary (same oracle SQL)
@@ -1870,10 +1899,41 @@ def _q_conv_near_dup(spark, sf_dir):
     return chp.conv_near_dup_pairs(_conv_clones(t))
 
 
+def _pref_variants(t):
+    """Deterministic alternative continuations for the preference-pair
+    gate: every conversation whose id ends in '0' is replayed as
+    `<conv_id>_alt` with the SAME 2-turn prompt prefix but every later
+    turn's text doubled — a strictly longer first response, so the
+    variant is always `chosen` under the length score. The oracle
+    performs the identical SQL construction."""
+    v = (
+        t.filter(F.col("conv_id").endswith("0"))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("turn_idx") >= 2,
+                F.concat(F.col("text"), F.lit(" "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_alt")))
+    )
+    return t.unionByName(v)
+
+
+def _q_preference_pairs(spark, sf_dir):
+    """DPO preference-pair mining (chatprep.preference_pairs):
+    conversations sharing an identical 2-turn prompt prefix pair their
+    best first response against their worst (chosen/rejected by the
+    deterministic length score; strict-gap groups only). Two conv_id
+    aggs + one |convs|-sized prefix_fp agg — no self-join."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return chp.preference_pairs(_pref_variants(t), k_prefix=2)
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
-# (44 as of late r4) followed by prior-green re-pin anchors (the four
+# (47 as of late r4) followed by prior-green re-pin anchors (the four
 # §7.2-regressed cells + the flagship pair) up to the 50-slot budget;
 # _gate_order() moves them to the front so the official artifact covers
 # them. Across the r2+r3+r4 artifacts every entry then has at least one
@@ -1901,7 +1961,10 @@ _GATE_FRONT = [
     "heavy_users_events", "sft_pairs", "tool_chains",
     "decontaminate_docs_bloom", "conv_near_dup_minhash",
     "asof_join_events_stacked", "asof_join_events_skinny",
-    # --- prior-green re-pin anchors (6) ---
+    "asof_join_events_forward", "asof_join_events_nearest",
+    "preference_pairs",
+    # --- prior-green re-pin anchors (to the 50-slot budget; anchors past
+    # the cap already have driver-green rows in r2/r3) ---
     "ann_kmeans_centroids", "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "flagship_transcripts",
 ]
@@ -1990,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_chains": _q_tool_chains,
         "decontaminate_docs_bloom": _q_decontaminate_bloom,
         "conv_near_dup_minhash": _q_conv_near_dup,
+        "preference_pairs": _q_preference_pairs,
         # ---- tail: driver-green rows in CORRECTNESS_r02/r03 ----
         # variants whose sibling stayed in the gate (simhash_hamming,
         # ivf_topk, cosine_blocked cover the same code paths)
@@ -2003,6 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "cumsum_events": _q_cumsum,
         "asof_join_events": _q_asof,
+        "asof_join_events_forward": _q_asof_forward,
+        "asof_join_events_nearest": _q_asof_nearest,
         "asof_join_events_range": _q_asof_range,
         "asof_join_events_interval": _q_asof_interval,
         "asof_join_events_tolerance": _q_asof_tolerance,
@@ -2594,6 +2660,44 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN ({_PURCHASE_BUILD}) b
               ON e.user_id = b.user_id AND e.ts >= b.ts
+        """,
+        "asof_join_events_forward": f"""
+            SELECT e.event_id, e.user_id, b.feature_val
+            FROM events e
+            ASOF LEFT JOIN ({_PURCHASE_BUILD}) b
+              ON e.user_id = b.user_id AND e.ts <= b.ts
+        """,
+        "asof_join_events_nearest": f"""
+            WITH pb AS ({_PURCHASE_BUILD}),
+            u AS (
+              SELECT event_id, user_id, ts,
+                     CAST(NULL AS TIMESTAMP) AS b_ts,
+                     CAST(NULL AS DOUBLE) AS fv, 1 AS side
+              FROM events
+              UNION ALL
+              SELECT NULL, user_id, ts, ts, feature_val, 0 FROM pb
+            ),
+            f AS (
+              SELECT event_id, user_id, ts, side,
+                     last_value(b_ts IGNORE NULLS) OVER w_b AS bt,
+                     last_value(fv IGNORE NULLS) OVER w_b AS bv,
+                     first_value(b_ts IGNORE NULLS) OVER w_f AS ft,
+                     first_value(fv IGNORE NULLS) OVER w_f AS fv2
+              FROM u
+              WINDOW w_b AS (PARTITION BY user_id ORDER BY ts, side
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW),
+                     w_f AS (PARTITION BY user_id ORDER BY ts, side
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN bt IS NULL THEN fv2
+                        WHEN ft IS NULL THEN bv
+                        WHEN epoch_us(ft) - epoch_us(ts)
+                             < epoch_us(ts) - epoch_us(bt) THEN fv2
+                        ELSE bv END AS feature_val
+            FROM f WHERE side = 1
         """,
         "asof_join_events_range": f"""
             SELECT e.event_id, e.user_id, b.feature_val
@@ -3605,6 +3709,55 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(seg, '' ORDER BY turn_idx) AS text
             FROM seg GROUP BY conv_id
         """),
+        "preference_pairs": f"""
+            WITH t0 AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            t AS (
+              SELECT * FROM t0
+              UNION ALL
+              SELECT conv_id || '_alt' AS conv_id, turn_idx, role,
+                     CASE WHEN turn_idx >= 2
+                          THEN text || ' ' || text ELSE text END AS text,
+                     tool, ts
+              FROM t0 WHERE conv_id LIKE '%0'
+            ),
+            p AS (
+              SELECT conv_id,
+                     md5(string_agg(role || chr(31) || text, chr(30)
+                                    ORDER BY turn_idx)) AS prefix_fp
+              FROM t WHERE turn_idx < 2 GROUP BY conv_id
+            ),
+            r AS (
+              SELECT conv_id, arg_min(text, turn_idx) AS response
+              FROM t WHERE role = 'assistant' AND turn_idx >= 2
+              GROUP BY conv_id
+            ),
+            c AS (
+              SELECT p.conv_id, p.prefix_fp, r.response,
+                     CAST(length(r.response) AS DOUBLE) AS score
+              FROM p JOIN r ON p.conv_id = r.conv_id
+            ),
+            g AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY prefix_fp
+                       ORDER BY score DESC, conv_id DESC) AS rn_hi,
+                     row_number() OVER (PARTITION BY prefix_fp
+                       ORDER BY score ASC, conv_id ASC) AS rn_lo,
+                     count(*) OVER (PARTITION BY prefix_fp)::BIGINT
+                       AS n_candidates
+              FROM c
+            )
+            SELECT hi.prefix_fp, hi.n_candidates,
+                   hi.conv_id AS chosen_conv,
+                   hi.response AS chosen_response,
+                   hi.score AS chosen_score,
+                   lo.conv_id AS rejected_conv,
+                   lo.response AS rejected_response,
+                   lo.score AS rejected_score
+            FROM (SELECT * FROM g WHERE rn_hi = 1) hi
+            JOIN (SELECT * FROM g WHERE rn_lo = 1) lo
+              ON hi.prefix_fp = lo.prefix_fp
+            WHERE hi.n_candidates >= 2 AND hi.score > lo.score
+        """,
         "psi_value_by_split": """
             WITH s AS (
               SELECT CASE WHEN substr(md5('split-v1' || user_id::VARCHAR), 1, 4) < 'cccc' THEN 'train'

@@ -133,6 +133,139 @@ def asof_join(
     )
 
 
+def asof_join_directional(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    build_cols: Sequence[str] | None = None,
+    direction: str = "forward",
+    strict: bool = False,
+    tolerance_seconds: float | None = None,
+    asof_ts_col: str = "asof_ts",
+    suffix: str = "",
+) -> DataFrame:
+    """As-of join with a match *direction* — the pandas ``merge_asof``
+    ``direction=`` surface (``backward`` / ``forward`` / ``nearest``),
+    completing :func:`asof_join` (which is backward-only).
+
+    * ``backward`` — latest build row with ``build.ts <= probe.ts``
+      (``<`` when ``strict``): identical semantics to :func:`asof_join`.
+    * ``forward`` — EARLIEST build row with ``build.ts >= probe.ts``
+      (``>`` when ``strict``). The label-attachment direction: "first
+      outcome observed at-or-after this turn".
+    * ``nearest`` — whichever of the backward/forward candidates is
+      closer in absolute time; exact distance ties resolve BACKWARD
+      (the leakage-safe side). ``strict`` must be False — an equal-ts
+      row is distance 0 by definition.
+
+    Physical shape: the same ONE union + ONE Exchange + ONE Sort as
+    :func:`asof_join`; ``forward`` uses a ``first(ignorenulls) OVER
+    (currentRow, unboundedFollowing)`` frame instead of the backward
+    ``last(...) OVER (unboundedPreceding, currentRow)``, and ``nearest``
+    evaluates both frames over the SAME window ordering — Catalyst
+    plans them as stacked Window nodes over one Exchange+Sort (pinned in
+    tests/test_asof.py::test_directional_plan_single_exchange_sort).
+    Over an entity-bucketed ts-sorted layout the Exchange and Sort
+    vanish, like every other form in this module.
+
+    ``tolerance_seconds`` bounds the match distance per direction
+    (backward: ``probe.ts - build.ts``; forward: ``build.ts -
+    probe.ts``; nearest: applied to each candidate before choosing).
+    ``build`` must be unique per ``(on, ts)`` — pre-shrink with
+    :func:`latest_per_key`. Left-outer semantics throughout.
+
+    Sort-tag construction: rows order by ``(ts, side)`` with probe
+    side=1. Backward-visible build rows must sort BEFORE equal-ts
+    probes (side 0) to land in the backward frame; forward-visible
+    build rows must sort AFTER them (side 2). ``strict`` flips the tag
+    so equal-ts build rows fall OUTSIDE the direction's frame. For
+    ``nearest`` the tag is 0: the backward frame captures equal-ts
+    rows at distance 0, which win any comparison, so the forward frame
+    correctly sees only strictly-later rows.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    if direction == "nearest" and strict:
+        raise ValueError("direction='nearest' requires strict=False")
+    keys = [on] if isinstance(on, str) else list(on)
+    if build_cols is None:
+        build_cols = [c for c in build.columns if c not in {*keys, ts}]
+    out_names = {c: f"{c}{suffix}" for c in build_cols}
+
+    side_tag = {
+        "backward": 2 if strict else 0,
+        "forward": 0 if strict else 2,
+        "nearest": 0,
+    }[direction]
+    payload = F.struct(
+        F.col(ts).alias(asof_ts_col), *[F.col(c) for c in build_cols]
+    ).alias(_B)
+    build_side = build.select(
+        *keys,
+        F.col(ts).alias(ts),
+        F.lit(side_tag).alias(_SIDE),
+        payload,
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
+          for c in probe.columns if c not in {*keys, ts}],
+    )
+    probe_side = probe.select(
+        *keys,
+        F.col(ts).alias(ts),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(build_side.schema[_B].dataType).alias(_B),
+        *[F.col(c) for c in probe.columns if c not in {*keys, ts}],
+    )
+    unioned = build_side.unionByName(probe_side)
+
+    base = Window.partitionBy(*keys).orderBy(ts, _SIDE)
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills.append(F.last(F.col(_B), ignorenulls=True).over(wb).alias("__fb"))
+    if direction in ("forward", "nearest"):
+        fills.append(F.first(F.col(_B), ignorenulls=True).over(wf).alias("__ff"))
+    filled = unioned.select("*", *fills).filter(F.col(_SIDE) == 1)
+
+    def dist_back(f):
+        return epoch_seconds(F.col(ts)) - epoch_seconds(f[asof_ts_col])
+
+    def dist_fwd(f):
+        return epoch_seconds(f[asof_ts_col]) - epoch_seconds(F.col(ts))
+
+    if direction == "backward":
+        fill = F.col("__fb")
+        if tolerance_seconds is not None:
+            fill = F.when(dist_back(fill) <= float(tolerance_seconds), fill)
+    elif direction == "forward":
+        fill = F.col("__ff")
+        if tolerance_seconds is not None:
+            fill = F.when(dist_fwd(fill) <= float(tolerance_seconds), fill)
+    else:
+        fb, ff = F.col("__fb"), F.col("__ff")
+        if tolerance_seconds is not None:
+            fb = F.when(dist_back(fb) <= float(tolerance_seconds), fb)
+            ff = F.when(dist_fwd(ff) <= float(tolerance_seconds), ff)
+        # closer candidate wins; equal distance -> backward; one-sided
+        # NULLs fall through to the surviving side
+        fill = (
+            F.when(fb.isNull(), ff)
+            .when(ff.isNull(), fb)
+            .when(dist_fwd(ff) < dist_back(fb), ff)
+            .otherwise(fb)
+        )
+
+    return filled.select(
+        *keys,
+        ts,
+        *[c for c in probe.columns if c not in {*keys, ts}],
+        fill[asof_ts_col].alias(asof_ts_col),
+        *[fill[c].alias(out_names[c]) for c in build_cols],
+    )
+
+
 def asof_join_interval(
     probe: DataFrame,
     build: DataFrame,

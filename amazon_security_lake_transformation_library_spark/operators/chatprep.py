@@ -146,20 +146,14 @@ def loss_mask_spans(t: DataFrame, loss_role: str = "assistant") -> DataFrame:
 # ------------------------------------------------------------- prefix dedup
 
 
-def conv_prefix_fingerprint(t: DataFrame, k: int = 4) -> DataFrame:
-    """Conversation-prefix dedup: md5 over the first ``k`` turns'
-    ``role US text`` pieces (0x1f / 0x1e separators — unambiguous
-    against any natural text), canonical holder = min ``conv_id`` per
-    fingerprint. Returns ``(conv_id, n_prefix_turns, prefix_fp,
-    canonical_conv, is_dup)``.
-
-    Shape: prefix filter (k rows per conversation — the aggregate state
-    is O(k), never conversation-length) -> one hash agg on ``conv_id``
-    -> one window on the fingerprint. The fingerprint table is
-    |convs|-sized, not |turns|-sized, so the second Exchange is tiny.
-    """
+def _prefix_fp_table(t: DataFrame, k: int) -> DataFrame:
+    """``(conv_id, n_prefix_turns, prefix_fp)`` — md5 over the first
+    ``k`` turns' ``role US text`` pieces (0x1f / 0x1e separators —
+    unambiguous against any natural text). Prefix filter (k rows per
+    conversation — the aggregate state is O(k), never
+    conversation-length) -> one hash agg on ``conv_id``."""
     piece = F.concat(F.col("role"), F.lit("\x1f"), F.col("text"))
-    pref = (
+    return (
         t.filter(F.col("turn_idx") < F.lit(k))
         .select("conv_id", F.struct("turn_idx", piece.alias("p")).alias("s"))
         .groupBy("conv_id")
@@ -172,6 +166,19 @@ def conv_prefix_fingerprint(t: DataFrame, k: int = 4) -> DataFrame:
             ).alias("prefix_fp"),
         )
     )
+
+
+def conv_prefix_fingerprint(t: DataFrame, k: int = 4) -> DataFrame:
+    """Conversation-prefix dedup: fingerprint the first ``k`` turns
+    (:func:`_prefix_fp_table`), canonical holder = min ``conv_id`` per
+    fingerprint. Returns ``(conv_id, n_prefix_turns, prefix_fp,
+    canonical_conv, is_dup)``.
+
+    Shape: one hash agg on ``conv_id`` -> one window on the
+    fingerprint. The fingerprint table is |convs|-sized, not
+    |turns|-sized, so the second Exchange is tiny.
+    """
+    pref = _prefix_fp_table(t, k)
     wfp = Window.partitionBy("prefix_fp")
     return pref.select(
         "*",
@@ -476,4 +483,79 @@ def conv_near_dup_pairs(
     )
     return minhash_candidate_pairs(
         docs, "text", "doc_id", n_hashes=n_hashes, band_size=band_size
+    )
+
+
+# -------------------------------------------------------- preference pairs
+
+
+def preference_pairs(
+    t: DataFrame,
+    k_prefix: int = 2,
+    score: Column | None = None,
+) -> DataFrame:
+    """DPO/RLHF preference-pair mining: conversations that share an
+    IDENTICAL ``k_prefix``-turn prompt prefix are alternative
+    continuations of the same prompt; within each such group, pair the
+    best-scoring first response against the worst as
+    ``(chosen, rejected)``.
+
+    The response is the first assistant turn at ``turn_idx >=
+    k_prefix``; ``score`` ranks it (default: response length — a
+    documented deterministic proxy; pass a rating/reward Column when
+    the table carries one; evaluated against the response row). Groups
+    need >= 2 candidate conversations AND a strict score gap —
+    all-tied groups emit nothing (a pair with no preference signal is
+    noise). Within the winners, ties break on ``conv_id`` via a
+    lexicographic ``(score, conv_id)`` max/min, so output is
+    deterministic under any partitioning.
+
+    Returns one row per qualifying prefix group: ``(prefix_fp,
+    n_candidates, chosen_conv, chosen_response, chosen_score,
+    rejected_conv, rejected_response, rejected_score)``.
+
+    Shape: two conv_id-keyed hash aggs (prefix fingerprint over
+    ``turn_idx < k`` rows; response pick = one ``min(struct)`` over
+    assistant rows) -> conv_id equi-join of two |convs|-sized tables ->
+    one hash agg on ``prefix_fp`` (|convs| input rows). On the
+    conv_id-bucketed layout the first three steps are Exchange-free;
+    the final agg shuffles |convs| skinny rows, never turns. No
+    self-join: the group agg with max_by/min_by replaces the quadratic
+    candidate-pairing a naive implementation would do.
+    """
+    fps = _prefix_fp_table(t, k_prefix).select("conv_id", "prefix_fp")
+    resp = (
+        t.filter(
+            (F.col("role") == F.lit("assistant"))
+            & (F.col("turn_idx") >= F.lit(k_prefix))
+        )
+        .groupBy("conv_id")
+        .agg(F.min(F.struct("turn_idx", "text")).alias("r"))
+        .select("conv_id", F.col("r.text").alias("response"))
+    )
+    cand = fps.join(resp, "conv_id")
+    s = (score if score is not None else F.length("response")).cast("double")
+    cand = cand.select("conv_id", "prefix_fp", "response", s.alias("score"))
+
+    pick = F.struct("conv_id", "response", "score")
+    ordkey = F.struct("score", "conv_id")
+    g = cand.groupBy("prefix_fp").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max_by(pick, ordkey).alias("ch"),
+        F.min_by(pick, ordkey).alias("rj"),
+        F.max("score").alias("_smax"),
+        F.min("score").alias("_smin"),
+    )
+    return (
+        g.filter((F.col("n_candidates") >= 2) & (F.col("_smax") > F.col("_smin")))
+        .select(
+            "prefix_fp",
+            "n_candidates",
+            F.col("ch.conv_id").alias("chosen_conv"),
+            F.col("ch.response").alias("chosen_response"),
+            F.col("ch.score").alias("chosen_score"),
+            F.col("rj.conv_id").alias("rejected_conv"),
+            F.col("rj.response").alias("rejected_response"),
+            F.col("rj.score").alias("rejected_score"),
+        )
     )

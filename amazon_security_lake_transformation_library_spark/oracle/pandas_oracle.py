@@ -49,9 +49,12 @@ def asof(
     ts: str = "ts",
     strict: bool = False,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> pd.DataFrame:
-    """Oracle for operators.asof.asof_join via pd.merge_asof
-    (build assumed unique per (on, ts); latest-wins semantics)."""
+    """Oracle for operators.asof.asof_join / asof_join_directional via
+    pd.merge_asof (build assumed unique per (on, ts); latest-wins
+    semantics; pandas resolves nearest-distance ties backward, same as
+    the Spark operator)."""
     p = probe.sort_values(ts, kind="mergesort").reset_index(drop=True)
     b = (
         build.rename(columns={ts: "asof_ts"})
@@ -68,7 +71,7 @@ def asof(
         right_on="asof_ts",
         by=on,
         allow_exact_matches=not strict,
-        direction="backward",
+        direction=direction,
         **kwargs,
     )
     return out

@@ -8,6 +8,7 @@ import pytest
 
 from amazon_security_lake_transformation_library_spark.operators.asof import (
     asof_join,
+    asof_join_directional,
     asof_join_range,
     latest_per_key,
 )
@@ -126,3 +127,113 @@ def test_latest_per_key_dedupe(spark):
     out = latest_per_key(df, ["k", "ts"], ["seq"], ["v"]).toPandas()
     out = out.sort_values(["k", "ts"]).reset_index(drop=True)
     assert out["v"].tolist() == [20.0, 30.0, 40.0]
+
+
+# ---- directional (forward / nearest) — pandas merge_asof parity ----
+
+
+def _check_dir(got_pdf, transcripts_pdf, conv_features_pdf, direction,
+               strict=False, tol=None):
+    want = _sorted(
+        ora.asof(transcripts_pdf, conv_features_pdf, strict=strict,
+                 tolerance_seconds=tol, direction=direction)
+    )
+    got = _sorted(got_pdf)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["feature_val"].to_numpy(dtype="float64"),
+        want["feature_val"].to_numpy(dtype="float64"),
+    )
+    gt = got["asof_ts"].astype("datetime64[us]")
+    wt = want["asof_ts"].astype("datetime64[us]")
+    assert (gt.isna() == wt.isna()).all()
+    assert (gt.dropna() == wt.dropna()).all()
+
+
+@pytest.mark.parametrize(
+    "direction,strict",
+    [("backward", False), ("backward", True),
+     ("forward", False), ("forward", True), ("nearest", False)],
+)
+def test_asof_directional_matches_merge_asof(
+    spark, transcripts_df, conv_features_df, transcripts_pdf,
+    conv_features_pdf, direction, strict
+):
+    got = asof_join_directional(
+        transcripts_df, conv_features_df, on="conv_id", ts="ts",
+        direction=direction, strict=strict,
+    ).toPandas()
+    _check_dir(got, transcripts_pdf, conv_features_pdf, direction, strict)
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_directional_tolerance(
+    spark, transcripts_df, conv_features_df, transcripts_pdf,
+    conv_features_pdf, direction
+):
+    got = asof_join_directional(
+        transcripts_df, conv_features_df, direction=direction,
+        tolerance_seconds=600.0,
+    ).toPandas()
+    _check_dir(got, transcripts_pdf, conv_features_pdf, direction, tol=600.0)
+
+
+def test_asof_nearest_tie_resolves_backward(spark):
+    """Exact-distance ties take the EARLIER build row (the leakage-safe
+    side; pandas merge_asof agrees)."""
+    probe = pd.DataFrame({
+        "conv_id": ["c1"], "turn_idx": [0],
+        "ts": pd.to_datetime(["2024-01-01 00:10:00"]),
+    })
+    build = pd.DataFrame({
+        "conv_id": ["c1", "c1"],
+        "ts": pd.to_datetime(["2024-01-01 00:05:00", "2024-01-01 00:15:00"]),
+        "feature_val": [1.0, 2.0],
+    })
+    out = asof_join_directional(
+        spark.createDataFrame(probe), spark.createDataFrame(build),
+        direction="nearest",
+    ).toPandas()
+    assert out["feature_val"].tolist() == [1.0]
+
+
+def test_asof_nearest_equal_ts_wins_at_distance_zero(spark):
+    """An equal-ts build row matches at distance 0 in nearest mode even
+    though the forward frame only sees strictly-later rows."""
+    probe = pd.DataFrame({
+        "conv_id": ["c1"], "turn_idx": [0],
+        "ts": pd.to_datetime(["2024-01-01 00:10:00"]),
+    })
+    build = pd.DataFrame({
+        "conv_id": ["c1", "c1"],
+        "ts": pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 00:11:00"]),
+        "feature_val": [5.0, 9.0],
+    })
+    out = asof_join_directional(
+        spark.createDataFrame(probe), spark.createDataFrame(build),
+        direction="nearest",
+    ).toPandas()
+    assert out["feature_val"].tolist() == [5.0]
+
+
+def test_asof_directional_rejects_bad_args(spark, transcripts_df, conv_features_df):
+    with pytest.raises(ValueError):
+        asof_join_directional(transcripts_df, conv_features_df,
+                              direction="sideways")
+    with pytest.raises(ValueError):
+        asof_join_directional(transcripts_df, conv_features_df,
+                              direction="nearest", strict=True)
+
+
+def test_directional_plan_single_exchange_sort(spark, transcripts_df, conv_features_df):
+    """nearest evaluates BOTH frames but still plans over ONE Exchange +
+    ONE Sort (the frames share the window partitioning/ordering)."""
+    df = asof_join_directional(
+        transcripts_df, conv_features_df, direction="nearest"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_sort = sum(
+        1 for ln in plan.splitlines() if ln.lstrip("+-* :").startswith("Sort ")
+    )
+    assert n_sort == 1
+    assert plan.count("Exchange") <= 1

@@ -282,3 +282,95 @@ def test_sft_and_chains_empty_and_degenerate(spark):
         "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
     )
     assert chp.sft_pairs(one).count() == 0
+
+
+# ------------------------------------------------------ preference pairs
+
+
+def _pp_rows(convs):
+    """convs: {conv_id: [(role, text), ...]} -> transcript rows with a
+    shared timestamp spine."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for cid, turns in convs.items():
+        for i, (role, text) in enumerate(turns):
+            rows.append(
+                (cid, i, role, text, None, base + dt.timedelta(minutes=i))
+            )
+    return rows
+
+
+def _pp_df(spark, convs):
+    return spark.createDataFrame(
+        _pp_rows(convs), "conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp"
+    )
+
+
+def test_preference_pairs_chosen_rejected(spark):
+    shared = [("user", "hi"), ("assistant", "hello")]
+    t = _pp_df(spark, {
+        "a": shared + [("user", "q"), ("assistant", "short")],
+        "b": shared + [("user", "q"), ("assistant", "a longer response")],
+        "c": shared + [("user", "q"), ("assistant", "mid answer")],
+        # different prefix -> its own (singleton) group, emits nothing
+        "d": [("user", "other"), ("assistant", "x"),
+              ("user", "q"), ("assistant", "y")],
+    })
+    out = chp.preference_pairs(t, k_prefix=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_candidates"] == 3
+    assert r["chosen_conv"] == "b"
+    assert r["chosen_response"] == "a longer response"
+    assert r["rejected_conv"] == "a"
+    assert r["rejected_response"] == "short"
+    assert r["chosen_score"] > r["rejected_score"]
+
+
+def test_preference_pairs_response_is_first_assistant_after_prefix(spark):
+    shared = [("user", "hi"), ("assistant", "hello")]
+    t = _pp_df(spark, {
+        # first post-prefix assistant turn is idx 3, not the later idx 5
+        "a": shared + [("user", "q"), ("assistant", "first answer"),
+                       ("user", "more"), ("assistant", "second answer!!")],
+        "b": shared + [("user", "q"), ("assistant", "tiny")],
+    })
+    out = chp.preference_pairs(t, k_prefix=2).collect()
+    assert len(out) == 1
+    assert out[0]["chosen_response"] == "first answer"
+
+
+def test_preference_pairs_all_tied_group_emits_nothing(spark):
+    shared = [("user", "hi"), ("assistant", "hello")]
+    t = _pp_df(spark, {
+        "a": shared + [("user", "q"), ("assistant", "same len")],
+        "b": shared + [("user", "q"), ("assistant", "also 8ch")],
+    })
+    assert chp.preference_pairs(t, k_prefix=2).count() == 0
+
+
+def test_preference_pairs_custom_score_column(spark):
+    shared = [("user", "hi"), ("assistant", "hello")]
+    t = _pp_df(spark, {
+        "a": shared + [("user", "q"), ("assistant", "zzzz long but bad")],
+        "b": shared + [("user", "q"), ("assistant", "good")],
+    })
+    # score by count of 'o' characters: b wins despite being shorter
+    score = F.length("response") - F.length(F.replace(F.col("response"), F.lit("o"), F.lit("")))
+    out = chp.preference_pairs(t, k_prefix=2, score=score).collect()
+    assert len(out) == 1
+    assert out[0]["chosen_conv"] == "b"
+
+
+def test_preference_pairs_no_response_conv_drops(spark):
+    shared = [("user", "hi"), ("assistant", "hello")]
+    t = _pp_df(spark, {
+        "a": shared + [("user", "q"), ("assistant", "answer one")],
+        "b": shared,  # ends at the prefix: no post-prefix assistant turn
+        "c": shared + [("user", "q"), ("assistant", "hm")],
+    })
+    out = chp.preference_pairs(t, k_prefix=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_candidates"] == 2
+    assert {out[0]["chosen_conv"], out[0]["rejected_conv"]} == {"a", "c"}
