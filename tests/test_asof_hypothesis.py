@@ -106,3 +106,91 @@ def test_asof_matches_pandas_oracle(spark, fb):
         want["feature_val"].to_numpy(dtype="float64"),
         equal_nan=True,
     )
+
+
+def _pandas_directional(probe, build, direction, strict):
+    """Brute-force per-row oracle for asof_join_directional: scan every
+    build candidate, apply the direction's visibility rule, pick by
+    min/max ts (forward/backward) or min |distance| with backward ties
+    (nearest)."""
+    if len(build):
+        build = (
+            build.sort_values(["conv_id", "ts", "feature_val"])
+            .groupby(["conv_id", "ts"], as_index=False)
+            .last()
+        )
+    out = []
+    for _, r in probe.iterrows():
+        cand = build[build["conv_id"] == r["conv_id"]]
+        back = cand[cand["ts"] < r["ts"]] if strict else cand[cand["ts"] <= r["ts"]]
+        fwd = cand[cand["ts"] > r["ts"]] if strict else cand[cand["ts"] >= r["ts"]]
+        pick = np.nan
+        if direction == "backward" and len(back):
+            pick = back.sort_values("ts").iloc[-1]["feature_val"]
+        elif direction == "forward" and len(fwd):
+            pick = fwd.sort_values("ts").iloc[0]["feature_val"]
+        elif direction == "nearest":
+            b = back.sort_values("ts").iloc[-1] if len(back) else None
+            f = fwd.sort_values("ts").iloc[0] if len(fwd) else None
+            if b is not None and f is not None:
+                db = (r["ts"] - b["ts"]).total_seconds()
+                df_ = (f["ts"] - r["ts"]).total_seconds()
+                pick = f["feature_val"] if df_ < db else b["feature_val"]
+            elif b is not None:
+                pick = b["feature_val"]
+            elif f is not None:
+                pick = f["feature_val"]
+        out.append(pick)
+    res = probe.copy()
+    res["feature_val"] = out
+    return res.sort_values("probe_id").reset_index(drop=True)
+
+
+@st.composite
+def frames_directional(draw):
+    probe, build, strict = draw(frames())
+    direction = draw(st.sampled_from(["backward", "forward", "nearest"]))
+    if direction == "nearest":
+        strict = False
+    return probe, build, direction, strict
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(fb=frames_directional())
+def test_asof_directional_matches_bruteforce(spark, fb):
+    from amazon_security_lake_transformation_library_spark.operators.asof import (
+        asof_join_directional,
+    )
+
+    probe_pdf, build_pdf, direction, strict = fb
+    probe = spark.createDataFrame(probe_pdf)
+    if len(build_pdf):
+        build = (
+            spark.createDataFrame(build_pdf)
+            .groupBy("conv_id", "ts")
+            .agg({"feature_val": "max"})
+            .withColumnRenamed("max(feature_val)", "feature_val")
+        )
+    else:
+        build = spark.createDataFrame(
+            [], schema="conv_id string, ts timestamp, feature_val double"
+        )
+    got = (
+        asof_join_directional(
+            probe, build, on="conv_id", ts="ts",
+            build_cols=["feature_val"], direction=direction, strict=strict,
+        )
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    want = _pandas_directional(probe_pdf, build_pdf, direction, strict)
+    np.testing.assert_allclose(
+        got["feature_val"].to_numpy(dtype="float64"),
+        want["feature_val"].to_numpy(dtype="float64"),
+        equal_nan=True,
+    )
