@@ -1652,6 +1652,16 @@ def _q_importance_weights(spark, sf_dir):
     )
 
 
+def _q_curriculum(spark, sf_dir):
+    """Curriculum ordering (curation.curriculum_buckets): exact-quantile
+    difficulty buckets (one scalar aggregate, broadcast boundary array)
+    plus a deterministic md5 within-bucket shuffle key — the two sort
+    columns of a curriculum-scheduled training read. Zero data
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return cur.curriculum_buckets(docs, n_buckets=4)
+
+
 def _q_psi_by_split(spark, sf_dir):
     """Train/serve-skew gate: PSI of the event value distribution between
     the train split and val/test (split_assign at user granularity, 10
@@ -1933,7 +1943,7 @@ def _q_preference_pairs(spark, sf_dir):
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
-# (47 as of late r4) followed by prior-green re-pin anchors (the four
+# (49 as of late r4) followed by prior-green re-pin anchors (the four
 # §7.2-regressed cells + the flagship pair) up to the 50-slot budget;
 # _gate_order() moves them to the front so the official artifact covers
 # them. Across the r2+r3+r4 artifacts every entry then has at least one
@@ -1962,7 +1972,7 @@ _GATE_FRONT = [
     "decontaminate_docs_bloom", "conv_near_dup_minhash",
     "asof_join_events_stacked", "asof_join_events_skinny",
     "asof_join_events_forward", "asof_join_events_nearest",
-    "preference_pairs",
+    "preference_pairs", "curriculum_docs",
     # --- prior-green re-pin anchors (to the 50-slot budget; anchors past
     # the cap already have driver-green rows in r2/r3) ---
     "ann_kmeans_centroids", "dedup_exact", "dedup_minhash_lsh",
@@ -2025,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation surface (new r4): labels / sampling / mixing / drift
         "label_horizon_events": _q_label_horizon,
         "sample_topn_per_group": _q_sample_topn_per_group,
+        "curriculum_docs": _q_curriculum,
         "domain_mixture_docs": _q_domain_mixture,
         "importance_weights_docs": _q_importance_weights,
         "psi_value_by_split": _q_psi_by_split,
@@ -3403,6 +3414,20 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM events)
             WHERE rn <= 20
+        """,
+        "curriculum_docs": """
+            WITH b AS (
+              SELECT [round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4),
+                      round(quantile_cont(CAST(n_chars AS DOUBLE), 0.50), 4),
+                      round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4)]
+                     AS bnds
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+                   len(list_filter(b.bnds,
+                       x -> x < CAST(n_chars AS DOUBLE)))::BIGINT AS bucket,
+                   md5(CAST(doc_id AS VARCHAR)) AS order_key
+            FROM documents, b
         """,
         "domain_mixture_docs": """
             WITH per AS (

@@ -382,3 +382,56 @@ def psi_by_split(
         .groupBy("split")
         .agg(F.sum((pj - qj) * F.log(pj / qj)).alias("psi"))
     )
+
+
+# ------------------------------------------------------ curriculum order
+
+
+def curriculum_buckets(
+    docs: DataFrame,
+    score: Column | None = None,
+    n_buckets: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum ordering: assign every document an easy->hard bucket by
+    exact score quantile, plus a deterministic within-bucket shuffle key
+    — the two sort columns a curriculum-scheduled training read orders
+    by (``ORDER BY bucket, order_key``). Emitting sort KEYS instead of a
+    globally sorted table keeps the operator shuffle-free; the global
+    sort is the reader's range partition, paid once at read time.
+
+    ``score`` defaults to ``n_chars`` (document length — the classic
+    length-based curriculum); pass any difficulty Column (loss proxy,
+    quality score). Buckets split at the exact ``i/n_buckets``
+    percentiles (``F.percentile`` — one aggregate; its partials merge
+    map-side, so the corpus never shuffles), ROUNDED to 4 decimals
+    before comparison: interpolated quantiles differ in final ulps
+    across engines, and the round makes bucket assignment reproducible
+    bit-for-bit everywhere (the same contract doc_length_quantiles
+    pins). Bucket = count of boundaries strictly below the score, so
+    scores exactly on a boundary go DOWN (first bucket whose range
+    contains them); ``order_key`` = md5 of the id — deterministic under
+    any partitioning, uncorrelated with the score.
+
+    Shape: one scalar aggregate -> broadcast (a 1-row array) -> in-row
+    projection. Zero data shuffle at any corpus size.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    s = (score if score is not None else F.col("n_chars")).cast("double")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = docs.select(s.alias("__s")).agg(
+        F.transform(
+            F.percentile(F.col("__s"), F.array(*[F.lit(q) for q in qs])),
+            lambda b: F.round(b, 4),
+        ).alias("__bnds")
+    )
+    x = docs.select(id_col, s.alias("score")).crossJoin(F.broadcast(bounds))
+    return x.select(
+        id_col,
+        "score",
+        F.size(
+            F.filter("__bnds", lambda b: b < F.col("score"))
+        ).cast("long").alias("bucket"),
+        F.md5(F.col(id_col).cast("string")).alias("order_key"),
+    )

@@ -287,3 +287,58 @@ def test_sample_weighted_plan_is_take_ordered(spark):
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan  # no shuffle: per-task heaps, driver merge
+
+
+# ------------------------------------------------------ curriculum_buckets
+
+def _docs_df(spark, lengths):
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(len(lengths), dtype="int64"),
+        "n_chars": np.asarray(lengths, dtype="int64"),
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_curriculum_buckets_monotone_and_balanced(spark):
+    lengths = list(range(1, 101))  # 100 docs, distinct scores
+    out = C.curriculum_buckets(_docs_df(spark, lengths), n_buckets=4).toPandas()
+    out = out.sort_values("score").reset_index(drop=True)
+    # monotone: bucket never decreases as the score grows
+    assert (out["bucket"].diff().fillna(0) >= 0).all()
+    # balanced: exact quartiles of 100 distinct values -> 25 each
+    assert out.groupby("bucket").size().tolist() == [25, 25, 25, 25]
+    assert set(out["bucket"]) == {0, 1, 2, 3}
+
+
+def test_curriculum_boundary_score_goes_down(spark):
+    # 1..4: quantile_cont(.5) of [1,2,3,4] = 2.5; a doc AT an exact
+    # boundary value joins the lower bucket (strict < comparison)
+    lengths = [1, 2, 2, 4]  # p25=1.75, p50=2.0, p75=2.5
+    out = C.curriculum_buckets(_docs_df(spark, lengths), n_buckets=4).toPandas()
+    by_id = out.set_index("doc_id")
+    # score 2.0 == p50 boundary: only p25 (1.75) is strictly below -> bucket 1
+    assert by_id.loc[1, "bucket"] == 1
+    assert by_id.loc[2, "bucket"] == 1
+    assert by_id.loc[0, "bucket"] == 0
+    assert by_id.loc[3, "bucket"] == 3
+
+
+def test_curriculum_partitioning_invariance(spark):
+    lengths = [7, 3, 9, 1, 5, 5, 2, 8, 6, 4] * 7
+    df = _docs_df(spark, lengths)
+    a = C.curriculum_buckets(df, n_buckets=5).toPandas()
+    b = C.curriculum_buckets(df.repartition(13), n_buckets=5).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_curriculum_order_key_is_md5_of_id(spark):
+    out = C.curriculum_buckets(_docs_df(spark, [10, 20]), n_buckets=2).toPandas()
+    for _, r in out.iterrows():
+        assert r["order_key"] == hashlib.md5(str(int(r["doc_id"])).encode()).hexdigest()
+
+
+def test_curriculum_rejects_single_bucket(spark):
+    with pytest.raises(ValueError):
+        C.curriculum_buckets(_docs_df(spark, [1, 2]), n_buckets=1)
