@@ -312,6 +312,99 @@ def asof_enrich_stream(
     )
 
 
+def skinny_feature_intervals(
+    log: DataFrame,
+    sources: list[str],
+    source_col: str = "feature",
+    value_col: str = "value",
+    on: str = "conv_id",
+    ts: str = "ts",
+    asof_ts_suffix: str = "_asof_ts",
+) -> DataFrame:
+    """STATIC-side prep for :func:`asof_enrich_stream_skinny`: collapse a
+    skinny EAV feature log ``(entity, ts, feature, value)`` into
+    piecewise-constant K-VECTOR validity intervals — one row per
+    ``(entity, change_ts)`` carrying the current value (and its own
+    update ts) of EVERY source at that instant, valid over
+    ``[change_ts, __next_ts)``.
+
+    Built from the batch single-pass form itself: the probe side is the
+    log's own distinct change points, so
+    ``operators.asof.asof_join_skinny`` widens each change point to the
+    full K-vector in one Exchange + one Sort + one Window (zero of each
+    over an entity-bucketed ts-sorted log); ``lead(ts)`` then closes the
+    intervals. Cost is |change points| rows and K+2 columns — paid once
+    on the static side, per feature-table refresh, never per micro-batch.
+    """
+    from ..operators.asof import asof_join_skinny
+
+    changes = (
+        log.filter(F.col(source_col).isin(list(sources)))
+        .select(on, ts)
+        .distinct()
+    )
+    wide = asof_join_skinny(
+        changes, log, sources, source_col=source_col, value_col=value_col,
+        on=on, ts=ts, strict=False, asof_ts_suffix=asof_ts_suffix,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(on).orderBy(ts)
+    return wide.withColumn("__next_ts", F.lead(F.col(ts)).over(w))
+
+
+def asof_enrich_stream_skinny(
+    turns: DataFrame,
+    log: DataFrame,
+    sources: list[str],
+    source_col: str = "feature",
+    value_col: str = "value",
+    on: str = "conv_id",
+    ts: str = "ts",
+    strict: bool = False,
+    asof_ts_suffix: str = "_asof_ts",
+) -> DataFrame:
+    """Streaming K-feature point-in-time assembly from ONE skinny EAV
+    feature log — the live-tail analog of the batch single-pass
+    ``asof_join_skinny`` (which is not streamable as-is: its union+window
+    runs over the probe side).
+
+    Rewrite: the log is widened ONCE (static side, per refresh) into
+    piecewise-constant K-vector validity intervals
+    (:func:`skinny_feature_intervals`); each arriving turn then takes a
+    single STATELESS stream-static interval join — no watermark, no join
+    state, exactly one matching interval per turn, regardless of K. The
+    per-feature ``{s}{asof_ts_suffix}`` / ``{s}_{value_col}`` columns
+    carried by the interval row are each feature's own latest update, so
+    the output schema matches the batch form column-for-column (pinned
+    by tests/test_streaming.py::test_skinny_enrich_stream_matches_batch).
+
+    Tie semantics ride the interval inequality, not the widening (which
+    is always inclusive): non-strict matches the interval starting AT
+    the turn's ts (an update at T is visible to turns at T); ``strict``
+    shifts to the PREVIOUS interval — state as of strictly-before-T —
+    mirroring ``asof_join_interval``'s bounds. Turns earlier than every
+    change point keep NULLs (left join), like every batch as-of form.
+    """
+    iv = skinny_feature_intervals(
+        log, sources, source_col=source_col, value_col=value_col,
+        on=on, ts=ts, asof_ts_suffix=asof_ts_suffix,
+    ).withColumnRenamed(on, f"__b_{on}").withColumnRenamed(ts, "__iv_ts")
+
+    cond = F.col(on) == F.col(f"__b_{on}")
+    if strict:
+        cond = cond & (F.col("__iv_ts") < F.col(ts)) & (
+            F.col("__next_ts").isNull() | (F.col(ts) <= F.col("__next_ts"))
+        )
+    else:
+        cond = cond & (F.col("__iv_ts") <= F.col(ts)) & (
+            F.col("__next_ts").isNull() | (F.col(ts) < F.col("__next_ts"))
+        )
+    return turns.join(iv, cond, "left").drop(
+        f"__b_{on}", "__iv_ts", "__next_ts"
+    )
+
+
 def flagship_stream(
     turns: DataFrame,
     features: DataFrame,

@@ -361,3 +361,74 @@ def test_flagship_stream_matches_batch(spark, stream_input, tmp_path):
     )
     assert len(got) == len(pdf)
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def _skinny_log_pdf(pdf, sources=("f0", "f1", "f2")):
+    """Deterministic EAV feature log derived from the transcript rows:
+    every third turn emits an update for one of the rotating sources,
+    value = text length (unique per (conv, feature, ts) by construction
+    on the fixture's tie-free update rows)."""
+    upd = pdf[pdf["turn_idx"] % 3 == 0].copy()
+    upd["feature"] = [sources[int(i / 3) % len(sources)] for i in upd["turn_idx"]]
+    upd["value"] = upd["text"].str.len().astype("float64")
+    log = (
+        upd[["conv_id", "ts", "feature", "value"]]
+        .groupby(["conv_id", "feature", "ts"], as_index=False)["value"].max()
+    )
+    return log
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_skinny_enrich_stream_matches_batch(spark, stream_input, tmp_path, strict):
+    """Streaming K-feature assembly from the EAV log == the batch
+    single-pass asof_join_skinny on the same rows, across micro-batch
+    boundaries and for both tie semantics. The stream side is ONE
+    stateless interval join; the widening happens on the static side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_security_lake_transformation_library_spark.operators.asof import asof_join_skinny
+
+    root, pdf = stream_input
+    sources = ["f0", "f1", "f2"]
+    ldir = str(tmp_path / f"log_{strict}")
+    os.makedirs(ldir)
+    pq.write_table(
+        pa.Table.from_pandas(_skinny_log_pdf(pdf, tuple(sources)),
+                             preserve_index=False),
+        os.path.join(ldir, "log.parquet"),
+    )
+    log = spark.read.parquet(ldir)
+
+    stream = sp.read_turn_stream(spark, root, max_files_per_trigger=1)
+    probe_cols = ["conv_id", "turn_idx", "ts"]
+    enriched = sp.asof_enrich_stream_skinny(
+        stream.select(*probe_cols), log, sources, strict=strict
+    )
+    name = f"skinny_stream_{int(strict)}"
+    _run_to_memory(enriched, name, str(tmp_path))
+
+    out_cols = probe_cols + [
+        c for s in sources for c in (f"{s}_asof_ts", f"{s}_value")
+    ]
+    got = (
+        spark.sql(f"SELECT * FROM {name}").toPandas()[out_cols]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    batch = (
+        asof_join_skinny(
+            spark.read.parquet(root).select(*probe_cols), log, sources,
+            strict=strict,
+        )
+        .toPandas()[out_cols]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+    if not strict:
+        # the fixture updates AT turn timestamps, so non-strict rows whose
+        # turn_idx % 3 == 0 must see their own update: non-null everywhere
+        # past each conv's first update
+        assert got["f0_value"].notna().any()
