@@ -397,9 +397,11 @@ def asof_join_stacked(
     that share ONE window spec — Catalyst collapses same-spec window
     functions into a single WindowExec, so the physical plan is one
     Exchange over ``n_probe + sum(n_build_k)`` rows, one Sort, one Window,
-    regardless of K (pinned in tests/test_plans_quality.py). Over a
-    bucketed ts-sorted layout the Exchange and Sort both vanish and K-table
-    assembly is a single in-partition merge.
+    regardless of K (pinned in tests/test_plans_quality.py). NOTE: that
+    one Exchange does NOT vanish over bucketed inputs — Spark does not
+    propagate bucketing through a Union — so for bucketed/oversized probe
+    tables use :func:`asof_join_skinny_intervals`, whose probe side is
+    Exchange-free.
 
     Output columns: each source ``s``'s payload column ``c`` appears as
     ``{s}_{c}``, plus ``{s}{asof_ts_suffix}`` (the matched build
@@ -527,8 +529,11 @@ def asof_join_skinny(
     other sources are simply skipped by ``ignorenulls``. Where the
     per-table form costs one dedupe/scan branch per source (K Exchanges
     upstream), this is ONE Exchange + ONE Sort + ONE Window end-to-end
-    on top of a single scan — and zero Exchange/Sort over an
-    entity-bucketed ts-sorted log.
+    on top of a single scan. That Exchange covers n_probe + n_log rows
+    and does NOT vanish over bucketed inputs (bucketing does not
+    propagate through a Union — measured, see
+    :func:`asof_join_skinny_intervals` for the bucketed/asymmetric-size
+    form whose shuffle is proportional to the log only).
 
     ``build`` must be unique per ``(on, source_col, ts)``; rows whose
     ``source_col`` is not in ``sources`` are ignored (filter pushed into
@@ -586,3 +591,95 @@ def asof_join_skinny(
         out_cols.append(f["a"].alias(f"{s}{asof_ts_suffix}"))
         out_cols.append(f["v"].alias(f"{s}_{value_col}"))
     return filled.select(*out_cols)
+
+
+def skinny_to_intervals(
+    log: DataFrame,
+    sources: Sequence[str],
+    source_col: str = "feature",
+    value_col: str = "value",
+    on: str = "conv_id",
+    ts: str = "ts",
+    asof_ts_suffix: str = "_asof_ts",
+) -> DataFrame:
+    """Collapse a skinny EAV feature log into piecewise-constant
+    K-VECTOR validity intervals: one row per ``(entity, change_ts)``
+    carrying the current value (and its own update ts) of EVERY source
+    at that instant, valid over ``[change_ts, __next_ts)``.
+
+    Built from the single-pass form itself — the probe side is the
+    log's own distinct change points, widened by
+    :func:`asof_join_skinny`, then ``lead(ts)`` closes the intervals.
+    Cost: one Exchange + Sort over ~|log| rows and a K+2-column output —
+    proportional to the FEATURE LOG, never the probe table. Feeds
+    :func:`asof_join_skinny_intervals` (batch) and
+    ``streaming.pipeline.asof_enrich_stream_skinny`` (live tail).
+    """
+    changes = (
+        log.filter(F.col(source_col).isin(list(sources)))
+        .select(on, ts)
+        .distinct()
+    )
+    wide = asof_join_skinny(
+        changes, log, sources, source_col=source_col, value_col=value_col,
+        on=on, ts=ts, strict=False, asof_ts_suffix=asof_ts_suffix,
+    )
+    w = Window.partitionBy(on).orderBy(ts)
+    return wide.withColumn("__next_ts", F.lead(F.col(ts)).over(w))
+
+
+def asof_join_skinny_intervals(
+    probe: DataFrame,
+    log: DataFrame,
+    sources: Sequence[str],
+    source_col: str = "feature",
+    value_col: str = "value",
+    on: str = "conv_id",
+    ts: str = "ts",
+    strict: bool = False,
+    asof_ts_suffix: str = "_asof_ts",
+) -> DataFrame:
+    """K-feature point-in-time assembly from a skinny EAV log via
+    PRE-WIDENED validity intervals — same output as
+    :func:`asof_join_skinny`, different physical contract: the probe
+    table is NEVER shuffled or sorted.
+
+    Why it exists: the single-pass union+window form cannot go
+    zero-Exchange over a bucketed layout — Spark does not propagate
+    bucketing through a Union, so even with probe AND log bucketed and
+    sorted on the entity, the union's window still plans one Exchange +
+    Sort over n_probe + n_log rows (measured; pinned in
+    tests/test_asof_stacked.py::test_skinny_intervals_bucketed_probe_no_exchange).
+    Here the log is widened first (:func:`skinny_to_intervals` — one
+    Exchange over ~|log| rows), and the probe side is a sort-merge
+    interval join that matches each probe row to EXACTLY ONE interval:
+    over a conv_id-bucketed ts-sorted probe table the probe-side
+    Exchange AND Sort both vanish, so total shuffle is proportional to
+    the feature log, never the turns. At 10^12 probe turns against a
+    10^9-row feature log that asymmetry IS the operator.
+
+    Prefer :func:`asof_join_skinny` when probe and log are comparably
+    sized and unbucketed (one pass, no join); prefer this form when the
+    probe table is bucketed or much larger than the log. Tie semantics
+    ride the interval inequality, mirroring :func:`asof_join_interval`:
+    non-strict matches the interval starting AT the probe ts; strict
+    takes the PREVIOUS interval (state strictly before the probe ts).
+    Left-outer like every other as-of form here.
+    """
+    iv = skinny_to_intervals(
+        log, sources, source_col=source_col, value_col=value_col,
+        on=on, ts=ts, asof_ts_suffix=asof_ts_suffix,
+    ).withColumnRenamed(on, f"__b_{on}").withColumnRenamed(ts, "__iv_ts")
+
+    cond = F.col(on) == F.col(f"__b_{on}")
+    if strict:
+        cond = cond & (F.col("__iv_ts") < F.col(ts)) & (
+            F.col("__next_ts").isNull() | (F.col(ts) <= F.col("__next_ts"))
+        )
+    else:
+        cond = cond & (F.col("__iv_ts") <= F.col(ts)) & (
+            F.col("__next_ts").isNull() | (F.col(ts) < F.col("__next_ts"))
+        )
+    return probe.join(iv, cond, "left").drop(
+        f"__b_{on}", "__iv_ts", "__next_ts"
+    )

@@ -328,29 +328,18 @@ def skinny_feature_intervals(
     update ts) of EVERY source at that instant, valid over
     ``[change_ts, __next_ts)``.
 
-    Built from the batch single-pass form itself: the probe side is the
-    log's own distinct change points, so
-    ``operators.asof.asof_join_skinny`` widens each change point to the
-    full K-vector in one Exchange + one Sort + one Window (zero of each
-    over an entity-bucketed ts-sorted log); ``lead(ts)`` then closes the
-    intervals. Cost is |change points| rows and K+2 columns — paid once
-    on the static side, per feature-table refresh, never per micro-batch.
+    Thin delegate to ``operators.asof.skinny_to_intervals`` (shared with
+    the batch interval form ``asof_join_skinny_intervals`` — one
+    definition, two execution modes). Cost is |change points| rows and
+    K+2 columns — paid once on the static side, per feature-table
+    refresh, never per micro-batch.
     """
-    from ..operators.asof import asof_join_skinny
+    from ..operators.asof import skinny_to_intervals
 
-    changes = (
-        log.filter(F.col(source_col).isin(list(sources)))
-        .select(on, ts)
-        .distinct()
+    return skinny_to_intervals(
+        log, sources, source_col=source_col, value_col=value_col,
+        on=on, ts=ts, asof_ts_suffix=asof_ts_suffix,
     )
-    wide = asof_join_skinny(
-        changes, log, sources, source_col=source_col, value_col=value_col,
-        on=on, ts=ts, strict=False, asof_ts_suffix=asof_ts_suffix,
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(on).orderBy(ts)
-    return wide.withColumn("__next_ts", F.lead(F.col(ts)).over(w))
 
 
 def asof_enrich_stream_skinny(
@@ -386,22 +375,11 @@ def asof_enrich_stream_skinny(
     mirroring ``asof_join_interval``'s bounds. Turns earlier than every
     change point keep NULLs (left join), like every batch as-of form.
     """
-    iv = skinny_feature_intervals(
-        log, sources, source_col=source_col, value_col=value_col,
-        on=on, ts=ts, asof_ts_suffix=asof_ts_suffix,
-    ).withColumnRenamed(on, f"__b_{on}").withColumnRenamed(ts, "__iv_ts")
+    from ..operators.asof import asof_join_skinny_intervals
 
-    cond = F.col(on) == F.col(f"__b_{on}")
-    if strict:
-        cond = cond & (F.col("__iv_ts") < F.col(ts)) & (
-            F.col("__next_ts").isNull() | (F.col(ts) <= F.col("__next_ts"))
-        )
-    else:
-        cond = cond & (F.col("__iv_ts") <= F.col(ts)) & (
-            F.col("__next_ts").isNull() | (F.col(ts) < F.col("__next_ts"))
-        )
-    return turns.join(iv, cond, "left").drop(
-        f"__b_{on}", "__iv_ts", "__next_ts"
+    return asof_join_skinny_intervals(
+        turns, log, sources, source_col=source_col, value_col=value_col,
+        on=on, ts=ts, strict=strict, asof_ts_suffix=asof_ts_suffix,
     )
 
 

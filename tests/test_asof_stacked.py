@@ -227,3 +227,126 @@ def test_skinny_single_window_plan(spark):
     )
     assert n_sort == 1
     assert plan.count("Exchange") <= 1
+
+
+# ------------------------------------ interval form (bucketed probe path)
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_skinny_intervals_equals_skinny(spark, strict):
+    """The pre-widened interval form must produce the same K-vector as
+    the single-pass union+window form, both tie semantics."""
+    from amazon_security_lake_transformation_library_spark.operators.asof import (
+        asof_join_skinny,
+        asof_join_skinny_intervals,
+    )
+
+    probe, builds = _mk_inputs(seed=23)
+    log = spark.createDataFrame(_melt(builds))
+    kw = dict(sources=list(builds), on="conv_id", ts="ts", strict=strict)
+    a = (
+        asof_join_skinny(spark.createDataFrame(probe), log, **kw)
+        .toPandas().sort_values("probe_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    b = (
+        asof_join_skinny_intervals(spark.createDataFrame(probe), log, **kw)
+        .toPandas().sort_values("probe_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    for s in builds:
+        np.testing.assert_allclose(
+            b[f"{s}_value"].to_numpy("float64"),
+            a[f"{s}_value"].to_numpy("float64"),
+        )
+        gt = b[f"{s}_asof_ts"].astype("datetime64[us]")
+        wt = a[f"{s}_asof_ts"].astype("datetime64[us]")
+        assert (gt.isna() == wt.isna()).all()
+        assert (gt.dropna() == wt.dropna()).all()
+
+
+def test_skinny_intervals_bucketed_probe_no_exchange(spark, tmp_path):
+    """Over a conv_id-bucketed ts-sorted probe table (buckets == shuffle
+    partitions) the interval form's PROBE side plans with neither
+    Exchange nor Sort — the same pipeline over plain parquet pays one
+    more of each. This is the claim the union+window form CANNOT make
+    (bucketing does not propagate through a Union — also asserted)."""
+    from amazon_security_lake_transformation_library_spark.operators.asof import (
+        asof_join_skinny,
+        asof_join_skinny_intervals,
+    )
+
+    probe, builds = _mk_inputs(seed=29)
+    log_pdf = _melt(builds)
+
+    def counts(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_ex = sum(
+            1 for ln in plan.splitlines()
+            if ln.lstrip("+-* :").startswith("Exchange ")
+        )
+        n_sort = sum(
+            1 for ln in plan.splitlines()
+            if ln.lstrip("+-* :").startswith("Sort ")
+        )
+        return n_ex, n_sort
+
+    old_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ord = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS iv_probe")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        # force the SMJ the at-scale plan takes (a broadcast log makes the
+        # probe side trivially exchange-free in BOTH encodings)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (
+            spark.createDataFrame(probe)
+            .repartition(1)
+            .write.bucketBy(8, "conv_id").sortBy("conv_id", "ts")
+            .option("path", str(tmp_path / "iv_probe"))
+            .saveAsTable("iv_probe")
+        )
+        log = spark.createDataFrame(log_pdf)
+        kw = dict(sources=list(builds), on="conv_id", ts="ts")
+
+        plain = asof_join_skinny_intervals(
+            spark.createDataFrame(probe), log, **kw)
+        bucketed = asof_join_skinny_intervals(
+            spark.table("iv_probe"), log, **kw)
+        ex_p, so_p = counts(plain)
+        ex_b, so_b = counts(bucketed)
+        assert ex_b == ex_p - 1, (ex_b, ex_p)
+        assert so_b == so_p - 1, (so_b, so_p)
+
+        # rows still identical between the two probe encodings
+        cols = ["conv_id", "ts", "probe_id"] + [
+            f"{s}_value" for s in builds
+        ]
+        a = plain.select(*cols).toPandas().sort_values(
+            "probe_id", kind="mergesort").reset_index(drop=True)
+        b = bucketed.select(*cols).toPandas().sort_values(
+            "probe_id", kind="mergesort").reset_index(drop=True)
+        for s in builds:
+            np.testing.assert_allclose(
+                b[f"{s}_value"].to_numpy("float64"),
+                a[f"{s}_value"].to_numpy("float64"),
+            )
+
+        # the union+window form does NOT lose its Exchange over the same
+        # bucketed probe: bucketing stops at the Union
+        union_form = asof_join_skinny(spark.table("iv_probe"), log, **kw)
+        ex_u, _ = counts(union_form)
+        assert ex_u >= 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS iv_probe")
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuf)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", old_ord
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
