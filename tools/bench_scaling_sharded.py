@@ -121,6 +121,23 @@ def worker(args) -> None:
         t = spark.table("sh_cur_t")
     elif args.plan in ("curation", "hotkeys"):
         t = spark.read.parquet(*args.t_files.split(","))
+    elif args.plan == "skinny_bucketed":
+        # both sides conv_id-bucketed sorted tables; the interval form's
+        # probe side then plans with ZERO Exchange and ZERO Sort (the
+        # §7.12 contract) — broadcast disabled so the SMJ the at-scale
+        # plan takes is the one measured
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        register_bucketed_table(spark, "sh_ivt", args.t_files,
+                                n_buckets=args.n_buckets,
+                                sort_cols=("conv_id", "ts", "turn_idx"))
+        register_bucketed_table(spark, "sh_ivlog", args.cf_files,
+                                n_buckets=args.n_buckets,
+                                sort_cols=("conv_id", "ts"))
+        t = spark.table("sh_ivt")
+        cf = spark.table("sh_ivlog")
+        cf.count()
     elif args.plan == "skinny":
         # probe = this shard's turn files; build = the matching shard of
         # the ONE skinny EAV feature log (conv_id-disjoint by the same
@@ -166,6 +183,12 @@ def worker(args) -> None:
             # cannot prune the K last() fills (the §7.9 count() trap)
             from amazon_security_lake_transformation_library_spark.operators.asof import asof_join_skinny
             out = asof_join_skinny(
+                t, cf, sources=[f"f{i}" for i in range(8)])
+        elif args.plan == "skinny_bucketed":
+            # interval form over the bucketed pair: probe-side
+            # Exchange/Sort eliminated, shuffle proportional to the log
+            from amazon_security_lake_transformation_library_spark.operators.asof import asof_join_skinny_intervals
+            out = asof_join_skinny_intervals(
                 t, cf, sources=[f"f{i}" for i in range(8)])
         else:
             out = asof_turn_features(t, cf)
@@ -480,6 +503,42 @@ def ensure_skinny_layout(layout: str) -> str:
     return out_root
 
 
+def ensure_skinny_bucketed_layout(layout: str, procs: int) -> str:
+    """Per-shard BUCKETED table pairs for the ``skinny_bucketed`` plan:
+    shard i owns a conv_id-disjoint contiguous range of the original
+    turn buckets, rewritten as an 8-bucket conv_id-bucketed table sorted
+    ``(conv_id, ts, turn_idx)``, plus the matching slice of the skinny
+    EAV log as an 8-bucket table sorted ``(conv_id, ts)``. Input-table
+    synthesis — untimed, like every other ensure_* here."""
+    out_root = f"{layout}-ivshards{procs}"
+    if os.path.exists(os.path.join(out_root, "_SUCCESS")):
+        return out_root
+    from amazon_security_lake_transformation_library_spark.plans.bucketed import write_bucketed_table
+    from amazon_security_lake_transformation_library_spark.session import get_spark
+    log_root = ensure_skinny_layout(layout)
+    t_map = bucket_files(os.path.join(layout, "sc_t"))
+    allb = sorted(t_map)
+    spark = get_spark("ivshard-setup", master="local[8]",
+                      shuffle_partitions=16,
+                      extra_conf={"spark.local.dir": "/dev/shm/ivshard-setup"})
+    for i in range(procs):
+        bs = allb[i * len(allb) // procs:(i + 1) * len(allb) // procs]
+        write_bucketed_table(
+            spark.read.parquet(*[t_map[b] for b in bs]), f"iv_setup_t_{i}",
+            n_buckets=8, sort_cols=("conv_id", "ts", "turn_idx"),
+            path=f"{out_root}/shard_{i}/t")
+        write_bucketed_table(
+            spark.read.parquet(
+                *[os.path.join(log_root, f"log_{b:05d}.parquet") for b in bs]
+            ),
+            f"iv_setup_log_{i}",
+            n_buckets=8, sort_cols=("conv_id", "ts"),
+            path=f"{out_root}/shard_{i}/log")
+    spark.stop()
+    open(os.path.join(out_root, "_SUCCESS"), "w").write("1")
+    return out_root
+
+
 def run_level(layout: str, procs: int, cores: int, runs: int, heap: str,
               plan: str) -> dict:
     t_map = bucket_files(os.path.join(layout, "sc_t"))
@@ -501,6 +560,10 @@ def run_level(layout: str, procs: int, cores: int, runs: int, heap: str,
     elif plan == "bucketed":
         specs = [(os.path.join(layout, "sc_t"), os.path.join(layout, "sc_cf"),
                   len(buckets))]
+    elif plan == "skinny_bucketed":
+        shard_root = ensure_skinny_bucketed_layout(layout, procs)
+        specs = [(f"{shard_root}/shard_{i}/t", f"{shard_root}/shard_{i}/log",
+                  8) for i in range(procs)]
     elif plan == "skinny":
         log_root = ensure_skinny_layout(layout)
         log_map = {b: os.path.join(log_root, f"log_{b:05d}.parquet")
@@ -569,7 +632,8 @@ def main() -> None:
     p.add_argument("--heap", default="6g")
     p.add_argument("--plan", default="fused",
                    choices=["fused", "bucketed", "curation",
-                            "curation_bucketed", "hotkeys", "skinny"])
+                            "curation_bucketed", "hotkeys", "skinny",
+                            "skinny_bucketed"])
     p.add_argument("--procs-total", type=int, default=1,
                    help="(worker mode) total shard count this level runs — "
                         "the curation plan's stage barrier waits for this "
