@@ -15,9 +15,13 @@ Two physical strategies
    Tag both sides, union by aligned schema, forward-fill the build payload
    struct over ``(entity) ORDER BY (ts, side, tiebreak)``, keep probe rows.
    Cost: ONE shuffle on entity + one sort over n_probe + n_build rows.
-   This is the sort-merge-over-co-partitioned-data formulation: with both
-   sides already bucketed/sorted by (entity, ts) on storage, the exchange
-   becomes a no-op and only the merge remains.
+   Caveat (measured, BASELINE.md §7.12): that Exchange does NOT become a
+   no-op over bucketed inputs — Spark does not propagate bucketing
+   through a Union. The layout-exploiting forms are the JOIN-shaped
+   rewrites: :func:`asof_join_interval` (zero Exchange/Sort over a
+   bucketed pair — what plans/bucketed.flagship_bucketed pins) and
+   :func:`asof_join_skinny_intervals` (probe-side zero Exchange/Sort,
+   shuffle proportional to the feature log).
 2. :func:`asof_join_range` (fallback) — bounded **range join** + pick
    latest per probe key. Needs a match horizon; useful when the build side
    is tiny or when a range-join-optimized engine executes it.
@@ -166,8 +170,10 @@ def asof_join_directional(
     evaluates both frames over the SAME window ordering — Catalyst
     plans them as stacked Window nodes over one Exchange+Sort (pinned in
     tests/test_asof.py::test_directional_plan_single_exchange_sort).
-    Over an entity-bucketed ts-sorted layout the Exchange and Sort
-    vanish, like every other form in this module.
+    Like the other union forms, the Exchange does NOT vanish over
+    bucketed inputs (bucketing stops at the Union — see
+    :func:`asof_join_skinny_intervals` for the layout-exploiting
+    rewrite pattern).
 
     ``tolerance_seconds`` bounds the match distance per direction
     (backward: ``probe.ts - build.ts``; forward: ``build.ts -
