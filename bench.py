@@ -41,6 +41,7 @@ HEADLINE = [
     "flagship_transcripts", "flagship_transcripts_bucketed",
     "flagship_transcripts_salted", "flagship_transcripts_hybrid",
     "asof_join_events", "asof_join_events_interval", "asof_join_events_multi",
+    "asof_join_events_skinny", "asof_join_events_nearest",
     # window/feature family
     "lag_lead_events", "ffill_events", "sessionize_events", "cumsum_events",
     "rolling_1h_events", "session_window_events", "ewma_events_grouped",
@@ -54,6 +55,7 @@ HEADLINE = [
     "decontaminate_docs", "decontaminate_docs_bloom", "domain_mixture_docs",
     "target_encode_events", "chat_render", "sft_pairs", "tool_chains",
     "conv_near_dup_minhash", "conv_prefix_dedup", "hot_conversations",
+    "preference_pairs", "curriculum_docs",
     # reference-parity + joins/aggs representatives
     "alb_parse", "mapping_dispatch", "q1_pricing_summary", "q3_top_orders",
 ]
