@@ -313,6 +313,38 @@ def _q_asof_skinny(spark, sf_dir):
     )
 
 
+def _q_asof_skinny_iv(spark, sf_dir):
+    """Same feature vectors again (same oracle SQL as the stacked and
+    skinny forms) through the INTERVAL strategy
+    (asof_join_skinny_intervals, §7.12): the log is widened once into
+    K-vector validity intervals, then a sort-merge interval join — the
+    form whose probe side goes zero-Exchange/zero-Sort over a bucketed
+    layout and whose shuffle is proportional to the log, never the
+    probe."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.select("event_id", "user_id", "ts")
+    w = Window.partitionBy("event_type", "user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    log = (
+        ev.filter(F.col("event_type").isin("purchase", "error", "click"))
+        .select("event_type", "user_id", "ts",
+                F.round("value", 4).alias("val"),
+                F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    out = asof_ops.asof_join_skinny_intervals(
+        probe, log, sources=["purchase", "error", "click"],
+        source_col="event_type", value_col="val", on="user_id", ts="ts",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("purchase_val").alias("purchase_v"),
+        F.col("error_val").alias("error_v"),
+        F.col("click_val").alias("click_v"),
+    )
+
+
 def _q_asof_tolerance(spark, sf_dir):
     # bounded-staleness as-of (north rule's "r.ts BETWEEN l.ts - horizon
     # AND l.ts"): a match older than the horizon is as good as no match —
@@ -1943,7 +1975,7 @@ def _q_preference_pairs(spark, sf_dir):
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
-# (49 as of late r4) followed by prior-green re-pin anchors (the four
+# (50 as of late r4) followed by prior-green re-pin anchors (the four
 # §7.2-regressed cells + the flagship pair) up to the 50-slot budget;
 # _gate_order() moves them to the front so the official artifact covers
 # them. Across the r2+r3+r4 artifacts every entry then has at least one
@@ -1971,6 +2003,7 @@ _GATE_FRONT = [
     "heavy_users_events", "sft_pairs", "tool_chains",
     "decontaminate_docs_bloom", "conv_near_dup_minhash",
     "asof_join_events_stacked", "asof_join_events_skinny",
+    "asof_join_events_skinny_iv",
     "asof_join_events_forward", "asof_join_events_nearest",
     "preference_pairs", "curriculum_docs",
     # --- prior-green re-pin anchors (to the 50-slot budget; anchors past
@@ -2086,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events_multi": _q_asof_multi,
         "asof_join_events_stacked": _q_asof_stacked,
         "asof_join_events_skinny": _q_asof_skinny,
+        "asof_join_events_skinny_iv": _q_asof_skinny_iv,
         "tumbling_hourly_events": _q_tumbling_hourly,
         "sliding_rate_events": _q_sliding_rate,
         "session_window_events": _q_session_window,
@@ -3824,4 +3858,5 @@ def _alias_oracles(sql: dict[str, str]) -> dict[str, str]:
     stacked == chained)."""
     sql["conv_profile_incremental"] = sql["conv_profile"]
     sql["asof_join_events_skinny"] = sql["asof_join_events_stacked"]
+    sql["asof_join_events_skinny_iv"] = sql["asof_join_events_stacked"]
     return sql
