@@ -689,3 +689,60 @@ def asof_join_skinny_intervals(
     return probe.join(iv, cond, "left").drop(
         f"__b_{on}", "__iv_ts", "__next_ts"
     )
+
+
+def asof_join_skinny_routed(
+    probe: DataFrame,
+    log: DataFrame,
+    sources: Sequence[str],
+    source_col: str = "feature",
+    value_col: str = "value",
+    on: str = "conv_id",
+    ts: str = "ts",
+    strict: bool = False,
+    asof_ts_suffix: str = "_asof_ts",
+    hot_threshold_changes: int = 1024,
+) -> DataFrame:
+    """Hot-entity-safe K-feature assembly: route each entity to the
+    strategy whose cost model it fits, then union the (identically
+    shaped) results.
+
+    The interval SMJ (:func:`asof_join_skinny_intervals`) keeps the
+    probe shuffle-free but pays O(p_e × b_e) band comparisons per
+    entity — measured catastrophic on hot conversations (BASELINE.md
+    §7.13: one 136k-probe × 45k-interval conversation ran its shard
+    10× longer than its peers). The union+window form
+    (:func:`asof_join_skinny`) is O((p_e + b_e) log) per entity but
+    shuffles the probe. So: entities whose CHANGE-POINT count ``b_e``
+    reaches ``hot_threshold_changes`` take the union path; the tail —
+    virtually the whole corpus — keeps the interval path. The router's
+    pre-pass aggregates the LOG only (b_e is the per-probe-row band
+    multiplier, observable without touching the probe table), and the
+    hot set is broadcast for the semi/anti splits, so the probe-side
+    cost of routing is two broadcast-filtered scans and no shuffle.
+    This is the same enforce-don't-document rule the flagship bucketed
+    path adopted in §7.4.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lg = log.filter(F.col(source_col).isin(list(sources)))
+    hot = F.broadcast(
+        lg.groupBy(*keys)
+        .agg(F.count_distinct(F.col(ts)).alias("__b"))
+        .filter(F.col("__b") >= F.lit(hot_threshold_changes))
+        .select(*keys)
+    )
+    kw = dict(
+        sources=sources, source_col=source_col, value_col=value_col,
+        on=on, ts=ts, strict=strict, asof_ts_suffix=asof_ts_suffix,
+    )
+    out_hot = asof_join_skinny(
+        probe.join(hot, keys, "left_semi"),
+        lg.join(hot, keys, "left_semi"),
+        **kw,
+    )
+    out_tail = asof_join_skinny_intervals(
+        probe.join(hot, keys, "left_anti"),
+        lg.join(hot, keys, "left_anti"),
+        **kw,
+    )
+    return out_tail.unionByName(out_hot)

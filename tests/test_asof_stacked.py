@@ -350,3 +350,95 @@ def test_skinny_intervals_bucketed_probe_no_exchange(spark, tmp_path):
             "spark.sql.legacy.bucketedTableScan.outputOrdering", old_ord
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_skinny_routed_equals_skinny_on_skew(spark, strict):
+    """The hot/tail router must reproduce the single-strategy answer on
+    a skewed input where one entity holds most of the change points."""
+    from amazon_security_lake_transformation_library_spark.operators.asof import (
+        asof_join_skinny,
+        asof_join_skinny_routed,
+    )
+
+    probe, builds = _mk_inputs(seed=31)
+    log = _melt(builds)
+    # graft a hot entity: one conversation with 600 change points across
+    # the three sources (>= the test threshold), plus matching probes
+    base = pd.Timestamp("2026-01-01")
+    hot_log = pd.DataFrame({
+        "conv_id": "hot",
+        "ts": base + pd.to_timedelta(np.arange(600) * 7, unit="s"),
+        "feature": [list(builds)[i % 3] for i in range(600)],
+        "value": np.arange(600, dtype="float64"),
+    })
+    hot_probe = pd.DataFrame({
+        "conv_id": "hot",
+        "ts": base + pd.to_timedelta(np.arange(0, 4200, 3), unit="s"),
+        "probe_id": np.arange(10_000, 10_000 + 1400, dtype="int64"),
+    })
+    probe = pd.concat([probe, hot_probe], ignore_index=True)
+    log = pd.concat([log, hot_log], ignore_index=True)
+
+    kw = dict(sources=list(builds), on="conv_id", ts="ts", strict=strict)
+    want = (
+        asof_join_skinny(spark.createDataFrame(probe),
+                         spark.createDataFrame(log), **kw)
+        .toPandas().sort_values("probe_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got = (
+        asof_join_skinny_routed(spark.createDataFrame(probe),
+                                spark.createDataFrame(log),
+                                hot_threshold_changes=200, **kw)
+        .toPandas().sort_values("probe_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(probe)
+    for s in builds:
+        np.testing.assert_allclose(
+            got[f"{s}_value"].to_numpy("float64"),
+            want[f"{s}_value"].to_numpy("float64"),
+        )
+        gt = got[f"{s}_asof_ts"].astype("datetime64[us]")
+        wt = want[f"{s}_asof_ts"].astype("datetime64[us]")
+        assert (gt.isna() == wt.isna()).all()
+        assert (gt.dropna() == wt.dropna()).all()
+
+
+def test_skinny_routed_threshold_boundary(spark):
+    """Entities at exactly the threshold go hot; one below stays on the
+    interval path — and an all-tail input equals plain intervals."""
+    from amazon_security_lake_transformation_library_spark.operators.asof import (
+        asof_join_skinny_intervals,
+        asof_join_skinny_routed,
+    )
+
+    base = pd.Timestamp("2026-01-01")
+    log = pd.DataFrame({
+        "conv_id": ["a"] * 4 + ["b"] * 3,
+        "ts": list(base + pd.to_timedelta(np.arange(4), unit="h")) * 1
+        + list(base + pd.to_timedelta(np.arange(3), unit="h")),
+        "feature": ["f0"] * 7,
+        "value": np.arange(7, dtype="float64"),
+    })
+    probe = pd.DataFrame({
+        "conv_id": ["a", "b"] * 3,
+        "ts": base + pd.to_timedelta(np.arange(6), unit="h"),
+        "probe_id": np.arange(6, dtype="int64"),
+    })
+    kw = dict(sources=["f0"], on="conv_id", ts="ts")
+    want = (
+        asof_join_skinny_intervals(spark.createDataFrame(probe),
+                                   spark.createDataFrame(log), **kw)
+        .toPandas().sort_values("probe_id").reset_index(drop=True)
+    )
+    # threshold 4: entity a (4 change points) goes hot, b stays tail
+    got = (
+        asof_join_skinny_routed(spark.createDataFrame(probe),
+                                spark.createDataFrame(log),
+                                hot_threshold_changes=4, **kw)
+        .toPandas().sort_values("probe_id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got["f0_value"].to_numpy("float64"),
+                               want["f0_value"].to_numpy("float64"))

@@ -138,7 +138,7 @@ def worker(args) -> None:
         t = spark.table("sh_ivt")
         cf = spark.table("sh_ivlog")
         cf.count()
-    elif args.plan == "skinny":
+    elif args.plan in ("skinny", "skinny_routed"):
         # probe = this shard's turn files; build = the matching shard of
         # the ONE skinny EAV feature log (conv_id-disjoint by the same
         # bucket assignment, so the window's partitionBy(conv_id) makes
@@ -146,6 +146,9 @@ def worker(args) -> None:
         t = spark.read.parquet(*args.t_files.split(","))
         cf = spark.read.parquet(*args.cf_files.split(","))
         cf.count()
+        if args.plan == "skinny_routed":
+            # SMJ for the tail interval join, like skinny_bucketed
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     else:
         t = spark.read.parquet(*args.t_files.split(","))
         cf = spark.read.parquet(*args.cf_files.split(","))
@@ -190,6 +193,14 @@ def worker(args) -> None:
             from amazon_security_lake_transformation_library_spark.operators.asof import asof_join_skinny_intervals
             out = asof_join_skinny_intervals(
                 t, cf, sources=[f"f{i}" for i in range(8)])
+        elif args.plan == "skinny_routed":
+            # hot/tail router: entities with >= threshold change points
+            # take the union path, the tail keeps the interval SMJ —
+            # the §7.13 hot-shard collapse, enforced in code
+            from amazon_security_lake_transformation_library_spark.operators.asof import asof_join_skinny_routed
+            out = asof_join_skinny_routed(
+                t, cf, sources=[f"f{i}" for i in range(8)],
+                hot_threshold_changes=1024)
         else:
             out = asof_turn_features(t, cf)
         from pyspark.sql import Observation
@@ -564,7 +575,7 @@ def run_level(layout: str, procs: int, cores: int, runs: int, heap: str,
         shard_root = ensure_skinny_bucketed_layout(layout, procs)
         specs = [(f"{shard_root}/shard_{i}/t", f"{shard_root}/shard_{i}/log",
                   8) for i in range(procs)]
-    elif plan == "skinny":
+    elif plan in ("skinny", "skinny_routed"):
         log_root = ensure_skinny_layout(layout)
         log_map = {b: os.path.join(log_root, f"log_{b:05d}.parquet")
                    for b in buckets}
@@ -633,7 +644,7 @@ def main() -> None:
     p.add_argument("--plan", default="fused",
                    choices=["fused", "bucketed", "curation",
                             "curation_bucketed", "hotkeys", "skinny",
-                            "skinny_bucketed"])
+                            "skinny_bucketed", "skinny_routed"])
     p.add_argument("--procs-total", type=int, default=1,
                    help="(worker mode) total shard count this level runs — "
                         "the curation plan's stage barrier waits for this "
