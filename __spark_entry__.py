@@ -345,6 +345,39 @@ def _q_asof_skinny_iv(spark, sf_dir):
     )
 
 
+def _q_asof_skinny_routed(spark, sf_dir):
+    """Fourth physical strategy over the same oracle: the hot/tail
+    router (asof_join_skinny_routed, §7.15) — entities with many change
+    points take the union path, the tail keeps the interval SMJ. A low
+    threshold forces BOTH branches to carry rows at sf0.01, so the gate
+    exercises the split+union, not just one side."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.select("event_id", "user_id", "ts")
+    w = Window.partitionBy("event_type", "user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    log = (
+        ev.filter(F.col("event_type").isin("purchase", "error", "click"))
+        .select("event_type", "user_id", "ts",
+                F.round("value", 4).alias("val"),
+                F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    out = asof_ops.asof_join_skinny_routed(
+        probe, log, sources=["purchase", "error", "click"],
+        source_col="event_type", value_col="val", on="user_id", ts="ts",
+        # the fixture's per-user change-point counts span 22-56 with
+        # median 39: threshold 39 puts ~half the entities on EACH branch
+        hot_threshold_changes=39,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("purchase_val").alias("purchase_v"),
+        F.col("error_val").alias("error_v"),
+        F.col("click_val").alias("click_v"),
+    )
+
+
 def _q_asof_tolerance(spark, sf_dir):
     # bounded-staleness as-of (north rule's "r.ts BETWEEN l.ts - horizon
     # AND l.ts"): a match older than the horizon is as good as no match —
@@ -1975,7 +2008,7 @@ def _q_preference_pairs(spark, sf_dir):
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
-# (50 as of late r4) followed by prior-green re-pin anchors (the four
+# (51 as of late r4; the last one past the 50-cap has local check_oracle evidence and rotates into the r5 gate) followed by prior-green re-pin anchors (the four
 # §7.2-regressed cells + the flagship pair) up to the 50-slot budget;
 # _gate_order() moves them to the front so the official artifact covers
 # them. Across the r2+r3+r4 artifacts every entry then has at least one
@@ -2003,7 +2036,7 @@ _GATE_FRONT = [
     "heavy_users_events", "sft_pairs", "tool_chains",
     "decontaminate_docs_bloom", "conv_near_dup_minhash",
     "asof_join_events_stacked", "asof_join_events_skinny",
-    "asof_join_events_skinny_iv",
+    "asof_join_events_skinny_iv", "asof_join_events_skinny_routed",
     "asof_join_events_forward", "asof_join_events_nearest",
     "preference_pairs", "curriculum_docs",
     # --- prior-green re-pin anchors (to the 50-slot budget; anchors past
@@ -2120,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events_stacked": _q_asof_stacked,
         "asof_join_events_skinny": _q_asof_skinny,
         "asof_join_events_skinny_iv": _q_asof_skinny_iv,
+        "asof_join_events_skinny_routed": _q_asof_skinny_routed,
         "tumbling_hourly_events": _q_tumbling_hourly,
         "sliding_rate_events": _q_sliding_rate,
         "session_window_events": _q_session_window,
@@ -3859,4 +3893,5 @@ def _alias_oracles(sql: dict[str, str]) -> dict[str, str]:
     sql["conv_profile_incremental"] = sql["conv_profile"]
     sql["asof_join_events_skinny"] = sql["asof_join_events_stacked"]
     sql["asof_join_events_skinny_iv"] = sql["asof_join_events_stacked"]
+    sql["asof_join_events_skinny_routed"] = sql["asof_join_events_stacked"]
     return sql
