@@ -374,6 +374,15 @@ def asof_enrich_stream_skinny(
     shifts to the PREVIOUS interval — state as of strictly-before-T —
     mirroring ``asof_join_interval``'s bounds. Turns earlier than every
     change point keep NULLs (left join), like every batch as-of form.
+
+    Hot entities: the batch interval form pays O(p_e x b_e) band
+    comparisons per entity and routes hot entities away
+    (``asof_join_skinny_routed``, BASELINE.md §7.15). In live-tail mode
+    that blowup is naturally bounded — p_e per MICRO-BATCH is at most
+    the batch size, so the per-batch band cost is O(batch x b_e) and no
+    router is needed; what a hot conversation does inflate is the
+    static interval table (b_e rows), which is per-refresh widening
+    cost, not stream state.
     """
     from ..operators.asof import asof_join_skinny_intervals
 
