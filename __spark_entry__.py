@@ -1974,6 +1974,28 @@ def _q_conv_near_dup(spark, sf_dir):
     return chp.conv_near_dup_pairs(_conv_clones(t))
 
 
+def _q_repair_turns(spark, sf_dir):
+    """Structural auto-repair (chatprep.repair_turns): the gate input is
+    the fixture deterministically BROKEN — every turn_idx%11==5 row
+    dropped (index gaps) and every turn_idx%7==0 row replayed 1s later
+    with edited text (duplicate indices) — and the repaired output must
+    collapse each duplicate to the latest write and reindex every
+    conversation to contiguous 0..n-1. Oracle performs the identical
+    SQL construction + two-row_number repair."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    edited = (
+        t.filter(F.col("turn_idx") % 7 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+        .withColumn("text", F.concat("text", F.lit(" (edited)")))
+    )
+    broken = t.filter((F.col("turn_idx") % 11) != 5).unionByName(edited)
+    out = chp.repair_turns(broken)
+    return out.select(
+        "conv_id", "turn_idx", "orig_turn_idx", "role", "text", "was_dup",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
 def _pref_variants(t):
     """Deterministic alternative continuations for the preference-pair
     gate: every conversation whose id ends in '0' is replayed as
@@ -2008,7 +2030,7 @@ def _q_preference_pairs(spark, sf_dir):
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
-# (51 as of late r4; the last one past the 50-cap has local check_oracle evidence and rotates into the r5 gate) followed by prior-green re-pin anchors (the four
+# (52 as of late r4; the two past the 50-cap have local check_oracle evidence and rotate into the r5 gate) followed by prior-green re-pin anchors (the four
 # §7.2-regressed cells + the flagship pair) up to the 50-slot budget;
 # _gate_order() moves them to the front so the official artifact covers
 # them. Across the r2+r3+r4 artifacts every entry then has at least one
@@ -2038,7 +2060,7 @@ _GATE_FRONT = [
     "asof_join_events_stacked", "asof_join_events_skinny",
     "asof_join_events_skinny_iv", "asof_join_events_skinny_routed",
     "asof_join_events_forward", "asof_join_events_nearest",
-    "preference_pairs", "curriculum_docs",
+    "preference_pairs", "curriculum_docs", "repair_turns",
     # --- prior-green re-pin anchors (to the 50-slot budget; anchors past
     # the cap already have driver-green rows in r2/r3) ---
     "ann_kmeans_centroids", "dedup_exact", "dedup_minhash_lsh",
@@ -2131,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs_bloom": _q_decontaminate_bloom,
         "conv_near_dup_minhash": _q_conv_near_dup,
         "preference_pairs": _q_preference_pairs,
+        "repair_turns": _q_repair_turns,
         # ---- tail: driver-green rows in CORRECTNESS_r02/r03 ----
         # variants whose sibling stayed in the gate (simhash_hamming,
         # ivf_topk, cosine_blocked cover the same code paths)
@@ -3802,6 +3825,35 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(seg, '' ORDER BY turn_idx) AS text
             FROM seg GROUP BY conv_id
         """),
+        "repair_turns": f"""
+            WITH t0 AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            broken AS (
+              SELECT conv_id, turn_idx, role, text, tool, ts
+              FROM t0 WHERE turn_idx % 11 <> 5
+              UNION ALL
+              SELECT conv_id, turn_idx, role, text || ' (edited)', tool,
+                     ts + INTERVAL 1 SECOND
+              FROM t0 WHERE turn_idx % 7 = 0
+            ),
+            keep AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY conv_id, turn_idx
+                       ORDER BY ts DESC, md5(coalesce(text, '')) DESC
+                     ) AS rk,
+                     count(*) OVER (PARTITION BY conv_id, turn_idx) > 1
+                       AS was_dup
+              FROM broken
+            )
+            SELECT conv_id,
+                   (row_number() OVER (
+                      PARTITION BY conv_id
+                      ORDER BY turn_idx, ts, md5(coalesce(text, ''))
+                    ) - 1)::BIGINT AS turn_idx,
+                   turn_idx AS orig_turn_idx, role, text, was_dup,
+                   epoch_us(ts) AS ts_us
+            FROM keep WHERE rk = 1
+        """,
         "preference_pairs": f"""
             WITH t0 AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
             t AS (

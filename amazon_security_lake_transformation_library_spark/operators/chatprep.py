@@ -559,3 +559,58 @@ def preference_pairs(
             F.col("rj.score").alias("rejected_score"),
         )
     )
+
+
+# ---------------------------------------------------------- turn repair
+
+
+def repair_turns(t: DataFrame) -> DataFrame:
+    """Structural auto-repair — the cleaning pass that makes real-world
+    transcripts satisfy :func:`validate_turns`'s index contract:
+
+    1. duplicate ``(conv_id, turn_idx)`` rows collapse to ONE —
+       the row with the lexicographically-largest ``(ts, md5(text))``
+       wins (latest write wins; the md5 breaks exact-ts ties
+       deterministically under any partitioning);
+    2. surviving rows are REINDEXED to contiguous ``turn_idx`` 0..n-1
+       in ``(turn_idx, ts, md5(text))`` order, healing gaps from
+       dropped/filtered turns.
+
+    Timestamps are never modified — repairing ``ts_monotone`` would
+    fabricate data; rows keep their original ts and the caller decides
+    whether a non-monotone conversation is usable
+    (:func:`validate_turns` still reports it). Idempotent by
+    construction: on already-clean input both steps are the identity
+    (pinned by test).
+
+    Returns the input columns with ``turn_idx`` rewritten, plus
+    ``orig_turn_idx`` and ``was_dup`` (true when the row displaced at
+    least one duplicate) for lineage.
+
+    Shape: ONE Exchange on ``conv_id`` (zero on the bucketed layout)
+    carrying two same-partition windows — the dedup rank orders by
+    ``(turn_idx, ts desc, md5 desc)``, the reindex by ``(turn_idx, ts,
+    md5)``; Catalyst plans them as stacked Window nodes over one sort
+    family, and every other step is in-row.
+    """
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    wd = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").desc(), fp.desc()
+    )
+    wn = Window.partitionBy("conv_id", "turn_idx")
+    ranked = t.select(
+        "*",
+        F.row_number().over(wd).alias("__keep_rank"),
+        (F.count(F.lit(1)).over(wn) > 1).alias("was_dup"),
+    ).filter(F.col("__keep_rank") == 1)
+
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx"), F.col("ts"), fp
+    )
+    out_cols = [c for c in t.columns if c != "turn_idx"]
+    return ranked.select(
+        *out_cols,
+        F.col("turn_idx").alias("orig_turn_idx"),
+        (F.row_number().over(wr) - F.lit(1)).alias("turn_idx"),
+        "was_dup",
+    )

@@ -8,6 +8,8 @@ under stable ordering" contract extended to the rendered example.
 
 import datetime as dt
 
+import pandas as pd
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -374,3 +376,69 @@ def test_preference_pairs_no_response_conv_drops(spark):
     assert len(out) == 1
     assert out[0]["n_candidates"] == 2
     assert {out[0]["chosen_conv"], out[0]["rejected_conv"]} == {"a", "c"}
+
+
+# ----------------------------------------------------------- repair_turns
+
+
+def _broken_df(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # conv a: duplicate turn_idx 1 (later ts must win), gap at 3
+        ("a", 0, "user", "hi", None, base),
+        ("a", 1, "assistant", "old answer", None, base + dt.timedelta(minutes=1)),
+        ("a", 1, "assistant", "new answer", None, base + dt.timedelta(minutes=2)),
+        ("a", 4, "user", "next", None, base + dt.timedelta(minutes=3)),
+        # conv b: already clean
+        ("b", 0, "user", "q", None, base),
+        ("b", 1, "assistant", "a", None, base + dt.timedelta(minutes=1)),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+
+def test_repair_turns_dedups_and_reindexes(spark):
+    out = chp.repair_turns(_broken_df(spark)).toPandas()
+    a = out[out["conv_id"] == "a"].sort_values("turn_idx")
+    assert a["turn_idx"].tolist() == [0, 1, 2]
+    assert a["text"].tolist() == ["hi", "new answer", "next"]
+    assert a["orig_turn_idx"].tolist() == [0, 1, 4]
+    assert a["was_dup"].tolist() == [False, True, False]
+    b = out[out["conv_id"] == "b"].sort_values("turn_idx")
+    assert b["turn_idx"].tolist() == [0, 1]
+    assert not b["was_dup"].any()
+
+
+def test_repair_turns_makes_validate_pass_and_is_idempotent(spark):
+    repaired = chp.repair_turns(_broken_df(spark))
+    v = chp.validate_turns(repaired).toPandas()
+    assert v["idx_contiguous"].all()
+    again = chp.repair_turns(
+        repaired.drop("orig_turn_idx", "was_dup")
+    ).toPandas()
+    first = repaired.toPandas()
+    cols = ["conv_id", "turn_idx", "text"]
+    pd_first = first[cols].sort_values(cols).reset_index(drop=True)
+    pd_again = again[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pd_first, pd_again)
+    assert not again["was_dup"].any()
+
+
+def test_repair_turns_exact_ts_tie_breaks_on_text_hash(spark):
+    import hashlib
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c", 0, "user", "alpha", None, base),
+        ("c", 0, "user", "beta", None, base),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    out = chp.repair_turns(t).toPandas()
+    assert len(out) == 1
+    want = max(["alpha", "beta"],
+               key=lambda s: hashlib.md5(s.encode()).hexdigest())
+    assert out["text"].tolist() == [want]
