@@ -1717,6 +1717,16 @@ def _q_importance_weights(spark, sf_dir):
     )
 
 
+def _q_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negatives (curation.negative_samples):
+    k hash-ring successors per anchor within md5 buckets — reproducible
+    pseudo-random pairings; only ids/ints ever shuffle. n_buckets=8 at
+    sf0.01 puts ~60 docs per bucket, so the cyclic wrap path is
+    exercised by each bucket's tail anchors."""
+    docs = _t(spark, sf_dir, "documents")
+    return cur.negative_samples(docs, k=3, n_buckets=8)
+
+
 def _q_curriculum(spark, sf_dir):
     """Curriculum ordering (curation.curriculum_buckets): exact-quantile
     difficulty buckets (one scalar aggregate, broadcast boundary array)
@@ -2030,7 +2040,7 @@ def _q_preference_pairs(spark, sf_dir):
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
-# (52 as of late r4; the two past the 50-cap have local check_oracle evidence and rotate into the r5 gate) followed by prior-green re-pin anchors (the four
+# (53 as of late r4; the three past the 50-cap have local check_oracle evidence and rotate into the r5 gate) followed by prior-green re-pin anchors (the four
 # §7.2-regressed cells + the flagship pair) up to the 50-slot budget;
 # _gate_order() moves them to the front so the official artifact covers
 # them. Across the r2+r3+r4 artifacts every entry then has at least one
@@ -2061,6 +2071,7 @@ _GATE_FRONT = [
     "asof_join_events_skinny_iv", "asof_join_events_skinny_routed",
     "asof_join_events_forward", "asof_join_events_nearest",
     "preference_pairs", "curriculum_docs", "repair_turns",
+    "negative_samples_docs",
     # --- prior-green re-pin anchors (to the 50-slot budget; anchors past
     # the cap already have driver-green rows in r2/r3) ---
     "ann_kmeans_centroids", "dedup_exact", "dedup_minhash_lsh",
@@ -2124,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_horizon_events": _q_label_horizon,
         "sample_topn_per_group": _q_sample_topn_per_group,
         "curriculum_docs": _q_curriculum,
+        "negative_samples_docs": _q_negative_samples,
         "domain_mixture_docs": _q_domain_mixture,
         "importance_weights_docs": _q_importance_weights,
         "psi_value_by_split": _q_psi_by_split,
@@ -3505,6 +3517,37 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM events)
             WHERE rn <= 20
+        """,
+        "negative_samples_docs": """
+            WITH r AS (
+              SELECT doc_id,
+                     md5('neg' || chr(31) || CAST(doc_id AS VARCHAR))
+                       AS ring,
+                     (list_sum(list_transform(range(1, 5), i ->
+                        ((strpos('0123456789abcdef',
+                                 substr(md5('neg' || chr(31) ||
+                                        CAST(doc_id AS VARCHAR)), i, 1))
+                          - 1)::BIGINT << (4 * (4 - i)))))::BIGINT % 8)
+                       AS bkt
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, bkt,
+                     row_number() OVER (PARTITION BY bkt
+                                        ORDER BY ring, doc_id) AS rnk,
+                     count(*) OVER (PARTITION BY bkt) AS cnt
+              FROM r
+            ),
+            pairs AS (
+              SELECT doc_id, bkt, rnk, cnt,
+                     unnest([1, 2, 3]) AS neg_rank
+              FROM ranked
+            )
+            SELECT p.doc_id, p.neg_rank, r2.doc_id AS neg_id
+            FROM (SELECT *, ((rnk - 1 + neg_rank) % cnt) + 1 AS target
+                  FROM pairs WHERE neg_rank <= cnt - 1) p
+            JOIN ranked r2 ON p.bkt = r2.bkt AND p.target = r2.rnk
+            WHERE r2.doc_id <> p.doc_id
         """,
         "curriculum_docs": """
             WITH b AS (

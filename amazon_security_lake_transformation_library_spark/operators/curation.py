@@ -435,3 +435,76 @@ def curriculum_buckets(
         ).cast("long").alias("bucket"),
         F.md5(F.col(id_col).cast("string")).alias("order_key"),
     )
+
+
+# -------------------------------------------------- contrastive negatives
+
+
+def negative_samples(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = 64,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic contrastive negative sampling: each anchor document
+    gets its ``k`` successors on a salted md5 hash ring as negatives —
+    pseudo-random pairings (the ring order is uncorrelated with any
+    content ordering) that are REPRODUCIBLE across runs, partitionings
+    and engines, which in-batch or rand()-based negatives are not.
+
+    The ring is bucketed (first 16 md5 bits mod ``n_buckets``) so rank
+    assignment parallelizes: within each bucket, documents rank by
+    ``(ring_hash, id)``; anchor ``r`` takes ranks ``(r-1+i) mod cnt + 1``
+    for ``i = 1..k`` (cyclic — tail anchors wrap to the bucket head).
+    Singleton buckets yield no negatives (the only candidate is the
+    anchor itself); buckets with ``cnt <= k`` yield exactly ``cnt-1``
+    distinct negatives (``neg_rank`` is capped at ``cnt-1``, so cycling
+    can neither revisit a negative nor land back on the anchor).
+    Change ``salt`` to draw an independent negative set per epoch.
+
+    Returns ``(id_col, neg_rank, neg_id)``. Shape: one bucket-keyed
+    window, an in-row ``sequence(1..k)`` explode, and one skinny
+    self-equi-join on ``(bucket, rank)`` — every shuffled row is three
+    ints and a hash, never document payloads; join negatives back to
+    content by id downstream.
+    """
+    ring = F.md5(
+        F.concat(F.lit(salt), F.lit("\x1f"), F.col(id_col).cast("string"))
+    )
+    bucket = (
+        F.conv(F.substring(ring, 1, 4), 16, 10).cast("int") % F.lit(n_buckets)
+    )
+    w = Window.partitionBy("__bkt").orderBy("__ring", id_col)
+    ranked = (
+        docs.select(F.col(id_col), ring.alias("__ring"), bucket.alias("__bkt"))
+        .select(
+            "*",
+            F.row_number().over(w).alias("__rank"),
+            F.count(F.lit(1)).over(Window.partitionBy("__bkt")).alias("__cnt"),
+        )
+    )
+    pairs = ranked.select(
+        F.col(id_col),
+        "__bkt",
+        "__rank",
+        "__cnt",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+    ).filter(F.col("neg_rank") <= F.col("__cnt") - 1).withColumn(
+        "__target",
+        ((F.col("__rank") - 1 + F.col("neg_rank")) % F.col("__cnt")) + 1,
+    )
+    r2 = ranked.select(
+        F.col(id_col).alias("neg_id"),
+        F.col("__bkt").alias("__b2"),
+        F.col("__rank").alias("__r2"),
+    )
+    return (
+        pairs.join(
+            r2,
+            (F.col("__bkt") == F.col("__b2"))
+            & (F.col("__target") == F.col("__r2")),
+        )
+        .filter(F.col("neg_id") != F.col(id_col))
+        .select(id_col, "neg_rank", "neg_id")
+    )

@@ -342,3 +342,48 @@ def test_curriculum_order_key_is_md5_of_id(spark):
 def test_curriculum_rejects_single_bucket(spark):
     with pytest.raises(ValueError):
         C.curriculum_buckets(_docs_df(spark, [1, 2]), n_buckets=1)
+
+
+# ----------------------------------------------------- negative_samples
+
+def _ids_df(spark, n):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n, dtype="int64")})
+    )
+
+
+def test_negative_samples_counts_no_self_distinct(spark):
+    out = C.negative_samples(_ids_df(spark, 5), k=3, n_buckets=1).toPandas()
+    # single bucket of 5: every anchor gets exactly 3 DISTINCT negatives
+    g = out.groupby("doc_id")["neg_id"]
+    assert (g.count() == 3).all() and (g.nunique() == 3).all()
+    assert (out["doc_id"] != out["neg_id"]).all()
+    assert set(out["doc_id"]) == set(range(5))
+
+
+def test_negative_samples_small_and_singleton_buckets(spark):
+    # 2 docs, one bucket: exactly one negative each (cap at cnt-1)
+    out2 = C.negative_samples(_ids_df(spark, 2), k=3, n_buckets=1).toPandas()
+    assert len(out2) == 2 and (out2.groupby("doc_id").size() == 1).all()
+    # singleton corpus: no negatives at all
+    assert C.negative_samples(_ids_df(spark, 1), k=3, n_buckets=1).count() == 0
+
+
+def test_negative_samples_partitioning_invariant(spark):
+    df = _ids_df(spark, 64)
+    a = C.negative_samples(df, k=2, n_buckets=4).toPandas()
+    b = C.negative_samples(df.repartition(11), k=2, n_buckets=4).toPandas()
+    key = ["doc_id", "neg_rank"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_negative_samples_salt_rotates_pairings(spark):
+    df = _ids_df(spark, 40)
+    a = C.negative_samples(df, k=1, n_buckets=1, salt="epoch0").toPandas()
+    b = C.negative_samples(df, k=1, n_buckets=1, salt="epoch1").toPandas()
+    pa = dict(zip(a["doc_id"], a["neg_id"]))
+    pb = dict(zip(b["doc_id"], b["neg_id"]))
+    assert pa != pb  # a different salt draws a different ring order
