@@ -1702,6 +1702,22 @@ def _q_domain_mixture(spark, sf_dir):
     )
 
 
+def _q_materialize_mixture(spark, sf_dir):
+    """Mixture EXECUTION (curation.materialize_mixture): the
+    domain_mixture epochs table (pre-rounded to 4dp — the documented
+    cross-engine pow() contract) replicates each document
+    floor(epochs) times plus a deterministic stochastically-rounded
+    extra copy. Broadcast join + in-row explode; the corpus crosses
+    once."""
+    docs = _t(spark, sf_dir, "documents")
+    mix = cur.domain_mixture(
+        docs, ["lang", "source"], F.col("n_chars"), alpha=0.3,
+        target_size=1e6,
+    ).select("lang", "source", F.round("epochs", 4).alias("epochs"))
+    out = cur.materialize_mixture(docs, mix, ["lang", "source"])
+    return out.select("doc_id", "lang", "source", "epoch_idx")
+
+
 def _q_importance_weights(spark, sf_dir):
     """DSIR-style data selection: per-doc mean log p_target/p_raw over
     hashed word bigrams, target = English docs. Bucket table is
@@ -2040,7 +2056,7 @@ def _q_preference_pairs(spark, sf_dir):
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
-# (53 as of late r4; the three past the 50-cap have local check_oracle evidence and rotate into the r5 gate) followed by prior-green re-pin anchors (the four
+# (54 as of late r4; the four past the 50-cap have local check_oracle evidence and rotate into the r5 gate) followed by prior-green re-pin anchors (the four
 # §7.2-regressed cells + the flagship pair) up to the 50-slot budget;
 # _gate_order() moves them to the front so the official artifact covers
 # them. Across the r2+r3+r4 artifacts every entry then has at least one
@@ -2071,7 +2087,7 @@ _GATE_FRONT = [
     "asof_join_events_skinny_iv", "asof_join_events_skinny_routed",
     "asof_join_events_forward", "asof_join_events_nearest",
     "preference_pairs", "curriculum_docs", "repair_turns",
-    "negative_samples_docs",
+    "negative_samples_docs", "materialize_mixture_docs",
     # --- prior-green re-pin anchors (to the 50-slot budget; anchors past
     # the cap already have driver-green rows in r2/r3) ---
     "ann_kmeans_centroids", "dedup_exact", "dedup_minhash_lsh",
@@ -2137,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_docs": _q_curriculum,
         "negative_samples_docs": _q_negative_samples,
         "domain_mixture_docs": _q_domain_mixture,
+        "materialize_mixture_docs": _q_materialize_mixture,
         "importance_weights_docs": _q_importance_weights,
         "psi_value_by_split": _q_psi_by_split,
         # encoder surface (new r4): leakage-free target stats + diagnostics
@@ -3575,6 +3592,35 @@ def oracle_sql() -> dict[str, str]:
                    round(1000000.0 * (pow(size, 0.3) / sum(pow(size, 0.3)) OVER ())
                          / size, 4) + 0.0 AS epochs
             FROM per
+        """,
+        "materialize_mixture_docs": f"""
+            WITH per AS (
+              SELECT lang, source, sum(n_chars)::DOUBLE AS size
+              FROM documents GROUP BY 1, 2
+            ),
+            mix AS (
+              SELECT lang, source,
+                     round(1000000.0 * (pow(size, 0.3)
+                           / sum(pow(size, 0.3)) OVER ()) / size, 4)
+                       AS epochs
+              FROM per
+            ),
+            d AS (
+              SELECT doc_id, d0.lang, d0.source, epochs,
+                     md5('mix-v1' || doc_id::VARCHAR) AS h
+              FROM documents d0
+              JOIN mix ON d0.lang = mix.lang AND d0.source = mix.source
+            ),
+            c AS (
+              SELECT doc_id, lang, source,
+                     (floor(epochs)::BIGINT
+                      + CASE WHEN ({_KMV_FRAC}) < epochs - floor(epochs)
+                             THEN 1 ELSE 0 END) AS n
+              FROM d
+            )
+            SELECT doc_id, lang, source,
+                   unnest(range(0, n)) AS epoch_idx
+            FROM c WHERE n > 0
         """,
         # hashed-bigram DSIR: bucket = (first 16 md5 bits) mod 4096, the
         # same positional hex arithmetic as the simhash oracles

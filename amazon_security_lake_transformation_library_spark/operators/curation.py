@@ -508,3 +508,46 @@ def negative_samples(
         .filter(F.col("neg_id") != F.col(id_col))
         .select(id_col, "neg_rank", "neg_id")
     )
+
+
+# ----------------------------------------------------- mixture execution
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    mixture: DataFrame,
+    domain_cols: list[str],
+    epochs_col: str = "epochs",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """EXECUTE a data-mixing table (:func:`domain_mixture` computes the
+    weights; this materializes the resampled corpus): each document is
+    replicated ``floor(epochs_d)`` times plus one more with probability
+    ``frac(epochs_d)`` — deterministic stochastic rounding via the
+    salted md5 uniform (sketch.hash_frac), so the expected per-domain
+    token mass is exactly ``epochs_d x size_d`` and the realized corpus
+    is reproducible under any partitioning or engine. Domains absent
+    from the mixture table drop (inner join) — that IS the mixture
+    saying weight 0. Change ``salt`` to redraw the fractional copies.
+
+    Output: the input columns plus ``epoch_idx`` (0-based copy number —
+    downstream shuffling should key on ``(id, epoch_idx)`` so copies
+    spread across shards). Shape: one broadcast join (|domains| rows) +
+    an in-row sequence/explode; the corpus crosses once, no shuffle.
+    Pass ``epochs`` pre-rounded (e.g. ``F.round(.., 4)``) when the
+    mixture is recomputed per engine — pow() can differ in final ulps
+    and the stochastic-rounding comparison should not sit on that edge.
+    """
+    from .sketch import hash_frac
+
+    j = docs.join(F.broadcast(mixture), list(domain_cols), "inner")
+    ep = F.col(epochs_col)
+    whole = F.floor(ep).cast("int")
+    frac = ep - F.floor(ep)
+    u = hash_frac(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    n = whole + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))
+    seq = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return j.select("*", F.explode(seq).alias("epoch_idx"))

@@ -387,3 +387,54 @@ def test_negative_samples_salt_rotates_pairings(spark):
     pa = dict(zip(a["doc_id"], a["neg_id"]))
     pb = dict(zip(b["doc_id"], b["neg_id"]))
     assert pa != pb  # a different salt draws a different ring order
+
+
+# --------------------------------------------------- materialize_mixture
+
+def test_materialize_mixture_counts_and_determinism(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(100, dtype="int64"),
+        "dom": ["a"] * 80 + ["b"] * 20,
+    }))
+    mix = spark.createDataFrame(pd.DataFrame({
+        "dom": ["a", "b"], "epochs": [0.5, 2.25],
+    }))
+    out = C.materialize_mixture(docs, mix, ["dom"]).toPandas()
+    # dom a: 0 whole copies + Bernoulli(0.5) extras -> ~40 of 80
+    na = len(out[out["dom"] == "a"])
+    assert 20 <= na <= 60
+    # dom b: 2 whole copies each + Bernoulli(0.25) -> between 40 and 60
+    nb = len(out[out["dom"] == "b"])
+    assert 40 <= nb <= 60
+    per_b = out[out["dom"] == "b"].groupby("doc_id").size()
+    assert per_b.isin([2, 3]).all()
+    # epoch_idx is 0..n-1 per doc
+    for _, g in out.groupby("doc_id"):
+        assert sorted(g["epoch_idx"]) == list(range(len(g)))
+    # deterministic under repartitioning
+    again = C.materialize_mixture(
+        docs.repartition(7), mix, ["dom"]
+    ).toPandas()
+    key = ["doc_id", "epoch_idx"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        again.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_materialize_mixture_absent_domain_drops_and_zero_epochs(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(10, dtype="int64"),
+        "dom": ["a"] * 5 + ["z"] * 5,
+    }))
+    mix = spark.createDataFrame(pd.DataFrame({
+        "dom": ["a", "x"], "epochs": [1.0, 3.0],
+    }))
+    out = C.materialize_mixture(docs, mix, ["dom"]).toPandas()
+    assert set(out["dom"]) == {"a"}          # 'z' absent from mixture -> dropped
+    assert (out.groupby("doc_id").size() == 1).all()  # epochs=1.0 exact
+    # integer epochs never draw the stochastic extra
+    assert out["epoch_idx"].max() == 0
+    # epochs 0.0 -> empty output for that domain
+    mix0 = spark.createDataFrame(pd.DataFrame({"dom": ["a"], "epochs": [0.0]}))
+    assert C.materialize_mixture(docs, mix0, ["dom"]).count() == 0
