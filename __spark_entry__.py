@@ -1474,6 +1474,17 @@ def _q_doc_chunks(spark, sf_dir):
     return dso.chunk_tokens(_t(spark, sf_dir, "documents"), size=64, stride=48)
 
 
+def _q_positive_pairs(spark, sf_dir):
+    """Contrastive positives (datasetops.positive_pairs): adjacent
+    sliding-window chunks of the same document paired via one lead()
+    window over (doc_id, chunk_idx) — the self-supervised positive for
+    embedding training; combine with negative_samples_docs for the full
+    triple."""
+    return dso.positive_pairs(
+        _t(spark, sf_dir, "documents"), size=64, stride=48
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Train/eval contamination report via shared word 8-grams (even
     doc_ids play train, odd play eval): fingerprint explode -> distinct ->
@@ -2056,7 +2067,7 @@ def _q_preference_pairs(spark, sf_dir):
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
-# (54 as of late r4; the four past the 50-cap have local check_oracle evidence and rotate into the r5 gate) followed by prior-green re-pin anchors (the four
+# (55 as of late r4; the five past the 50-cap have local check_oracle evidence and rotate into the r5 gate) followed by prior-green re-pin anchors (the four
 # §7.2-regressed cells + the flagship pair) up to the 50-slot budget;
 # _gate_order() moves them to the front so the official artifact covers
 # them. Across the r2+r3+r4 artifacts every entry then has at least one
@@ -2088,6 +2099,7 @@ _GATE_FRONT = [
     "asof_join_events_forward", "asof_join_events_nearest",
     "preference_pairs", "curriculum_docs", "repair_turns",
     "negative_samples_docs", "materialize_mixture_docs",
+    "positive_pairs_docs",
     # --- prior-green re-pin anchors (to the 50-slot budget; anchors past
     # the cap already have driver-green rows in r2/r3) ---
     "ann_kmeans_centroids", "dedup_exact", "dedup_minhash_lsh",
@@ -2115,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_docs": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
+        "positive_pairs_docs": _q_positive_pairs,
         "decontaminate_docs": _q_decontaminate,
         "doc_length_quantiles": _q_doc_quantiles,
         "iqr_value_by_user": _q_iqr_by_user,
@@ -3369,6 +3382,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "doc_chunks_udtf": _DOC_CHUNKS_SQL,
+        "positive_pairs_docs": f"""
+            WITH chunks AS ({_DOC_CHUNKS_SQL})
+            SELECT doc_id, chunk_idx,
+                   chunk_text AS anchor_text,
+                   lead(chunk_text) OVER (
+                     PARTITION BY doc_id ORDER BY chunk_idx
+                   ) AS positive_text
+            FROM chunks
+            QUALIFY positive_text IS NOT NULL
+        """,
         "decontaminate_docs": _DECON_SQL,
         # the bloom prefilter is performance-transparent (exact join after
         # it) — deliberately the SAME oracle

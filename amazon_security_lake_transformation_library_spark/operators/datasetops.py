@@ -410,3 +410,43 @@ def decontaminate_bloom(
         .groupBy(id_col)
         .agg(F.count_distinct("fp").alias("n_shared"))
     )
+
+
+def positive_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Contrastive POSITIVE pair generation: adjacent sliding-window
+    chunks of the same document (:func:`chunk_tokens`) are semantically
+    related by construction — the standard self-supervised positive for
+    embedding-model training (neighboring spans share topic; with
+    ``stride < size`` they also share overlapping tokens). Combine with
+    ``curation.negative_samples`` over the chunk table for the full
+    (anchor, positive, negatives) triple.
+
+    One row per consecutive chunk pair: ``(id_col, chunk_idx,
+    anchor_text, positive_text)`` — documents yielding a single chunk
+    emit nothing (no neighbor to pair with).
+
+    Shape: chunking is explode-only (in-scan projection); the pairing
+    is one ``lead()`` window over ``(id, chunk_idx)`` — chunk order is
+    already data-local to the document, so the window's Exchange keys
+    on the id and disappears over an id-bucketed layout like every
+    other per-entity window here.
+    """
+    chunks = chunk_tokens(
+        df, text_col=text_col, id_col=id_col, size=size, stride=stride
+    )
+    w = Window.partitionBy(id_col).orderBy("chunk_idx")
+    return (
+        chunks.select(
+            id_col,
+            "chunk_idx",
+            F.col("chunk_text").alias("anchor_text"),
+            F.lead("chunk_text").over(w).alias("positive_text"),
+        )
+        .filter(F.col("positive_text").isNotNull())
+    )

@@ -345,3 +345,29 @@ def test_split_temporal_embargo_labels(spark):
     )
     got = {r["event_id"]: r["split"] for r in out.collect()}
     assert got == {0: "train", 1: "train", 2: "embargo", 3: "embargo", 4: "test"}
+
+
+# -------------------------------------------------------- positive_pairs
+
+def test_positive_pairs_adjacency_and_overlap(spark):
+    import pandas as pd
+
+    from amazon_security_lake_transformation_library_spark.operators.datasetops import (
+        chunk_tokens, positive_pairs,
+    )
+
+    text = " ".join(f"w{i}" for i in range(200))  # 200 tokens -> 4 chunks
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": [text, "short doc"],
+    }))
+    out = positive_pairs(docs, size=64, stride=48).toPandas()
+    # doc 1: 4 chunks -> 3 consecutive pairs; doc 2: 1 chunk -> none
+    assert len(out) == 3 and set(out["doc_id"]) == {1}
+    chunks = chunk_tokens(docs.filter("doc_id = 1"), size=64, stride=48)
+    ctext = {r["chunk_idx"]: r["chunk_text"] for r in chunks.collect()}
+    for _, r in out.iterrows():
+        assert r["anchor_text"] == ctext[r["chunk_idx"]]
+        assert r["positive_text"] == ctext[r["chunk_idx"] + 1]
+        # stride < size -> adjacent chunks share overlapping tokens
+        shared = set(r["anchor_text"].split()) & set(r["positive_text"].split())
+        assert len(shared) == 64 - 48
