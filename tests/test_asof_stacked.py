@@ -442,3 +442,45 @@ def test_skinny_routed_threshold_boundary(spark):
     )
     np.testing.assert_allclose(got["f0_value"].to_numpy("float64"),
                                want["f0_value"].to_numpy("float64"))
+
+
+@pytest.mark.parametrize("form", ["skinny", "intervals", "routed"])
+def test_skinny_forms_zero_leakage_mutation_audit(spark, form):
+    """The north-rule leakage contract, K-feature edition: mutating
+    every log row with ts > T must not change any feature for probes at
+    ts <= T — for each physical strategy."""
+    from amazon_security_lake_transformation_library_spark.operators.asof import (
+        asof_join_skinny,
+        asof_join_skinny_intervals,
+        asof_join_skinny_routed,
+    )
+
+    fns = {
+        "skinny": asof_join_skinny,
+        "intervals": asof_join_skinny_intervals,
+        "routed": lambda p, l, **kw: asof_join_skinny_routed(
+            p, l, hot_threshold_changes=10, **kw
+        ),
+    }
+    probe, builds = _mk_inputs(seed=37)
+    log = _melt(builds)
+    T = log["ts"].quantile(0.5)
+    mutated = log.copy()
+    mutated.loc[mutated["ts"] > T, "value"] = -9999.0
+
+    kw = dict(sources=list(builds), on="conv_id", ts="ts")
+    base = (
+        fns[form](spark.createDataFrame(probe), spark.createDataFrame(log), **kw)
+        .toPandas().sort_values("probe_id", kind="mergesort")
+    )
+    mut = (
+        fns[form](spark.createDataFrame(probe), spark.createDataFrame(mutated), **kw)
+        .toPandas().sort_values("probe_id", kind="mergesort")
+    )
+    sel = base["ts"] <= T
+    assert sel.any()
+    for s in builds:
+        np.testing.assert_allclose(
+            mut.loc[sel, f"{s}_value"].to_numpy("float64"),
+            base.loc[sel, f"{s}_value"].to_numpy("float64"),
+        )
