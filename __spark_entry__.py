@@ -1413,6 +1413,19 @@ def _q_corpus_filter(spark, sf_dir):
     return rep.corpus_filter(_t(spark, sf_dir, "documents"))
 
 
+def _q_conv_quality_filter(spark, sf_dir):
+    """Conversation-level quality gate: pure composition — rendered
+    conversations (chatprep.render_conversations) flow through the
+    Gopher-style corpus_filter unchanged, so whole transcripts get
+    keep/drop + fired-rule reasons. One conv_id agg + the shuffle-free
+    signal projection."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    rendered = chp.render_conversations(t).select(
+        F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text")
+    )
+    return rep.corpus_filter(rendered)
+
+
 def _q_scrub_pii(spark, sf_dir):
     """Redaction pass (textstats.scrub_pii): mask email/IPv4/long-digit
     spans and count matches on the original text — one codegen'd
@@ -2067,7 +2080,7 @@ def _q_preference_pairs(spark, sf_dir):
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
-# (55 as of late r4; the five past the 50-cap have local check_oracle evidence and rotate into the r5 gate) followed by prior-green re-pin anchors (the four
+# (56 as of late r4; the six past the 50-cap have local check_oracle evidence and rotate into the r5 gate) followed by prior-green re-pin anchors (the four
 # §7.2-regressed cells + the flagship pair) up to the 50-slot budget;
 # _gate_order() moves them to the front so the official artifact covers
 # them. Across the r2+r3+r4 artifacts every entry then has at least one
@@ -2099,7 +2112,7 @@ _GATE_FRONT = [
     "asof_join_events_forward", "asof_join_events_nearest",
     "preference_pairs", "curriculum_docs", "repair_turns",
     "negative_samples_docs", "materialize_mixture_docs",
-    "positive_pairs_docs",
+    "positive_pairs_docs", "conv_quality_filter",
     # --- prior-green re-pin anchors (to the 50-slot budget; anchors past
     # the cap already have driver-green rows in r2/r3) ---
     "ann_kmeans_centroids", "dedup_exact", "dedup_minhash_lsh",
@@ -2128,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
         "positive_pairs_docs": _q_positive_pairs,
+        "conv_quality_filter": _q_conv_quality_filter,
         "decontaminate_docs": _q_decontaminate,
         "doc_length_quantiles": _q_doc_quantiles,
         "iqr_value_by_user": _q_iqr_by_user,
@@ -3260,6 +3274,25 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_STATS_SQL,
         "line_stats": _LINE_STATS_SQL,
         "corpus_filter": _CORPUS_FILTER_SQL,
+        # conversation-level gate = the SAME filter SQL over rendered
+        # transcripts (composition on both sides)
+        "conv_quality_filter": (
+            f"""WITH t AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            rendered_docs AS (
+              SELECT conv_id AS doc_id,
+                     string_agg(
+                       '<|' || role ||
+                       CASE WHEN tool IS NOT NULL THEN ':' || tool
+                            ELSE '' END || '|>' || chr(10) || text
+                       || chr(10),
+                       '' ORDER BY turn_idx) AS text
+              FROM t GROUP BY conv_id
+            ),
+            """
+            + _CORPUS_FILTER_SQL.replace("WITH w AS", "w AS").replace(
+                "FROM documents", "FROM rendered_docs"
+            )
+        ),
         "doc_lang_trigram": _langid_oracle_sql(),
         # order statistic recomputed from the FULL distinct hash set (vs
         # the engine's bounded per-partition k-min reduction)
