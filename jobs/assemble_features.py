@@ -20,6 +20,10 @@ Strategies (operators/asof.py; BASELINE.md §7.9/§7.12/§7.13):
       bucketed or much larger than the log — the 10^12-turn regime.
   auto        — intervals when the log row count is < --auto-ratio of
       the probe's (default 1/4), else single_pass.
+  routed      — asof_join_skinny_routed: hot entities (change points >=
+      --hot-threshold) take the union path, the tail keeps the interval
+      SMJ (BASELINE.md §7.15's 11x hot-shard fix). Use on skewed
+      corpora.
 
 With --synth N_CONVS the job generates the deterministic synthetic
 transcripts table plus an EAV log derived from it (bench/demo path, no
@@ -52,7 +56,10 @@ def parse_args(argv=None):
                         "(default: every distinct value in --log's "
                         "feature column)")
     p.add_argument("--strategy", default="auto",
-                   choices=["auto", "single_pass", "intervals"])
+                   choices=["auto", "single_pass", "intervals", "routed"])
+    p.add_argument("--hot-threshold", type=int, default=1024,
+                   help="(routed) change points per entity above which "
+                        "the union path takes over from the interval SMJ")
     p.add_argument("--auto-ratio", type=float, default=0.25,
                    help="auto picks intervals when n_log < ratio * n_probe")
     p.add_argument("--strict", action="store_true",
@@ -118,8 +125,21 @@ def main(argv=None) -> int:
         print(f"auto: n_probe={n_probe} n_log={n_log} -> {strategy}",
               file=sys.stderr)
 
-    fn = asof_join_skinny_intervals if strategy == "intervals" else asof_join_skinny
-    out = fn(probe, log, sources, strict=args.strict)
+    if strategy == "routed":
+        from amazon_security_lake_transformation_library_spark.operators.asof import (
+            asof_join_skinny_routed,
+        )
+
+        out = asof_join_skinny_routed(
+            probe, log, sources, strict=args.strict,
+            hot_threshold_changes=args.hot_threshold,
+        )
+    else:
+        fn = (
+            asof_join_skinny_intervals if strategy == "intervals"
+            else asof_join_skinny
+        )
+        out = fn(probe, log, sources, strict=args.strict)
 
     if args.output:
         from amazon_security_lake_transformation_library_spark.plans.writer import (

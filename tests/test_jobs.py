@@ -60,3 +60,15 @@ def test_assemble_features_job_idempotent_recommit(spark, tmp_path, capsys):
         f"read_parquet('{root}/_manifest/part-*.parquet')"
     ).fetchone()[0]
     assert n == 1
+
+
+def test_assemble_features_routed_strategy(spark, tmp_path, capsys):
+    from jobs.assemble_features import main
+
+    rc = main([
+        "--synth", "30", "--strategy", "routed", "--hot-threshold", "5",
+        "--output", str(tmp_path / "af_routed"), "--snapshot-id", "s1",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["strategy"] == "routed" and out["rows"] > 0
