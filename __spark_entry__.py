@@ -3984,7 +3984,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT *,
                      row_number() OVER (
                        PARTITION BY conv_id, turn_idx
-                       ORDER BY ts DESC, md5(coalesce(text, '')) DESC
+                       ORDER BY ts DESC, md5(concat_ws(chr(31), coalesce(role, ''), coalesce(tool, ''), coalesce(text, ''))) DESC
                      ) AS rk,
                      count(*) OVER (PARTITION BY conv_id, turn_idx) > 1
                        AS was_dup
@@ -3993,7 +3993,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id,
                    (row_number() OVER (
                       PARTITION BY conv_id
-                      ORDER BY turn_idx, ts, md5(coalesce(text, ''))
+                      ORDER BY turn_idx, ts, md5(concat_ws(chr(31), coalesce(role, ''), coalesce(tool, ''), coalesce(text, '')))
                     ) - 1)::BIGINT AS turn_idx,
                    turn_idx AS orig_turn_idx, role, text, was_dup,
                    epoch_us(ts) AS ts_us
@@ -4017,9 +4017,15 @@ def oracle_sql() -> dict[str, str]:
               FROM t WHERE turn_idx < 2 GROUP BY conv_id
             ),
             r AS (
-              SELECT conv_id, arg_min(text, turn_idx) AS response
-              FROM t WHERE role = 'assistant' AND turn_idx >= 2
-              GROUP BY conv_id
+              -- (turn_idx, text) lexicographic min, matching the
+              -- engine's F.min(struct) exactly even when duplicate
+              -- turn_idx values tie (arg_min's tie pick is arbitrary)
+              SELECT conv_id, text AS response FROM (
+                SELECT conv_id, text,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx, text) AS rn
+                FROM t WHERE role = 'assistant' AND turn_idx >= 2
+              ) WHERE rn = 1
             ),
             c AS (
               SELECT p.conv_id, p.prefix_fp, r.response,

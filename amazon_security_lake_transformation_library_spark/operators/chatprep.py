@@ -569,9 +569,10 @@ def repair_turns(t: DataFrame) -> DataFrame:
     transcripts satisfy :func:`validate_turns`'s index contract:
 
     1. duplicate ``(conv_id, turn_idx)`` rows collapse to ONE —
-       the row with the lexicographically-largest ``(ts, md5(text))``
-       wins (latest write wins; the md5 breaks exact-ts ties
-       deterministically under any partitioning);
+       the row with the lexicographically-largest
+       ``(ts, md5(role|tool|text))`` wins (latest write wins; the md5
+       over ALL payload columns breaks exact-ts ties deterministically
+       under any partitioning);
     2. surviving rows are REINDEXED to contiguous ``turn_idx`` 0..n-1
        in ``(turn_idx, ts, md5(text))`` order, healing gaps from
        dropped/filtered turns.
@@ -593,7 +594,18 @@ def repair_turns(t: DataFrame) -> DataFrame:
     md5)``; Catalyst plans them as stacked Window nodes over one sort
     family, and every other step is in-row.
     """
-    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    # the tie-break fingerprint covers EVERY payload column, not just
+    # text — two replays differing only in role/tool must still collapse
+    # deterministically under any partitioning (and identically in the
+    # DuckDB oracle, which builds the same separator-joined hash)
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col("role"), F.lit("")),
+            F.coalesce(F.col("tool"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
     wd = Window.partitionBy("conv_id", "turn_idx").orderBy(
         F.col("ts").desc(), fp.desc()
     )

@@ -469,6 +469,10 @@ def negative_samples(
     ints and a hash, never document payloads; join negatives back to
     content by id downstream.
     """
+    if k < 1:
+        # F.sequence(1, 0) would count DOWN ([1, 0]) and emit a bogus
+        # negative per anchor — reject rather than mean "no negatives"
+        raise ValueError("k must be >= 1")
     ring = F.md5(
         F.concat(F.lit(salt), F.lit("\x1f"), F.col(id_col).cast("string"))
     )

@@ -224,3 +224,28 @@ def write_parquet(df: pd.DataFrame, path: str, row_group_size: int = 100_000) ->
         path,
         row_group_size=row_group_size,
     )
+
+
+def gen_feature_log(
+    pdf,
+    features: tuple[str, ...] = ("f0", "f1", "f2", "f3"),
+    every: int = 3,
+):
+    """Deterministic skinny EAV feature log derived from a transcripts
+    frame: every ``every``-th turn emits an update for one of the
+    rotating ``features``, value = text length; deduped to unique
+    ``(conv_id, feature, ts)`` — asof_join_skinny's precondition.
+    Single definition shared by jobs/assemble_features.py (--synth) and
+    the streaming batch-equivalence tests (a third, per-bucket Spark
+    derivation lives in tools/bench_scaling_sharded.ensure_skinny_layout
+    to keep conv-disjoint sharding — keep its rule in sync)."""
+    upd = pdf[pdf["turn_idx"] % every == 0].copy()
+    upd["feature"] = [
+        features[int(i / every) % len(features)] for i in upd["turn_idx"]
+    ]
+    upd["value"] = upd["text"].str.len().astype("float64")
+    return (
+        upd[["conv_id", "ts", "feature", "value"]]
+        .groupby(["conv_id", "feature", "ts"], as_index=False)["value"]
+        .max()
+    )

@@ -88,21 +88,13 @@ def main(argv=None) -> int:
 
     if args.synth:
         from amazon_security_lake_transformation_library_spark.synth.transcripts import (
-            gen_transcripts, write_parquet,
+            gen_feature_log, gen_transcripts, write_parquet,
         )
 
         tmp = tempfile.mkdtemp(prefix="assemble_")
         pdf = gen_transcripts(n_convs=args.synth, mean_turns=args.mean_turns)
         write_parquet(pdf, f"{tmp}/transcripts.parquet")
-        upd = pdf[pdf["turn_idx"] % 3 == 0].copy()
-        upd["feature"] = [f"f{int(i / 3) % 4}" for i in upd["turn_idx"]]
-        upd["value"] = upd["text"].str.len().astype("float64")
-        log_pdf = (
-            upd[["conv_id", "ts", "feature", "value"]]
-            .groupby(["conv_id", "feature", "ts"], as_index=False)["value"]
-            .max()
-        )
-        write_parquet(log_pdf, f"{tmp}/feature_log.parquet")
+        write_parquet(gen_feature_log(pdf), f"{tmp}/feature_log.parquet")
         args.input = f"{tmp}/transcripts.parquet"
         args.log = f"{tmp}/feature_log.parquet"
 
@@ -158,6 +150,7 @@ def main(argv=None) -> int:
         n_rows = (
             mf.filter(F.col("snapshot_id") == snap)
             .agg(F.sum("row_count")).collect()[0][0]
+            or 0  # empty output commits no manifest rows -> sum is NULL
         )
         print(f"snapshot={snap} committed={committed}", file=sys.stderr)
     else:

@@ -150,6 +150,7 @@ def main(argv=None) -> int:
         n_rows = (
             mf.filter(F.col("snapshot_id") == snap)
             .agg(F.sum("row_count")).collect()[0][0]
+            or 0  # empty output commits no manifest rows -> sum is NULL
         )
         print(f"snapshot={snap} committed={committed}", file=sys.stderr)
     else:

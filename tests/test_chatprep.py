@@ -439,6 +439,34 @@ def test_repair_turns_exact_ts_tie_breaks_on_text_hash(spark):
     )
     out = chp.repair_turns(t).toPandas()
     assert len(out) == 1
-    want = max(["alpha", "beta"],
-               key=lambda s: hashlib.md5(s.encode()).hexdigest())
+    want = max(
+        ["alpha", "beta"],
+        key=lambda s: hashlib.md5(
+            f"user\x1f\x1f{s}".encode()  # role US tool US text
+        ).hexdigest(),
+    )
     assert out["text"].tolist() == [want]
+
+
+def test_repair_turns_role_only_tie_is_deterministic(spark):
+    # equal ts AND equal text, differing only in role: the payload hash
+    # must still pick one winner deterministically (review finding r4)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("d", 0, "user", "same", None, base),
+        ("d", 0, "assistant", "same", None, base),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    a = chp.repair_turns(t).toPandas()
+    b = chp.repair_turns(t.repartition(5)).toPandas()
+    assert len(a) == len(b) == 1
+    assert a["role"].tolist() == b["role"].tolist()
+    import hashlib
+    want = max(
+        ["user", "assistant"],
+        key=lambda r: hashlib.md5(f"{r}\x1f\x1fsame".encode()).hexdigest(),
+    )
+    assert a["role"].tolist() == [want]

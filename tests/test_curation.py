@@ -438,3 +438,8 @@ def test_materialize_mixture_absent_domain_drops_and_zero_epochs(spark):
     # epochs 0.0 -> empty output for that domain
     mix0 = spark.createDataFrame(pd.DataFrame({"dom": ["a"], "epochs": [0.0]}))
     assert C.materialize_mixture(docs, mix0, ["dom"]).count() == 0
+
+
+def test_negative_samples_rejects_k_below_one(spark):
+    with pytest.raises(ValueError):
+        C.negative_samples(_ids_df(spark, 5), k=0, n_buckets=1)

@@ -364,18 +364,12 @@ def test_flagship_stream_matches_batch(spark, stream_input, tmp_path):
 
 
 def _skinny_log_pdf(pdf, sources=("f0", "f1", "f2")):
-    """Deterministic EAV feature log derived from the transcript rows:
-    every third turn emits an update for one of the rotating sources,
-    value = text length (unique per (conv, feature, ts) by construction
-    on the fixture's tie-free update rows)."""
-    upd = pdf[pdf["turn_idx"] % 3 == 0].copy()
-    upd["feature"] = [sources[int(i / 3) % len(sources)] for i in upd["turn_idx"]]
-    upd["value"] = upd["text"].str.len().astype("float64")
-    log = (
-        upd[["conv_id", "ts", "feature", "value"]]
-        .groupby(["conv_id", "feature", "ts"], as_index=False)["value"].max()
+    """Deterministic EAV feature log (shared synth.gen_feature_log)."""
+    from amazon_security_lake_transformation_library_spark.synth.transcripts import (
+        gen_feature_log,
     )
-    return log
+
+    return gen_feature_log(pdf, features=tuple(sources))
 
 
 @pytest.mark.parametrize("strict", [False, True])
