@@ -5,6 +5,11 @@ order-insensitive value equality (floats compared exactly after the
 query-side rounding contract; both sides stringified identically).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Env: SPARK_GRAFT_ORACLE_JSON=<path> additionally writes a
+driver-CORRECTNESS-format JSON artifact ({name: {rows_match,
+schema_match, hash_match, spark_rows, oracle_rows, err}}) covering
+EVERY checked entry — including the ones past the driver gate's
+50-entry cap.
 """
 
 from __future__ import annotations
@@ -71,6 +76,16 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
+
+    def record(name, rows_match, schema_match, hash_match,
+               spark_rows, oracle_rows, err=None):
+        records[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,11 +96,14 @@ def main() -> int:
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, False, False, False, 0, 0,
+                   f"spark {type(e).__name__}: {e}")
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(rows)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            record(name, len(rows) > 0, True, None, len(rows), None)
             if len(rows) == 0:
                 failures.append(name)
                 print(f"FAIL  {name}: zero rows")
@@ -96,6 +114,8 @@ def main() -> int:
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, False, False, False, len(rows), 0,
+                   f"duckdb {type(e).__name__}: {e}")
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             continue
         problems = []
@@ -114,6 +134,15 @@ def main() -> int:
                         problems.append(f"  spark: {a}")
                         problems.append(f"  duck : {b}")
                         break
+        record(
+            name,
+            len(rows) == len(orows),
+            sorted(c.lower() for c in cols) == sorted(ocols),
+            not problems,
+            len(rows),
+            len(orows),
+            "; ".join(problems) or None,
+        )
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
@@ -121,6 +150,13 @@ def main() -> int:
             print(f"ok    {name}: {len(rows)} rows match "
                   f"({time.time()-t0:.1f}s)")
     print()
+    out_json = os.environ.get("SPARK_GRAFT_ORACLE_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(records, fh, indent=1)
+        print(f"wrote {out_json} ({len(records)} entries)")
     if failures:
         print("FAILURES:", ", ".join(failures))
         return 1
