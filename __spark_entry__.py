@@ -1498,6 +1498,42 @@ def _q_positive_pairs(spark, sf_dir):
     )
 
 
+def _q_contrastive_triples(spark, sf_dir):
+    """The assembled contrastive training set — pure composition of
+    three gated operators: chunk-adjacent positives
+    (datasetops.positive_pairs) x hash-ring negatives
+    (curation.negative_samples over the chunk table, chunk id =
+    doc_id#chunk_idx) joined back to chunk text. One declarative plan:
+    explode-only chunking, one lead window, one bucket window, two
+    skinny joins — the final (anchor, positive, negative) artifact an
+    embedding-model trainer reads."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = dso.chunk_tokens(docs, size=64, stride=48).select(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_idx"))
+        .alias("cid"),
+        "doc_id", "chunk_idx", "chunk_text",
+    )
+    pos = dso.positive_pairs(docs, size=64, stride=48).select(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_idx"))
+        .alias("cid"),
+        "doc_id", "chunk_idx", "anchor_text", "positive_text",
+    )
+    negs = cur.negative_samples(
+        chunks.select("cid"), id_col="cid", k=2, n_buckets=8
+    )
+    neg_text = chunks.select(
+        F.col("cid").alias("neg_id"), F.col("chunk_text").alias("negative_text")
+    )
+    return (
+        pos.join(negs, "cid")
+        .join(neg_text, "neg_id")
+        .select(
+            "doc_id", "chunk_idx", "neg_rank",
+            "anchor_text", "positive_text", "negative_text",
+        )
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Train/eval contamination report via shared word 8-grams (even
     doc_ids play train, odd play eval): fingerprint explode -> distinct ->
@@ -2080,7 +2116,7 @@ def _q_preference_pairs(spark, sf_dir):
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
-# (56 as of late r4; the six past the 50-cap have local check_oracle evidence and rotate into the r5 gate) followed by prior-green re-pin anchors (the four
+# (57 as of late r4; the seven past the 50-cap have local check_oracle evidence and rotate into the r5 gate) followed by prior-green re-pin anchors (the four
 # §7.2-regressed cells + the flagship pair) up to the 50-slot budget;
 # _gate_order() moves them to the front so the official artifact covers
 # them. Across the r2+r3+r4 artifacts every entry then has at least one
@@ -2112,7 +2148,7 @@ _GATE_FRONT = [
     "asof_join_events_forward", "asof_join_events_nearest",
     "preference_pairs", "curriculum_docs", "repair_turns",
     "negative_samples_docs", "materialize_mixture_docs",
-    "positive_pairs_docs", "conv_quality_filter",
+    "positive_pairs_docs", "conv_quality_filter", "contrastive_triples",
     # --- prior-green re-pin anchors (to the 50-slot budget; anchors past
     # the cap already have driver-green rows in r2/r3) ---
     "ann_kmeans_centroids", "dedup_exact", "dedup_minhash_lsh",
@@ -2142,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "positive_pairs_docs": _q_positive_pairs,
         "conv_quality_filter": _q_conv_quality_filter,
+        "contrastive_triples": _q_contrastive_triples,
         "decontaminate_docs": _q_decontaminate,
         "doc_length_quantiles": _q_doc_quantiles,
         "iqr_value_by_user": _q_iqr_by_user,
@@ -3415,6 +3452,55 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "doc_chunks_udtf": _DOC_CHUNKS_SQL,
+        "contrastive_triples": f"""
+            WITH chunks AS ({_DOC_CHUNKS_SQL}),
+            c AS (
+              SELECT doc_id::VARCHAR || '#' || chunk_idx::VARCHAR AS cid,
+                     doc_id, chunk_idx, chunk_text
+              FROM chunks
+            ),
+            pos AS (
+              SELECT cid, doc_id, chunk_idx,
+                     chunk_text AS anchor_text,
+                     lead(chunk_text) OVER (
+                       PARTITION BY doc_id ORDER BY chunk_idx
+                     ) AS positive_text
+              FROM c QUALIFY positive_text IS NOT NULL
+            ),
+            r AS (
+              SELECT cid, md5('neg' || chr(31) || cid) AS ring,
+                     (list_sum(list_transform(range(1, 5), i ->
+                        ((strpos('0123456789abcdef',
+                                 substr(md5('neg' || chr(31) || cid), i, 1))
+                          - 1)::BIGINT << (4 * (4 - i)))))::BIGINT % 8)
+                       AS bkt
+              FROM c
+            ),
+            ranked AS (
+              SELECT cid, bkt,
+                     row_number() OVER (PARTITION BY bkt
+                                        ORDER BY ring, cid) AS rnk,
+                     count(*) OVER (PARTITION BY bkt) AS cnt
+              FROM r
+            ),
+            pairs AS (
+              SELECT cid, bkt, rnk, cnt, unnest([1, 2]) AS neg_rank
+              FROM ranked
+            ),
+            negs AS (
+              SELECT p.cid, p.neg_rank, r2.cid AS neg_id
+              FROM (SELECT *, ((rnk - 1 + neg_rank) % cnt) + 1 AS target
+                    FROM pairs WHERE neg_rank <= cnt - 1) p
+              JOIN ranked r2 ON p.bkt = r2.bkt AND p.target = r2.rnk
+              WHERE r2.cid <> p.cid
+            )
+            SELECT pos.doc_id, pos.chunk_idx, negs.neg_rank,
+                   pos.anchor_text, pos.positive_text,
+                   ct.chunk_text AS negative_text
+            FROM pos
+            JOIN negs ON pos.cid = negs.cid
+            JOIN c ct ON ct.cid = negs.neg_id
+        """,
         "positive_pairs_docs": f"""
             WITH chunks AS ({_DOC_CHUNKS_SQL})
             SELECT doc_id, chunk_idx,
