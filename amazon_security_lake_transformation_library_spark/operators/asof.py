@@ -702,6 +702,7 @@ def asof_join_skinny_routed(
     strict: bool = False,
     asof_ts_suffix: str = "_asof_ts",
     hot_threshold_changes: int = 1024,
+    hot_broadcast_limit: int | None = 1_000_000,
 ) -> DataFrame:
     """Hot-entity-safe K-feature assembly: route each entity to the
     strategy whose cost model it fits, then union the (identically
@@ -722,15 +723,30 @@ def asof_join_skinny_routed(
     cost of routing is two broadcast-filtered scans and no shuffle.
     This is the same enforce-don't-document rule the flagship bucketed
     path adopted in §7.4.
+
+    The broadcast assumes the hot set is SMALL — the designed regime
+    (hotness is the exception). A low ``hot_threshold_changes`` on a
+    broadly skewed corpus could make it driver-sized, so the key set is
+    counted first (one extra action over the persisted key set — log-agg
+    sized, cheap next to the assembly) and falls back to shuffle
+    semi/anti joins above ``hot_broadcast_limit`` keys. Pass
+    ``hot_broadcast_limit=None`` to skip the count and broadcast
+    unconditionally (the zero-extra-action fast path).
     """
     keys = [on] if isinstance(on, str) else list(on)
     lg = log.filter(F.col(source_col).isin(list(sources)))
-    hot = F.broadcast(
+    hot_keys = (
         lg.groupBy(*keys)
         .agg(F.count_distinct(F.col(ts)).alias("__b"))
         .filter(F.col("__b") >= F.lit(hot_threshold_changes))
         .select(*keys)
     )
+    if hot_broadcast_limit is not None:
+        hot_keys = hot_keys.persist()
+        n_hot = hot_keys.count()
+        hot = hot_keys if n_hot > hot_broadcast_limit else F.broadcast(hot_keys)
+    else:
+        hot = F.broadcast(hot_keys)
     kw = dict(
         sources=sources, source_col=source_col, value_col=value_col,
         on=on, ts=ts, strict=strict, asof_ts_suffix=asof_ts_suffix,

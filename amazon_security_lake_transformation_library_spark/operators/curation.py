@@ -411,7 +411,10 @@ def curriculum_buckets(
     pins). Bucket = count of boundaries strictly below the score, so
     scores exactly on a boundary go DOWN (first bucket whose range
     contains them); ``order_key`` = md5 of the id — deterministic under
-    any partitioning, uncorrelated with the score.
+    any partitioning, uncorrelated with the score. A NULL/NaN score
+    yields a NULL bucket (surfaced, not silently binned: a null
+    predicate inside ``F.filter`` drops every element, which would
+    otherwise land null-difficulty docs in the easiest bucket).
 
     Shape: one scalar aggregate -> broadcast (a 1-row array) -> in-row
     projection. Zero data shuffle at any corpus size.
@@ -430,8 +433,9 @@ def curriculum_buckets(
     return x.select(
         id_col,
         "score",
-        F.size(
-            F.filter("__bnds", lambda b: b < F.col("score"))
+        F.when(
+            F.col("score").isNotNull() & ~F.isnan("score"),
+            F.size(F.filter("__bnds", lambda b: b < F.col("score"))),
         ).cast("long").alias("bucket"),
         F.md5(F.col(id_col).cast("string")).alias("order_key"),
     )

@@ -331,8 +331,14 @@ def skinny_feature_intervals(
     Thin delegate to ``operators.asof.skinny_to_intervals`` (shared with
     the batch interval form ``asof_join_skinny_intervals`` — one
     definition, two execution modes). Cost is |change points| rows and
-    K+2 columns — paid once on the static side, per feature-table
-    refresh, never per micro-batch.
+    K+2 columns.
+
+    **Caller contract for per-refresh (not per-batch) cost**: a
+    stream-static join re-executes the static side's PLAN on every
+    micro-batch, so pass the result through ``.persist()`` — or write it
+    to parquet and re-read — before handing it to the stream join;
+    otherwise the full window-heavy widening re-runs per micro-batch.
+    Refresh = unpersist, rebuild from the new log, persist again.
     """
     from ..operators.asof import skinny_to_intervals
 
@@ -358,9 +364,12 @@ def asof_enrich_stream_skinny(
     ``asof_join_skinny`` (which is not streamable as-is: its union+window
     runs over the probe side).
 
-    Rewrite: the log is widened ONCE (static side, per refresh) into
-    piecewise-constant K-vector validity intervals
-    (:func:`skinny_feature_intervals`); each arriving turn then takes a
+    Rewrite: the log is widened into piecewise-constant K-vector
+    validity intervals (:func:`skinny_feature_intervals` — persist the
+    widened table, or pre-materialize it, to actually pay the widening
+    per feature-table refresh rather than per micro-batch: Spark
+    re-executes an un-cached static plan on every batch; see that
+    function's caller contract); each arriving turn then takes a
     single STATELESS stream-static interval join — no watermark, no join
     state, exactly one matching interval per turn, regardless of K. The
     per-feature ``{s}{asof_ts_suffix}`` / ``{s}_{value_col}`` columns

@@ -442,6 +442,27 @@ def test_skinny_routed_threshold_boundary(spark):
     )
     np.testing.assert_allclose(got["f0_value"].to_numpy("float64"),
                                want["f0_value"].to_numpy("float64"))
+    # hot_broadcast_limit=0 forces the shuffle semi/anti fallback (the
+    # r4 ADVICE guard against a driver-sized hot set); same answer
+    shuf = (
+        asof_join_skinny_routed(spark.createDataFrame(probe),
+                                spark.createDataFrame(log),
+                                hot_threshold_changes=4,
+                                hot_broadcast_limit=0, **kw)
+        .toPandas().sort_values("probe_id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(shuf["f0_value"].to_numpy("float64"),
+                               want["f0_value"].to_numpy("float64"))
+    # and limit=None keeps the zero-extra-action unconditional broadcast
+    nb = (
+        asof_join_skinny_routed(spark.createDataFrame(probe),
+                                spark.createDataFrame(log),
+                                hot_threshold_changes=4,
+                                hot_broadcast_limit=None, **kw)
+        .toPandas().sort_values("probe_id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(nb["f0_value"].to_numpy("float64"),
+                               want["f0_value"].to_numpy("float64"))
 
 
 @pytest.mark.parametrize("form", ["skinny", "intervals", "routed"])

@@ -344,6 +344,21 @@ def test_curriculum_rejects_single_bucket(spark):
         C.curriculum_buckets(_docs_df(spark, [1, 2]), n_buckets=1)
 
 
+def test_curriculum_null_and_nan_score_surface_as_null_bucket(spark):
+    # a NULL/NaN difficulty score must NOT be silently binned into
+    # bucket 0 (the r4 ADVICE finding): it gets a NULL bucket instead
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "s": [1.0, 2.0, 3.0, 4.0, None, float("nan")],
+    })
+    out = C.curriculum_buckets(
+        spark.createDataFrame(pdf), score=F.col("s"), n_buckets=2
+    ).toPandas().set_index("doc_id")
+    assert pd.isna(out.loc[4, "bucket"]) and pd.isna(out.loc[5, "bucket"])
+    # non-null docs bucket normally (percentile ignores nulls)
+    assert out.loc[0, "bucket"] == 0 and out.loc[3, "bucket"] == 1
+
+
 # ----------------------------------------------------- negative_samples
 
 def _ids_df(spark, n):
