@@ -378,6 +378,43 @@ def _q_asof_skinny_routed(spark, sf_dir):
     )
 
 
+def _q_asof_skinny_stream_form(spark, sf_dir):
+    """Fifth physical strategy over the same stacked oracle: the
+    STREAMING skinny enrichment's exact composition
+    (streaming.pipeline.skinny_feature_intervals -> persisted widened
+    table -> asof_enrich_stream_skinny(intervals=...), i.e. the
+    stateless asof_join_over_intervals join) run in batch form — the
+    live-tail path's correctness gate. The widened table is persisted
+    here exactly as the per-refresh caller contract prescribes."""
+    from amazon_security_lake_transformation_library_spark.streaming import pipeline as stp
+
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.select("event_id", "user_id", "ts")
+    w = Window.partitionBy("event_type", "user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    log = (
+        ev.filter(F.col("event_type").isin("purchase", "error", "click"))
+        .select("event_type", "user_id", "ts",
+                F.round("value", 4).alias("val"),
+                F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    iv = stp.skinny_feature_intervals(
+        log, sources=["purchase", "error", "click"],
+        source_col="event_type", value_col="val", on="user_id", ts="ts",
+    ).persist()
+    out = stp.asof_enrich_stream_skinny(
+        probe, intervals=iv, on="user_id", ts="ts",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("purchase_val").alias("purchase_v"),
+        F.col("error_val").alias("error_v"),
+        F.col("click_val").alias("click_v"),
+    )
+
+
 def _q_asof_tolerance(spark, sf_dir):
     # bounded-staleness as-of (north rule's "r.ts BETWEEN l.ts - horizon
     # AND l.ts"): a match older than the horizon is as good as no match —
@@ -2131,8 +2168,8 @@ _GATE_FRONT = [
     "curriculum_docs", "repair_turns", "negative_samples_docs",
     "materialize_mixture_docs", "positive_pairs_docs",
     "conv_quality_filter", "contrastive_triples",
-    # --- new r5 queries (never checked, by definition) are inserted here
-    # by the r5 build as they land ---
+    # --- new r5 queries (never checked, by definition) ---
+    "asof_join_events_skinny_stream_form",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2278,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events_stacked": _q_asof_stacked,
         "asof_join_events_skinny": _q_asof_skinny,
         "asof_join_events_skinny_iv": _q_asof_skinny_iv,
+        "asof_join_events_skinny_stream_form": _q_asof_skinny_stream_form,
         "asof_join_events_skinny_routed": _q_asof_skinny_routed,
         "tumbling_hourly_events": _q_tumbling_hourly,
         "sliding_rate_events": _q_sliding_rate,
@@ -4191,5 +4229,6 @@ def _alias_oracles(sql: dict[str, str]) -> dict[str, str]:
     sql["conv_profile_incremental"] = sql["conv_profile"]
     sql["asof_join_events_skinny"] = sql["asof_join_events_stacked"]
     sql["asof_join_events_skinny_iv"] = sql["asof_join_events_stacked"]
+    sql["asof_join_events_skinny_stream_form"] = sql["asof_join_events_stacked"]
     sql["asof_join_events_skinny_routed"] = sql["asof_join_events_stacked"]
     return sql

@@ -675,8 +675,32 @@ def asof_join_skinny_intervals(
     iv = skinny_to_intervals(
         log, sources, source_col=source_col, value_col=value_col,
         on=on, ts=ts, asof_ts_suffix=asof_ts_suffix,
-    ).withColumnRenamed(on, f"__b_{on}").withColumnRenamed(ts, "__iv_ts")
+    )
+    return asof_join_over_intervals(probe, iv, on=on, ts=ts, strict=strict)
 
+
+def asof_join_over_intervals(
+    probe: DataFrame,
+    intervals: DataFrame,
+    on: str = "conv_id",
+    ts: str = "ts",
+    strict: bool = False,
+) -> DataFrame:
+    """The STATELESS half of the interval strategy: match each probe row
+    to exactly one pre-widened K-vector validity interval (the raw
+    output of :func:`skinny_to_intervals` — ``(entity, change_ts,
+    per-source columns, __next_ts)``) via a left sort-merge interval
+    join. Split out so callers that reuse one widened table across many
+    probes — the streaming live tail
+    (``streaming.pipeline.asof_enrich_stream_skinny``), or a batch probe
+    fanned over a persisted per-refresh interval snapshot — pay the
+    widening once instead of per join. Tie semantics mirror
+    :func:`asof_join_interval`: non-strict matches the interval starting
+    AT the probe ts; strict takes the PREVIOUS interval.
+    """
+    iv = intervals.withColumnRenamed(on, f"__b_{on}").withColumnRenamed(
+        ts, "__iv_ts"
+    )
     cond = F.col(on) == F.col(f"__b_{on}")
     if strict:
         cond = cond & (F.col("__iv_ts") < F.col(ts)) & (

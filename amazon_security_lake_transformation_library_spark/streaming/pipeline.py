@@ -350,14 +350,15 @@ def skinny_feature_intervals(
 
 def asof_enrich_stream_skinny(
     turns: DataFrame,
-    log: DataFrame,
-    sources: list[str],
+    log: DataFrame | None = None,
+    sources: list[str] | None = None,
     source_col: str = "feature",
     value_col: str = "value",
     on: str = "conv_id",
     ts: str = "ts",
     strict: bool = False,
     asof_ts_suffix: str = "_asof_ts",
+    intervals: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming K-feature point-in-time assembly from ONE skinny EAV
     feature log — the live-tail analog of the batch single-pass
@@ -365,13 +366,20 @@ def asof_enrich_stream_skinny(
     runs over the probe side).
 
     Rewrite: the log is widened into piecewise-constant K-vector
-    validity intervals (:func:`skinny_feature_intervals` — persist the
-    widened table, or pre-materialize it, to actually pay the widening
-    per feature-table refresh rather than per micro-batch: Spark
-    re-executes an un-cached static plan on every batch; see that
-    function's caller contract); each arriving turn then takes a
-    single STATELESS stream-static interval join — no watermark, no join
-    state, exactly one matching interval per turn, regardless of K. The
+    validity intervals (:func:`skinny_feature_intervals`); each arriving
+    turn then takes a single STATELESS stream-static interval join
+    (``operators.asof.asof_join_over_intervals``) — no watermark, no join
+    state, exactly one matching interval per turn, regardless of K.
+
+    Two calling modes. PER-REFRESH (preferred at scale): widen once with
+    :func:`skinny_feature_intervals`, ``.persist()`` or materialize the
+    result, and pass it as ``intervals=`` — the window-heavy widening is
+    then paid per feature-table refresh. CONVENIENCE: pass the raw
+    ``log`` + ``sources`` and the widening is folded into the static
+    plan — Spark re-executes an un-cached static plan on EVERY
+    micro-batch, so this mode pays the widening per batch (fine for
+    small logs, wrong at scale; see :func:`skinny_feature_intervals`'s
+    caller contract). The
     per-feature ``{s}{asof_ts_suffix}`` / ``{s}_{value_col}`` columns
     carried by the interval row are each feature's own latest update, so
     the output schema matches the batch form column-for-column (pinned
@@ -393,11 +401,19 @@ def asof_enrich_stream_skinny(
     static interval table (b_e rows), which is per-refresh widening
     cost, not stream state.
     """
-    from ..operators.asof import asof_join_skinny_intervals
+    from ..operators.asof import asof_join_over_intervals
 
-    return asof_join_skinny_intervals(
-        turns, log, sources, source_col=source_col, value_col=value_col,
-        on=on, ts=ts, strict=strict, asof_ts_suffix=asof_ts_suffix,
+    if intervals is None:
+        if log is None or sources is None:
+            raise ValueError(
+                "pass either a pre-widened intervals= table or log= + sources="
+            )
+        intervals = skinny_feature_intervals(
+            log, sources, source_col=source_col, value_col=value_col,
+            on=on, ts=ts, asof_ts_suffix=asof_ts_suffix,
+        )
+    return asof_join_over_intervals(
+        turns, intervals, on=on, ts=ts, strict=strict
     )
 
 

@@ -426,3 +426,25 @@ def test_skinny_enrich_stream_matches_batch(spark, stream_input, tmp_path, stric
         # turn_idx % 3 == 0 must see their own update: non-null everywhere
         # past each conv's first update
         assert got["f0_value"].notna().any()
+
+    # the PER-REFRESH calling mode (pre-widened persisted intervals=) must
+    # produce the same rows as the convenience log= mode
+    iv = sp.skinny_feature_intervals(log, sources).persist()
+    try:
+        stream2 = sp.read_turn_stream(spark, root, max_files_per_trigger=1)
+        enriched2 = sp.asof_enrich_stream_skinny(
+            stream2.select(*probe_cols), intervals=iv, strict=strict
+        )
+        name2 = f"skinny_stream_iv_{int(strict)}"
+        _run_to_memory(enriched2, name2, str(tmp_path))
+        got2 = (
+            spark.sql(f"SELECT * FROM {name2}").toPandas()[out_cols]
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got2, batch, check_dtype=False)
+    finally:
+        iv.unpersist()
+    # neither mode without intervals nor without log+sources is valid
+    with pytest.raises(ValueError):
+        sp.asof_enrich_stream_skinny(stream.select(*probe_cols))
