@@ -1173,13 +1173,18 @@ def _q_s3_key_routing(spark, sf_dir):
             )
         )
     )
-    keys = ev.select("event_id", raw_key.alias("raw_key"))
+    # carry the bucket as a real data column: passing F.lit("ingest")
+    # straight into the route CASE would compare lit==lit and trip
+    # pyspark's "trivially true equals predicate" WARN in the bench stderr
+    keys = ev.select(
+        "event_id", raw_key.alias("raw_key"), F.lit("ingest").alias("bucket")
+    )
     dec = ln.url_decode_key(F.col("raw_key"))
     return keys.select(
         "event_id",
         "raw_key",
         dec.alias("key"),
-        _ingest_registry().s3_source_col(F.lit("ingest"), dec).alias("src"),
+        _ingest_registry().s3_source_col(F.col("bucket"), dec).alias("src"),
     )
 
 

@@ -22,7 +22,23 @@ from pyspark.sql import types as T
 def read_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """gzip'd (or plain) line files -> one ``value`` string column.
     Replaces GetObject+gunzip+iterate (app.py:283-295); at scale the file
-    listing parallelizes and each file split pipelines into the parse."""
+    listing parallelizes and each file split pipelines into the parse.
+
+    A single ``dir/<glob>`` path is split into ``.load(dir)`` +
+    ``pathGlobFilter`` — same file set, but avoids Spark's streaming-sink
+    metadata probe stat()ing the literal glob string, which logs a benign
+    but stack-trace-bearing WARN (FileStreamSink.hasMetadata ->
+    FileNotFoundException) on every batch read of a glob path."""
+    if isinstance(paths, str):
+        head, _, tail = paths.rpartition("/")
+        if head and any(ch in tail for ch in "*?[") and not any(
+            ch in head for ch in "*?["
+        ):
+            return (
+                spark.read.format("text")
+                .option("pathGlobFilter", tail)
+                .load(head)
+            )
     return spark.read.text(paths)
 
 

@@ -265,17 +265,21 @@ def stream_interval_join(
     expression on static frames (pinned by test)."""
     if probe_ts == build_ts:
         raise ValueError("rename the build-side timestamp: probe_ts == build_ts")
-    p = probe.withWatermark(probe_ts, watermark)
-    b = build.withWatermark(build_ts, watermark)
+    # plan aliases disambiguate the key columns even when probe and build
+    # derive from the SAME source (the batch gate does exactly that) —
+    # p[on] == b[on] would compare one attribute to itself and trip
+    # pyspark's "trivially true equals predicate" WARN
+    p = probe.withWatermark(probe_ts, watermark).alias("__sij_p")
+    b = build.withWatermark(build_ts, watermark).alias("__sij_b")
     cond = (
-        (p[on] == b[on])
+        (F.col(f"__sij_p.{on}") == F.col(f"__sij_b.{on}"))
         & (F.col(build_ts) >= F.col(probe_ts))
         & (
             F.col(build_ts)
             <= F.col(probe_ts) + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS")
         )
     )
-    return p.join(b, cond, "inner").drop(b[on])
+    return p.join(b, cond, "inner").drop(F.col(f"__sij_b.{on}"))
 
 
 def asof_enrich_stream(
