@@ -2064,14 +2064,19 @@ def _q_tool_chains(spark, sf_dir):
 
 
 def _q_decontaminate_bloom(spark, sf_dir):
-    """decontaminate with the explicit Bloom-bitmap prefilter
-    (datasetops.decontaminate_bloom): a 512 KiB broadcast bitmap of the
-    train grams drops non-matching eval grams map-side BEFORE the exact
-    fingerprint join, so the shuffle carries ~(matches + fp_rate x
-    stream). Output identical to `decontaminate_docs` (false positives
-    removed by the exact join) — the two queries share one oracle."""
+    """Decontamination through the COST-MODEL front end
+    (datasetops.decontaminate_auto, VERDICT r4 #4): on this single-node
+    bench it selects the plain fingerprint semi-join — the measured
+    winner at every locally reachable scale (BASELINE.md §8: the bloom
+    variant's map-side prefilter eliminates shuffle bytes that cost ~0
+    on one node, so it ran 1.9-2.2x plain with no crossover through a
+    16x eval blow-up). The Bloom path itself (decontaminate_bloom, a
+    512 KiB broadcast bitmap probed map-side before the exact join)
+    stays for network_shuffle=True cluster regimes; its correctness
+    carries an r4 driver-green row plus the tiny-bitmap pytest, and it
+    shares this oracle — the prefilter is output-transparent."""
     docs = _t(spark, sf_dir, "documents")
-    return dso.decontaminate_bloom(
+    return dso.decontaminate_auto(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )

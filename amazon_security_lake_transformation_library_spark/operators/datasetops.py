@@ -389,10 +389,24 @@ def decontaminate_bloom(
     makes the filter's size, hash family, and placement part of the
     pipeline contract instead of an optimizer heuristic.
 
-    The exact verify join also double-checks the k=0 hash test (belt and
-    braces for rows the word-level join admitted), so correctness never
+    The exact verify join runs after the prefilter, so correctness never
     depends on the bitmap at all — pinned by the shared oracle with
     :func:`decontaminate`.
+
+    Regime (measured, BASELINE.md §8 + tools/bench_bloom_crossover.py):
+    on a SINGLE NODE this variant strictly loses — the shuffle it
+    eliminates is a memcpy (the sf0.1 exact join moves its 117k-row gram
+    stream in 0.28 s while gram GENERATION, paid by both variants, costs
+    1.3 s), so the prefilter's fixed costs (bitmap agg + k broadcast
+    probes) never pay back at any locally reachable scale (1.9-2.2x plain
+    through a 16x eval blow-up). Its winning regime is a real cluster
+    where the eval gram stream crosses the NETWORK to meet the train
+    set: there the prefilter drops ~95% of those bytes map-side (fixture
+    selectivity: 117k grams -> 5.8k survivors) for a fixed 512 KiB
+    broadcast. Use :func:`decontaminate_auto` to encode that choice; a
+    dense-literal probe (element_at on a 65k-long array literal) was also
+    measured and REJECTED — 3x the two-join form, the giant literal falls
+    out of whole-stage codegen.
     """
     from ..caching import persist_tracked
 
@@ -410,6 +424,46 @@ def decontaminate_bloom(
         .groupBy(id_col)
         .agg(F.count_distinct("fp").alias("n_shared"))
     )
+
+
+def decontaminate_auto(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    m_bits: int = 1 << 22,
+    k: int = 2,
+    network_shuffle: bool = False,
+    eval_train_ratio: float = 4.0,
+) -> DataFrame:
+    """Cost-model front end for decontamination (VERDICT r4 #4): pick the
+    plain fingerprint semi-join or the Bloom-prefiltered variant from the
+    deployment regime instead of making the caller guess.
+
+    Decision rule, from the measured crossover sweep (BASELINE.md §8):
+
+    * ``network_shuffle=False`` (single node / co-located shuffle, the
+      default and this repo's bench environment): ALWAYS plain. Measured:
+      the exact join's shuffle is RAM-speed and costs less than the
+      bitmap build alone; the bloom variant ran 1.9-2.2x plain at every
+      eval size up to 16x the train corpus, with no crossover in sight
+      (its advantage scales with shuffle byte cost, which is ~0 here).
+    * ``network_shuffle=True`` (multi-node cluster): bloom when the eval
+      corpus is at least ``eval_train_ratio`` x the train corpus by row
+      count (two metadata-cheap counts) — the regime where the eval gram
+      stream dominates the join's network bytes and the ~95%-selective
+      map-side prefilter pays for its fixed 512 KiB broadcast many times
+      over; plain otherwise.
+    """
+    use_bloom = False
+    if network_shuffle:
+        use_bloom = eval_df.count() >= eval_train_ratio * train.count()
+    if use_bloom:
+        return decontaminate_bloom(
+            train, eval_df, text_col, id_col, n, m_bits=m_bits, k=k
+        )
+    return decontaminate(train, eval_df, text_col, id_col, n)
 
 
 def positive_pairs(
