@@ -825,6 +825,50 @@ def _q_multimodal(spark, sf_dir):
     return mm.fake_decode_meta(blobs)
 
 
+def _q_multimodal_decode(spark, sf_dir):
+    """REAL image decode (r5, VERDICT r4 #6): synthesize one solid-color
+    24-bit BMP per document (deterministic pixel function of doc_id,
+    built by multimodal.encode_bmp inside mapInPandas — real container
+    bytes, header + bottom-up padded rows), then decode_image parses the
+    payloads back with the pure-numpy backend and reports width/height/
+    mode/mean-luma. Solid color makes the exact integer ITU-R 601 luma
+    analytic, so the DuckDB oracle recomputes every output column from
+    doc_id alone without a decoder."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from amazon_security_lake_transformation_library_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                w = 8 + int(doc_id) % 8
+                h = 8 + (int(doc_id) * 3) % 8
+                rgb = (int(doc_id) % 256, (int(doc_id) * 7) % 256,
+                       (int(doc_id) * 13) % 256)
+                px = np.tile(
+                    np.array(rgb, dtype=np.uint8), (h, w, 1)
+                )
+                payloads.append(bytearray(mm.encode_bmp(px)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = mm.decode_image(blobs)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mode",
+        F.round("mean_luma", 4).alias("mean_luma"),
+    )
+
+
 def _flagship_inputs(spark, sf_dir):
     """Deterministic synthesized transcripts, materialized ONCE to parquet
     (synth.ensure_fixture) so (a) the job reads a distributed scan instead
@@ -2180,6 +2224,7 @@ _GATE_FRONT = [
     "conv_quality_filter", "contrastive_triples",
     # --- new r5 queries (never checked, by definition) ---
     "asof_join_events_skinny_stream_form",
+    "multimodal_decode_image",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2255,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_meta": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_decode_image": _q_multimodal_decode,
         # north-star transcripts flagship (fused block; parquet fixture +
         # DuckDB ASOF oracle; all four strategies share one oracle)
         "flagship_transcripts": _q_flagship_transcripts,
@@ -3291,6 +3337,17 @@ def oracle_sql() -> dict[str, str]:
                    (64 + octet_length(encode(text)) % 512)::BIGINT AS width,
                    (64 + (octet_length(encode(text)) * 7) % 512)::BIGINT AS height,
                    (1 + octet_length(encode(text)) % 8)::BIGINT AS n_frames
+            FROM documents
+        """,
+        "multimodal_decode_image": """
+            SELECT doc_id,
+                   (8 + doc_id % 8)::BIGINT AS width,
+                   (8 + (doc_id * 3) % 8)::BIGINT AS height,
+                   'RGB' AS mode,
+                   ROUND(CAST(((doc_id % 256) * 19595
+                               + ((doc_id * 7) % 256) * 38470
+                               + ((doc_id * 13) % 256) * 7471
+                               + 32768) // 65536 AS DOUBLE), 4) AS mean_luma
             FROM documents
         """,
         "dedup_simhash": f"""

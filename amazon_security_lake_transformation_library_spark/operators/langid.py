@@ -43,7 +43,7 @@ from pyspark.sql.types import StringType
 #: bump when the classifier algorithm or SAMPLES change — consumers that
 #: cache classify_batch outputs (the driver-gate fixture oracle) key their
 #: cache on this so a stale fixture can never mismatch the live code.
-VERSION = 2
+VERSION = 3  # r5: +zh/ja/ko CJK profiles
 
 TABLE = 4096  # hashed trigram table size (power of two)
 _CHUNK = 1024  # docs per bincount buffer: 1024 * 4096 * 8B = 32 MB
@@ -243,5 +243,35 @@ SAMPLES: dict[str, list[str]] = {
         "a canção que ouvimos ontem também está na nova coleção",
         "as crianças pequenas brincavam no jardim enquanto chovia devagar",
         "não sabemos quando chegará o próximo comboio à estação central",
+    ],
+    # CJK scripts (r5, VERDICT r4 #7). UTF-8 lead bytes already separate
+    # the FAMILIES for free (kana 0xE3, unified ideographs 0xE4-0xE9,
+    # hangul 0xEA-0xED), so any CJK text stops falling back to `und` or a
+    # Latin label; separating ja from zh inside the shared ideograph range
+    # rides the kana trigrams every natural Japanese sentence carries
+    # (particles は/が/を/です) plus script-local character frequencies.
+    "zh": [
+        "敏捷的棕色狐狸跳过河边那只懒惰的狗",
+        "她说漫长的冬天结束之后他们会再次见面",
+        "这是一个用中文写的简单句子用来做测试",
+        "今天天气很冷街上到处都是行人",
+        "我们应该考虑当数据规模变大时会发生什么",
+        "优秀的工程师先进行测量然后才开始优化",
+    ],
+    "ja": [
+        "すばやい茶色の狐は川のそばで怠け者の犬を飛び越えます",
+        "彼女は長い冬が終わったらまた会いましょうと言いました",
+        "これはテストのために日本語で書かれた簡単な文です",
+        "今日は寒くて通りは人でいっぱいです",
+        "データが大きくなったとき何が起こるかを考えるべきです",
+        "良い技術者はまず測定してそれから最適化を始めます",
+    ],
+    "ko": [
+        "빠른 갈색 여우가 강가에서 게으른 개를 뛰어넘습니다",
+        "그녀는 긴 겨울이 지나면 다시 만나자고 말했습니다",
+        "이것은 테스트를 위해 한국어로 쓰인 간단한 문장입니다",
+        "오늘 날씨가 춥고 거리는 사람들로 가득합니다",
+        "데이터가 커질 때 무슨 일이 일어나는지 생각해야 합니다",
+        "좋은 엔지니어는 먼저 측정하고 그 다음에 최적화를 시작합니다",
     ],
 }

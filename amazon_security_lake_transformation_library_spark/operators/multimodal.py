@@ -124,37 +124,155 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def encode_bmp(pixels) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (numpy HxWx3 uint8 array,
+    RGB) — fixture/synthesis helper so the decode path has real bytes to
+    chew on in codec-less environments. Rows bottom-up, 4-byte padded,
+    BITMAPINFOHEADER; round-trips through :func:`decode_image`'s numpy
+    backend and through Pillow where installed."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = a.shape
+    pad = (-3 * w) % 4
+    row_bytes = 3 * w + pad
+    data_size = row_bytes * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : 3 * w] = a[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up BGR
+    return header + info + rows.tobytes()
+
+
+def encode_ppm(pixels) -> bytes:
+    """Binary P6 PPM encoder (numpy HxWx3 uint8, RGB) — second fixture
+    format for :func:`decode_image`'s numpy backend."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def _luma_mean(rgb) -> float:
+    """Mean luma under the SHARED backend contract: per-pixel ITU-R 601
+    integer luma ``(19595R + 38470G + 7471B + 32768) >> 16`` — exactly
+    Pillow's ``convert("L")`` arithmetic, so the numpy and Pillow
+    backends agree bit-for-bit and the differential oracle can recompute
+    it in SQL."""
+    import numpy as np
+
+    a = np.asarray(rgb, dtype=np.uint32)
+    l8 = (a[..., 0] * 19595 + a[..., 1] * 38470 + a[..., 2] * 7471
+          + 32768) >> 16
+    return float(l8.mean())
+
+
+def _decode_rgb_numpy(payload: bytes):
+    """Pure-numpy decode of 24-bit BMP and binary P6 PPM payloads ->
+    ``(width, height, "RGB", HxWx3 uint8)``. Raises ValueError on any
+    other container — the caller surfaces it with the doc id."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        off = struct.unpack_from("<I", payload, 10)[0]
+        w, h_signed = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+        h = abs(h_signed)
+        row_bytes = (3 * w + 3) // 4 * 4
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * h, offset=off
+        ).reshape(h, row_bytes)
+        rgb = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        if h_signed > 0:
+            rgb = rgb[::-1]  # bottom-up storage
+        return w, h, "RGB", rgb
+    if payload[:2] == b"P6":
+        parts, i = [], 2
+        while len(parts) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment line
+                i = payload.index(b"\n", i) + 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            parts.append(int(payload[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = parts
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        rgb = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * w * h, offset=i
+        ).reshape(h, w, 3)
+        return w, h, "RGB", rgb
+    raise ValueError("unsupported image container (numpy backend "
+                     "handles 24-bit BMP and binary P6 PPM)")
+
+
 def decode_image(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    backend: str = "auto",
 ) -> DataFrame:
-    """Real image decode via Pillow when available (it is not in this
-    container). The Spark-side plumbing is identical to
-    :func:`fake_decode_meta`; only the per-batch body differs.
-    """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "image decode requires Pillow; use fake_decode_meta for the "
-            "plumbing-only path in codec-less environments"
-        ) from exc
+    """Image decode -> typed features, dropping the binary column. Two
+    backends behind one contract (``backend="auto"`` prefers Pillow,
+    falls back to numpy; or force ``"pillow"`` / ``"numpy"``):
 
-    import io
+    * **pillow** — any format Pillow reads (not installed in this
+      container; ``backend="pillow"`` then raises NotImplementedError).
+    * **numpy** — 24-bit BMP + binary P6 PPM, decoded with
+      ``np.frombuffer`` reshapes (no codec libs). Always available.
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        from PIL import Image
+    ``mean_luma`` uses the identical integer ITU-R 601 arithmetic on both
+    backends (:func:`_luma_mean` == Pillow's ``convert("L")``), so the
+    backend choice is output-transparent on the shared formats — pinned
+    by tests/test_multimodal.py and the ``multimodal_decode_image``
+    differential gate."""
+    if backend not in ("auto", "pillow", "numpy"):
+        raise ValueError(f"unknown backend {backend!r}")
+    use_pillow = False
+    if backend in ("auto", "pillow"):
+        try:
+            from PIL import Image  # noqa: F401
+
+            use_pillow = True
+        except ImportError as exc:
+            if backend == "pillow":
+                raise NotImplementedError(
+                    "backend='pillow' requires Pillow; backend='auto' "
+                    "falls back to the numpy BMP/PPM decoder"
+                ) from exc
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io  # noqa: F401 (pillow branch)
+
+        import numpy as np
 
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = Image.open(io.BytesIO(payload))
-                gray = img.convert("L")
-                import numpy as np
+                if use_pillow:  # pragma: no cover - env-dependent
+                    from PIL import Image
 
-                rows.append(
-                    (int(doc_id), img.width, img.height, img.mode,
-                     float(np.asarray(gray).mean()))
-                )
+                    img = Image.open(io.BytesIO(payload))
+                    rgb = np.asarray(img.convert("RGB"))
+                    w, h, mode = img.width, img.height, "RGB"
+                else:
+                    w, h, mode, rgb = _decode_rgb_numpy(bytes(payload))
+                rows.append((int(doc_id), w, h, mode, _luma_mean(rgb)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "mode", "mean_luma"]
             )

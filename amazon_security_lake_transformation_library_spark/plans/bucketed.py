@@ -150,8 +150,10 @@ def flagship_bucketed(
     t_table: str,
     cf_table: str,
     gap_seconds: int = 1800,
-    hot_threshold_rows: int | None = 1_000_000,
+    hot_threshold_rows: int | None | str = "auto",
     chunk_seconds: int = 6 * 3600,
+    comparisons_budget: int = 1 << 28,
+    min_hot_threshold: int = 4096,
 ) -> DataFrame:
     """The full flagship block over bucketed-sorted tables with ZERO
     Exchange: window feature block + interval-form sort-merge as-of
@@ -178,7 +180,22 @@ def flagship_bucketed(
     ``hot_threshold_rows=None`` disables the pre-pass (pure cold plan).
     With no hot entities present the returned plan is byte-identical to
     the unrouted one — the common case pays one tiny agg job, zero plan
-    change."""
+    change.
+
+    ``hot_threshold_rows="auto"`` (the default since r5) derives the
+    threshold from the join's COST MODEL instead of a row-count
+    constant. The r4 constant (1M rows) missed an 81,325-turn
+    conversation that still serialized its task for ~14 s (BASELINE.md
+    §7.17's 0.746 cell): the interval SMJ's per-entity cost is
+    p_e x b_e pair evaluations — QUADRATIC in the entity, since
+    b_e ~ rate x p_e where rate = |build| / |probe| — so the harmful
+    entity size depends on the build density, not on any fixed row
+    count. Auto solves rate x p_e^2 <= comparisons_budget:
+    ``threshold = sqrt(budget / rate)`` (two metadata-cheap counts; the
+    default 2^28 budget caps any entity's join work at ~1-2 s of one
+    core — at the 81M-turn layout's rate 1/3 that lands at ~28k rows and
+    catches the straggler, while mean-20-turn corpora stay untouched and
+    keep the byte-identical cold plan)."""
     # Expose the per-bucket sortBy order from the scan (off by default
     # since multi-file buckets cannot guarantee it; our writer guarantees
     # one file per bucket). Scoped to bucketed scans only — no effect on
@@ -208,6 +225,14 @@ def flagship_bucketed(
 
     if hot_threshold_rows is None:
         return _cold(t, cf)
+    if hot_threshold_rows == "auto":
+        import math
+
+        rate = cf.count() / max(t.count(), 1)
+        hot_threshold_rows = max(
+            min_hot_threshold,
+            int(math.sqrt(comparisons_budget / max(rate, 1e-9))),
+        )
     hot = hot_entities(t, "conv_id", hot_threshold_rows).select("conv_id")
     if not hot.take(1):  # one Exchange-free agg job over the bucketed scan
         return _cold(t, cf)

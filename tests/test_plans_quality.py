@@ -204,6 +204,27 @@ def test_bucketed_flagship_hot_router(spark, tmp_path):
     assert cold_plan.count("Exchange") == 0, cold_plan
     assert "Union" not in cold_plan
 
+    # "auto" derives the threshold from the comparisons budget (the r5
+    # cost model: threshold = sqrt(budget / (|cf| / |t|))). A budget small
+    # enough that rate * hot_rows^2 exceeds it must route the hot conv...
+    rate = cf.count() / t.count()
+    small_budget = int(rate * (hot_rows - 1) ** 2)
+    auto_routed = bucketed.flagship_bucketed(
+        spark, "tb_router_test", "cfb_router_test",
+        hot_threshold_rows="auto", comparisons_budget=max(small_budget, 1),
+        min_hot_threshold=1,  # fixture's hot conv is below the 4096 floor
+    )
+    assert "__salt_chunk" in _plan(auto_routed)
+    assert auto_routed.exceptAll(ref).count() == 0
+    assert ref.exceptAll(auto_routed).count() == 0
+    # the default 2^28 budget leaves a mean-20-turn corpus unrouted:
+    # byte-identical cold plan, zero Exchange
+    auto_cold = bucketed.flagship_bucketed(
+        spark, "tb_router_test", "cfb_router_test",
+    )
+    assert _plan(auto_cold).count("Exchange") == 0
+    assert "Union" not in _plan(auto_cold)
+
 
 def test_chained_bucketed_output_stays_exchange_free(spark, tmp_path):
     """The pipeline composes: the flagship's OUTPUT written back through

@@ -296,7 +296,10 @@ def test_fake_frame_sample_expansion(spark):
     assert row.iloc[0]["frame_off"] == (4 * 3) % 997
 
 
-def test_decode_image_stub_gates_on_pillow(spark):
+def test_decode_image_backend_gate(spark):
+    """backend='pillow' still gates on the library; 'auto' must NOT —
+    it falls back to the numpy BMP/PPM decoder (r5: the env-gate only
+    selects the backend, both paths exist)."""
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [b""]}))
     try:
         import PIL  # noqa: F401
@@ -305,7 +308,59 @@ def test_decode_image_stub_gates_on_pillow(spark):
         has_pil = False
     if not has_pil:
         with pytest.raises(NotImplementedError):
-            mm.decode_image(df)
+            mm.decode_image(df, backend="pillow")
+        mm.decode_image(df, backend="auto")  # plan builds; no gate
+    with pytest.raises(ValueError):
+        mm.decode_image(df, backend="libjpeg")
+
+
+def test_decode_image_numpy_bmp_ppm_roundtrip(spark):
+    """encode_bmp/encode_ppm -> decode_image(numpy backend) recovers
+    width/height and the exact integer ITU-R 601 mean luma, including
+    BMP widths that need 4-byte row padding; the payload column is
+    dropped from the output."""
+    rng = np.random.default_rng(7)
+    rows, want = [], {}
+    for doc_id, (w, h, enc) in enumerate([
+        (16, 8, mm.encode_bmp), (13, 5, mm.encode_bmp),  # 13 -> padded rows
+        (10, 10, mm.encode_ppm), (7, 3, mm.encode_ppm),
+    ]):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((doc_id, bytearray(enc(px))))
+        l8 = (px[..., 0].astype(np.uint32) * 19595
+              + px[..., 1].astype(np.uint32) * 38470
+              + px[..., 2].astype(np.uint32) * 7471 + 32768) >> 16
+        want[doc_id] = (w, h, float(l8.mean()))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = mm.decode_image(df).toPandas().set_index("doc_id")
+    assert set(out.columns) == {"width", "height", "mode", "mean_luma"}
+    for doc_id, (w, h, luma) in want.items():
+        r = out.loc[doc_id]
+        assert (r["width"], r["height"], r["mode"]) == (w, h, "RGB")
+        assert abs(r["mean_luma"] - luma) < 1e-9
+
+    # unsupported container surfaces as a decode error, not a wrong row
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"\x89PNG\r\n"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception):
+        mm.decode_image(bad, backend="numpy").collect()
+
+
+def test_decode_image_numpy_parses_ppm_comments_and_topdown_bmp():
+    """Direct decoder-unit checks: PPM header comments skip correctly;
+    a negative-height (top-down) BMP reads the same pixels."""
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    ppm = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    w, h, mode, rgb = mm._decode_rgb_numpy(ppm)
+    assert (w, h, mode) == (3, 2, "RGB") and np.array_equal(rgb, px)
+
+    bmp = bytearray(mm.encode_bmp(px))
+    import struct
+    struct.pack_into("<i", bmp, 22, -2)  # declare top-down
+    w, h, mode, rgb2 = mm._decode_rgb_numpy(bytes(bmp))
+    assert (w, h) == (3, 2)
+    assert np.array_equal(rgb2, px[::-1])  # rows now read in file order
 
 
 # ------------------------------------------------------------------ BPE
@@ -382,6 +437,11 @@ HELD_OUT = {
     # non-Latin script (Cyrillic): 0xD0/0xD1 lead bytes give trigram
     # profiles no Latin language can score against — held out from SAMPLES
     "ru": "измерения системы показывают что результаты остаются стабильными",
+    # CJK script families (r5): hanzi-only zh, kana-marked ja, hangul ko —
+    # one held-out sentence per family, all absent from SAMPLES
+    "zh": "系统的测量结果表明随着时间推移一切保持稳定",
+    "ja": "システムの測定結果は時間が経っても安定していることを示しています",
+    "ko": "시스템 측정 결과는 시간이 지나도 안정적임을 보여줍니다",
 }
 
 
@@ -414,7 +474,7 @@ def test_langid_profiles_deterministic_and_heldout_accuracy():
     assert all(np.array_equal(p1[k], p2[k]) for k in p1)
 
     got = L.classify_batch(pd.Series(list(HELD_OUT.values())), p1)
-    assert list(got) == list(HELD_OUT)  # all six correct
+    assert list(got) == list(HELD_OUT)  # every script family correct
     assert list(L.classify_batch(pd.Series(["", "zq", None]), p1)) == ["und"] * 3
 
 
