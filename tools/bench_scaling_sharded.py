@@ -172,7 +172,10 @@ def worker(args) -> None:
         spark.catalog.clearCache()
         t0 = time.time()
         if args.plan == "bucketed":
-            out = flagship_bucketed(spark, "sh_t", "sh_cf")
+            ht = args.hot_threshold
+            ht = None if ht == "none" else (ht if ht == "auto" else int(ht))
+            out = flagship_bucketed(spark, "sh_t", "sh_cf",
+                                    hot_threshold_rows=ht)
         elif args.plan == "curation":
             out = _curation_job(spark, t, args, run_idx)
         elif args.plan == "curation_bucketed":
@@ -551,7 +554,7 @@ def ensure_skinny_bucketed_layout(layout: str, procs: int) -> str:
 
 
 def run_level(layout: str, procs: int, cores: int, runs: int, heap: str,
-              plan: str) -> dict:
+              plan: str, hot_threshold: str = "auto") -> dict:
     t_map = bucket_files(os.path.join(layout, "sc_t"))
     cf_map = bucket_files(os.path.join(layout, "sc_cf"))
     assert set(t_map) == set(cf_map) and t_map, "layout missing bucket files"
@@ -597,6 +600,7 @@ def run_level(layout: str, procs: int, cores: int, runs: int, heap: str,
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--shard", str(i), "--cores", str(cores), "--heap", heap,
                "--runs", str(runs), "--barrier", barrier, "--plan", plan,
+               "--hot-threshold", hot_threshold,
                "--n-buckets", str(nb), "--procs-total", str(procs),
                "--t-files", tf, "--cf-files", cff]
         children.append(subprocess.Popen(
@@ -650,6 +654,10 @@ def main() -> None:
                         "the curation plan's stage barrier waits for this "
                         "many partial-stats files")
     p.add_argument("--n-buckets", type=int, default=0)
+    p.add_argument("--hot-threshold", default="auto",
+                   help="bucketed plan's hot_threshold_rows: 'auto' (the "
+                        "r5 cost-model default), 'none' (unrouted cold "
+                        "plan — the r4 control), or an integer row count")
     p.add_argument("--worker", action="store_true")
     p.add_argument("--shard", type=int)
     p.add_argument("--t-files")
@@ -663,7 +671,8 @@ def main() -> None:
     levels = [int(x) for x in args.procs.split(",")]
     cells = {}
     for procs in levels:
-        cells[procs] = run_level(args.layout, procs, args.cores, args.runs, args.heap, args.plan)
+        cells[procs] = run_level(args.layout, procs, args.cores, args.runs,
+                                 args.heap, args.plan, args.hot_threshold)
         print(f"# {procs} proc(s): wall_max={cells[procs]['wall_max']}s "
               f"rows={cells[procs]['rows_total']}", file=sys.stderr)
     lo, hi = min(levels), max(levels)
@@ -672,6 +681,7 @@ def main() -> None:
     speedup = cells[lo]["wall_max"] / cells[hi]["wall_max"]
     print(json.dumps({
         "mode": "storage_partitioned_driverless", "plan": args.plan,
+        "hot_threshold": args.hot_threshold,
         "rows": cells[lo]["rows_total"],
         "cells": {str(k): v for k, v in cells.items()},
         "speedup": round(speedup, 3),
