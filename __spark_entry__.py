@@ -400,10 +400,12 @@ def _q_asof_skinny_stream_form(spark, sf_dir):
                 F.row_number().over(w).alias("__rn"))
         .filter(F.col("__rn") == 1).drop("__rn")
     )
-    iv = stp.skinny_feature_intervals(
+    from amazon_security_lake_transformation_library_spark.caching import persist_tracked
+
+    iv = persist_tracked(stp.skinny_feature_intervals(
         log, sources=["purchase", "error", "click"],
         source_col="event_type", value_col="val", on="user_id", ts="ts",
-    ).persist()
+    ))
     out = stp.asof_enrich_stream_skinny(
         probe, intervals=iv, on="user_id", ts="ts",
     )
@@ -2126,6 +2128,21 @@ def _q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def _q_decontaminate_bloom_forced(spark, sf_dir):
+    """The Bloom-prefilter decontamination plan ITSELF (r5: pinned
+    directly, not through the auto front end — decontaminate_auto picks
+    plain on a single node, which would leave the bloom plan's
+    correctness riding only on its r4 row + the tiny-bitmap pytest).
+    Runs the (word_idx, bits) distributed-bitmap build + k broadcast
+    map-side probes + exact fingerprint semi-join; output-transparent
+    vs the plain path, so it shares the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dso.decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _conv_clones(t):
     """Deterministic near-duplicate conversations for the conv-level
     dedup gate: every conversation whose id ends in '00' is replayed as
@@ -2225,6 +2242,7 @@ _GATE_FRONT = [
     # --- new r5 queries (never checked, by definition) ---
     "asof_join_events_skinny_stream_form",
     "multimodal_decode_image",
+    "decontaminate_docs_bloom_forced",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2346,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": _q_sft_pairs,
         "tool_chains": _q_tool_chains,
         "decontaminate_docs_bloom": _q_decontaminate_bloom,
+        "decontaminate_docs_bloom_forced": _q_decontaminate_bloom_forced,
         "conv_near_dup_minhash": _q_conv_near_dup,
         "preference_pairs": _q_preference_pairs,
         "repair_turns": _q_repair_turns,
@@ -3629,6 +3648,7 @@ def oracle_sql() -> dict[str, str]:
         # the bloom prefilter is performance-transparent (exact join after
         # it) — deliberately the SAME oracle
         "decontaminate_docs_bloom": _DECON_SQL,
+        "decontaminate_docs_bloom_forced": _DECON_SQL,
         "doc_length_quantiles": """
             SELECT lang,
                    round(quantile_cont(n_chars, 0.25), 4) AS p25,

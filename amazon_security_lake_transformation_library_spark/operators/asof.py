@@ -766,7 +766,9 @@ def asof_join_skinny_routed(
         .select(*keys)
     )
     if hot_broadcast_limit is not None:
-        hot_keys = hot_keys.persist()
+        from ..caching import persist_tracked
+
+        hot_keys = persist_tracked(hot_keys)
         n_hot = hot_keys.count()
         hot = hot_keys if n_hot > hot_broadcast_limit else F.broadcast(hot_keys)
     else:

@@ -423,7 +423,14 @@ def curriculum_buckets(
         raise ValueError("n_buckets must be >= 2")
     s = (score if score is not None else F.col("n_chars")).cast("double")
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = docs.select(s.alias("__s")).agg(
+    # NaN must be masked to NULL BEFORE the percentile aggregate, not just
+    # at assignment time: F.percentile skips NULLs but ranks NaN above
+    # every double, so >q% NaN scores would push the upper boundaries to
+    # NaN and make the top buckets unreachable for every real score
+    # (NaN-vs-x comparisons are false, so "b < score" never admits them).
+    bounds = docs.select(
+        F.when(~F.isnan(s), s).alias("__s")
+    ).agg(
         F.transform(
             F.percentile(F.col("__s"), F.array(*[F.lit(q) for q in qs])),
             lambda b: F.round(b, 4),

@@ -3,10 +3,13 @@ columns with typed metadata, processed in Arrow batches via
 ``mapInPandas`` — the standard shape for decode / feature-extract /
 resize / frame-sample stages in a training-data pipeline.
 
-Container constraint: no image/audio codecs are installed, so the actual
-decode is stubbed (:func:`fake_decode_meta` derives deterministic metadata
-from the payload bytes; :func:`decode_image` raises ``NotImplementedError``
-unless Pillow is importable). Everything Spark-side is real and tested:
+Container constraint: no image/audio codec LIBRARIES are installed, so
+:func:`decode_image` ships its own pure-numpy 24-bit BMP / binary-P6 PPM
+decoder (``backend='auto'`` uses Pillow when importable and falls back to
+numpy; only ``backend='pillow'`` without Pillow raises
+``NotImplementedError``), and :func:`fake_decode_meta` remains the
+deterministic stand-in for codec-only formats (JPEG/PNG/audio/video).
+Everything Spark-side is real and tested:
 schema, Arrow batch shape, partition-preserving plumbing, and the pattern
 of keeping the big binary column OUT of the returned frame (decode emits
 only small typed features, so the shuffle after a decode stage never
@@ -269,7 +272,12 @@ def decode_image(
 
                     img = Image.open(io.BytesIO(payload))
                     rgb = np.asarray(img.convert("RGB"))
-                    w, h, mode = img.width, img.height, "RGB"
+                    # mode = the SOURCE image mode ('L', 'RGBA', 'P',
+                    # ...), not the post-convert 'RGB' — downstream
+                    # filters select on what the corpus contains. On the
+                    # shared BMP24/PPM-P6 formats Pillow reports 'RGB',
+                    # matching the numpy backend bit-for-bit.
+                    w, h, mode = img.width, img.height, img.mode
                 else:
                     w, h, mode, rgb = _decode_rgb_numpy(bytes(payload))
                 rows.append((int(doc_id), w, h, mode, _luma_mean(rgb)))

@@ -28,17 +28,38 @@ def read_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     ``pathGlobFilter`` — same file set, but avoids Spark's streaming-sink
     metadata probe stat()ing the literal glob string, which logs a benign
     but stack-trace-bearing WARN (FileStreamSink.hasMetadata ->
-    FileNotFoundException) on every batch read of a glob path."""
+    FileNotFoundException) on every batch read of a glob path.
+
+    The rewrite is semantics-preserving ONLY when every glob match is a
+    FILE: ``pathGlobFilter`` tests leaf file names, while a literal glob
+    also matches directories (``logs/day=2024*`` reading the files UNDER
+    each matching dir), and a glob matching nothing must still raise
+    Spark's "Path does not exist". So the candidate is checked first with
+    one driver-side ``FileSystem.globStatus`` (works on any Hadoop FS —
+    local, s3a, hdfs; a listing the read performs anyway): any directory
+    match or an empty match falls back to the literal-glob read, keeping
+    the original behavior (and, for empty, the original error)."""
     if isinstance(paths, str):
         head, _, tail = paths.rpartition("/")
         if head and any(ch in tail for ch in "*?[") and not any(
             ch in head for ch in "*?["
         ):
-            return (
-                spark.read.format("text")
-                .option("pathGlobFilter", tail)
-                .load(head)
-            )
+            try:
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(paths)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                statuses = fs.globStatus(jpath)
+                all_files = statuses is not None and len(statuses) > 0 and all(
+                    st.isFile() for st in statuses
+                )
+            except Exception:
+                all_files = False  # private-API drift -> literal read
+            if all_files:
+                return (
+                    spark.read.format("text")
+                    .option("pathGlobFilter", tail)
+                    .load(head)
+                )
     return spark.read.text(paths)
 
 

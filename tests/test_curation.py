@@ -359,6 +359,25 @@ def test_curriculum_null_and_nan_score_surface_as_null_bucket(spark):
     assert out.loc[0, "bucket"] == 0 and out.loc[3, "bucket"] == 1
 
 
+def test_curriculum_nan_heavy_scores_keep_top_bucket_reachable(spark):
+    # r5: NaN must be masked BEFORE the percentile aggregate too — Spark
+    # ranks NaN above every double, so with >25% NaN scores the 0.75
+    # boundary would itself be NaN and "b < score" could never admit any
+    # row to the top bucket (every non-NaN doc silently compresses into
+    # buckets 0..n-2)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(8, dtype="int64"),
+        "s": [1.0, 2.0, 3.0, 4.0] + [float("nan")] * 4,  # 50% NaN
+    })
+    out = C.curriculum_buckets(
+        spark.createDataFrame(pdf), score=F.col("s"), n_buckets=4
+    ).toPandas().set_index("doc_id")
+    # boundaries = quartiles of the four REAL scores; doc 3 (s=4.0) must
+    # land in the top bucket, and each real doc in its own quartile
+    assert [out.loc[i, "bucket"] for i in range(4)] == [0, 1, 2, 3]
+    assert out.loc[4:, "bucket"].isna().all()
+
+
 # ----------------------------------------------------- negative_samples
 
 def _ids_df(spark, n):

@@ -181,6 +181,33 @@ def test_gzip_file_ingest_with_path_routing(spark, tmp_path):
     assert res.mapped_rows == 2 and res.reject_rows == 0
 
 
+def test_read_lines_glob_semantics(spark, tmp_path):
+    """r5: the pathGlobFilter rewrite (which silences the benign
+    FileStreamSink WARN stack on glob paths) must be semantics-
+    preserving. Three literal-glob behaviors it may not change:
+    file-globs read the same set, DIRECTORY-matching globs read the
+    files under each matching dir (pathGlobFilter tests leaf file names
+    only, so the rewrite must detect this case and fall back), and a
+    glob matching nothing still raises instead of yielding empty."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from amazon_security_lake_transformation_library_spark.sources.lines import read_lines
+
+    root = tmp_path / "logs"
+    for d, n in (("day=20240101", 2), ("day=20240102", 3)):
+        (root / d).mkdir(parents=True)
+        (root / d / "part.log").write_text("x\n" * n)
+    (root / "day=20240101" / "extra.txt").write_text("y\n")
+
+    # file glob: rewrite path, same file set as the literal read
+    assert read_lines(spark, f"{root}/day=20240101/*.log").count() == 2
+    # directory-matching glob: must read files UNDER the matched dirs
+    assert read_lines(spark, f"{root}/day=2024*").count() == 6
+    # non-matching glob: the original "Path does not exist" error
+    with pytest.raises(AnalysisException):
+        read_lines(spark, f"{root}/day=2099*").count()
+
+
 def test_resume_recovers_lost_quarantine(spark, tmp_path):
     """Crash after the ext commit but before the quarantine commit: the
     retry must re-commit the rejects and report their count (not 0)."""

@@ -67,9 +67,15 @@ def main() -> None:
     print(json.dumps({"probe_before": before, "n_train_docs": n_train,
                       "n_eval_docs_base": n_eval1}), flush=True)
 
-    def timed(df) -> float:
+    def timed(make_df) -> float:
+        # rebuild the DataFrame EVERY run: release_all() clears the
+        # operator's internal persist_tracked handles, so re-running the
+        # same handle would time a persist-stripped plan the operator
+        # never normally executes (recomputed train-gram lineage) —
+        # best-of-N must compare homogeneous physical plans
         best = float("inf")
         for _ in range(args.runs):
+            df = make_df()
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
@@ -86,8 +92,8 @@ def main() -> None:
             (F.col("doc_id") + F.col("__rep") * 1_000_000_000).alias("doc_id"),
             "text",
         )
-        t_plain = timed(dso.decontaminate(train, ev))
-        t_bloom = timed(dso.decontaminate_bloom(train, ev))
+        t_plain = timed(lambda: dso.decontaminate(train, ev))
+        t_bloom = timed(lambda: dso.decontaminate_bloom(train, ev))
         row = {"eval_x": e, "eval_docs": n_eval1 * e,
                "plain_s": t_plain, "bloom_s": t_bloom,
                "bloom_over_plain": round(t_bloom / t_plain, 3)}
