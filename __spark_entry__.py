@@ -753,6 +753,18 @@ def _q_minhash(spark, sf_dir):
     return dd.minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup (dedup.dedup_incremental, r5): even-doc_id docs
+    play the already-indexed corpus (their band index built once via
+    minhash_band_buckets — at scale a persisted table), odd docs the
+    ingest batch; result = every (new, indexed) LSH candidate pairing.
+    The corpus text is touched only to build the index here because the
+    fixture has no persisted one; production reads the 3-column index."""
+    docs = _t(spark, sf_dir, "documents")
+    index = dd.minhash_band_buckets(docs.filter(F.col("doc_id") % 2 == 0))
+    return dd.dedup_incremental(index, docs.filter(F.col("doc_id") % 2 == 1))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
@@ -2243,6 +2255,7 @@ _GATE_FRONT = [
     "asof_join_events_skinny_stream_form",
     "multimodal_decode_image",
     "decontaminate_docs_bloom_forced",
+    "dedup_incremental_docs",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2307,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
+        "dedup_incremental_docs": _q_dedup_incremental,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -2485,12 +2499,13 @@ SELECT doc_id,
 FROM documents
 """
 
-def _minhash_pairs_sql(src: str) -> str:
+def _minhash_pairs_sql(src: str, incremental: bool = False) -> str:
     """LSH candidate-pair oracle parameterized over the corpus source —
     ``src`` is any SQL producing ``(doc_id, text)``. Reused verbatim by
-    the document-level query (``documents``) and the conversation-level
-    query (rendered transcripts CTE), so both gates share one
-    independently-derived algorithm."""
+    the document-level query (``documents``), the conversation-level
+    query (rendered transcripts CTE), and — with ``incremental=True`` —
+    the index-vs-batch cross join of the incremental dedup gate, so all
+    three gates share one independently-derived algorithm."""
     shingles = f"""
 SELECT doc_id, CASE WHEN len(ws) >= 3
          THEN list_transform(range(1, len(ws) - 1),
@@ -2520,6 +2535,16 @@ SELECT s.doc_id, b.band_id,
        md5(s.mh[b.band_id * 2 + 1] || '|' || s.mh[b.band_id * 2 + 2]) AS bucket
 FROM ({sig}) s, (VALUES (0),(1),(2),(3)) b(band_id)
 """
+    if incremental:
+        # (indexed corpus = even ids) x (ingest batch = odd ids): the
+        # incremental gate's semantics — same bands CTE, cross-side join
+        return f"""
+SELECT b.doc_id AS doc_new, a.doc_id AS doc_old, count(*)::BIGINT AS n_shared_bands
+FROM ({bands}) a JOIN ({bands}) b
+  ON a.band_id = b.band_id AND a.bucket = b.bucket
+WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+GROUP BY 1, 2
+"""
     return f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_bands
 FROM ({bands}) a JOIN ({bands}) b
@@ -2529,6 +2554,9 @@ GROUP BY 1, 2
 
 
 _MINHASH_PAIRS = _minhash_pairs_sql("SELECT doc_id, text FROM documents")
+_MINHASH_INCREMENTAL = _minhash_pairs_sql(
+    "SELECT doc_id, text FROM documents", incremental=True
+)
 
 _DECON_SQL = """
     WITH d AS (
@@ -3274,6 +3302,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_minhash_lsh": _MINHASH_PAIRS,
+        "dedup_incremental_docs": _MINHASH_INCREMENTAL,
         # same fixpoint as graph.connected_components, via transitive
         # closure in a recursive CTE (different algorithm, different engine)
         "dedup_clusters": f"""

@@ -196,6 +196,49 @@ def minhash_candidate_pairs(
     )
 
 
+def dedup_incremental(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental LSH dedup: match an ingest batch against a PERSISTED
+    band index of the existing corpus — the production shape where the
+    corpus is deduped once and each day's batch is checked against it
+    without ever re-shingling corpus text.
+
+    ``index`` is the ``(band_id, bucket, id_col)`` table
+    :func:`minhash_band_buckets` produces (same ``n_hashes``/``band_size``
+    — bucket hashes are only comparable within one parameterization);
+    store it partitioned or bucketed by ``(band_id, bucket)`` so this
+    join co-locates with zero index-side shuffle. Returns
+    ``(doc_new, doc_old, n_shared_bands)`` — every candidate near-dup
+    pairing of a new doc with an indexed doc; feed it the same verify
+    stage (:func:`ngram_jaccard_pairs` on the candidate set) as the
+    batch path, then append the clean batch's own buckets to the index.
+
+    At 100 TB: the index is |corpus| x n_bands rows of 3 narrow columns
+    — small next to the text it summarizes, and the ONLY thing this
+    touches from the corpus; the batch side shingles just the new docs.
+    Join keys (band_id, bucket) are uniform md5s, so no skew; a tiny
+    batch's bucket table broadcasts under AQE automatically. Intra-batch
+    duplicates are a separate :func:`minhash_candidate_pairs` over the
+    batch alone (|batch|-sized, cheap)."""
+    nb = minhash_band_buckets(
+        new_docs, text_col, id_col, n_hashes, band_size
+    ).select("band_id", "bucket", F.col(id_col).alias("doc_new"))
+    idx = index.select(
+        "band_id", "bucket", F.col(id_col).alias("doc_old")
+    )
+    return (
+        nb.join(idx, ["band_id", "bucket"])
+        .groupBy("doc_new", "doc_old")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
 # -------------------------------------------------------- ngram jaccard
 
 def ngram_set(text: Column, n: int = 3) -> Column:

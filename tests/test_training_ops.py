@@ -94,6 +94,28 @@ def test_minhash_finds_near_dups(docs_df):
     assert not any(5 in p for p in got)
 
 
+def test_dedup_incremental_equals_cross_slice_of_full_lsh(docs_df):
+    # r5: the incremental path (new batch vs persisted band index) must
+    # find exactly the full-corpus LSH candidate pairs that cross the
+    # (indexed, new) boundary — no extra pairs, none lost, same band
+    # counts. Split the fixture by parity: even = indexed, odd = new.
+    idx = dd.minhash_band_buckets(docs_df.filter(F.col("doc_id") % 2 == 0))
+    inc = dd.dedup_incremental(
+        idx, docs_df.filter(F.col("doc_id") % 2 == 1)
+    ).toPandas()
+    full = dd.minhash_candidate_pairs(docs_df).toPandas()
+    cross = {
+        (int(a) if a % 2 else int(b), int(b) if a % 2 else int(a)): int(n)
+        for a, b, n in zip(full["doc_a"], full["doc_b"], full["n_shared_bands"])
+        if (a % 2) != (b % 2)
+    }
+    got = {
+        (int(r["doc_new"]), int(r["doc_old"])): int(r["n_shared_bands"])
+        for _, r in inc.iterrows()
+    }
+    assert got == cross
+
+
 def test_ngram_jaccard_exact_value(spark, docs_df):
     pairs = spark.createDataFrame(
         pd.DataFrame([(0, 1), (0, 2)], columns=["doc_a", "doc_b"])
