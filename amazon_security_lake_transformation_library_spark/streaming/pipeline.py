@@ -26,6 +26,10 @@ semantics are expressed natively:
   = snapshot id), so replays after failure do not duplicate output. Full
   window recompute over history stays a batch job (plans/writer resume) —
   the state the streaming path carries is deliberately O(1)/entity.
+* :func:`incremental_dedup_job` — ingest-time near-dup gate: each
+  micro-batch joins the persisted MinHash band index, candidates and
+  clean docs commit idempotently, the clean docs' bands extend the index
+  as an overwrite-by-batch-id delta (exactly-once index growth).
 
 Batch/stream unification: ``sessionized_stream``'s aggregation body is the
 same expression used by the batch ``session_window`` query in
@@ -439,6 +443,92 @@ def flagship_stream(
     exactly-once output keyed by micro-batch id."""
     feats = stateful_turn_features(turns, watermark=watermark)
     return asof_enrich_stream(feats, features, build_cols=["feature_val"])
+
+
+def incremental_dedup_job(
+    docs: DataFrame,
+    index_root: str,
+    writer_root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> Any:
+    """Streaming ingest dedup against a GROWING on-disk MinHash band
+    index — :func:`operators.dedup.dedup_incremental` in ``foreachBatch``
+    form. Each micro-batch is a closed ingest unit:
+
+    1. its band buckets join against the CURRENT index (a parquet
+       directory of per-batch deltas under ``index_root``; seed it with
+       the corpus's :func:`~..operators.dedup.minhash_band_buckets`
+       output in any subdirectory);
+    2. batch docs with >=1 candidate match commit to the ``candidates``
+       table (``(doc_new, doc_old, n_shared_bands)`` — feed the same
+       n-gram-Jaccard verify stage as the batch path); the clean
+       remainder commits to the ``clean`` table — both through the
+       idempotent SnapshotWriter with batch id == snapshot id, so a
+       replayed micro-batch is a no-op on BOTH tables;
+    3. the clean docs' band rows land at ``index_root/batch-<id>``
+       with overwrite mode — a replay overwrites the identical delta
+       (the bands are a pure function of the clean set) instead of
+       appending duplicate index rows, so index growth is exactly-once
+       too. A replayed batch also EXCLUDES its own delta from the read
+       in step 1; without that, its earlier append would mark every
+       one of its docs as a duplicate of itself.
+
+    Intra-batch duplicates are out of scope by contract (the operator is
+    batch-vs-corpus); run ``minhash_candidate_pairs`` over the batch in
+    the same sink when ingest units can self-duplicate.
+
+    At scale: per micro-batch cost = shingling the BATCH + one hash join
+    against the 3-column index (uniform md5 keys, no skew) — the index
+    is never re-derived from corpus text, and state lives entirely in
+    storage (no streaming state store), so the query restarts from the
+    checkpoint with nothing to rebuild."""
+    import os
+
+    from ..operators.dedup import dedup_incremental, minhash_band_buckets
+    from ..plans.writer import SnapshotWriter
+
+    clean_w = SnapshotWriter(os.path.join(writer_root, "clean"))
+    cand_w = SnapshotWriter(os.path.join(writer_root, "candidates"))
+    os.makedirs(index_root, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        snap = f"batch-{batch_id:012d}"
+        deltas = [
+            os.path.join(index_root, d)
+            for d in sorted(os.listdir(index_root))
+            if d != snap and os.path.isdir(os.path.join(index_root, d))
+        ]
+        if deltas:
+            idx = s.read.parquet(*deltas)
+        else:
+            # empty index (first ever batch): zero-row index of the
+            # right schema — everything lands clean, and the candidates
+            # table's column types stay id_col-derived from batch one
+            idx = minhash_band_buckets(
+                batch_df.limit(0), text_col, id_col, n_hashes, band_size
+            )
+        matches = dedup_incremental(
+            idx, batch_df, text_col, id_col, n_hashes, band_size
+        )
+        dup_ids = matches.select(F.col("doc_new").alias(id_col)).distinct()
+        clean = batch_df.join(dup_ids, id_col, "left_anti")
+        cand_w.commit(matches, snapshot_id=snap)
+        committed = clean_w.commit(clean, snapshot_id=snap)
+        delta_dir = os.path.join(index_root, snap)
+        if committed or not os.path.isdir(delta_dir):
+            minhash_band_buckets(
+                clean, text_col, id_col, n_hashes, band_size
+            ).write.mode("overwrite").parquet(delta_dir)
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
 
 
 def incremental_feature_job(

@@ -448,3 +448,90 @@ def test_skinny_enrich_stream_matches_batch(spark, stream_input, tmp_path, stric
     # neither mode without intervals nor without log+sources is valid
     with pytest.raises(ValueError):
         sp.asof_enrich_stream_skinny(stream.select(*probe_cols))
+
+
+def test_incremental_dedup_job_stream_and_replay(spark, tmp_path):
+    """r5: streaming ingest dedup vs a growing on-disk band index.
+    Seed index from a 'corpus'; stream two ingest files; assert (a) file-1
+    clones of corpus docs are flagged, (b) file-2 clones of file-1 CLEAN
+    docs are flagged (the index grew), (c) clean/candidates tables and
+    index deltas are exactly-once under a full replay (fresh checkpoint,
+    same batch ids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_security_lake_transformation_library_spark.operators import dedup as dd
+    from amazon_security_lake_transformation_library_spark.plans.writer import SnapshotWriter
+
+    def text(i):  # unique 6-token text per logical doc
+        return " ".join(f"w{i}{c}" for c in "abcdef")
+
+    corpus = pd.DataFrame({
+        "doc_id": pd.array(range(100, 110), dtype="int64"),
+        "text": [text(i) for i in range(10)],
+    })
+    # file 1: docs 200-207 fresh, 208-209 clone corpus docs 0 and 3
+    f1 = pd.DataFrame({
+        "doc_id": pd.array(range(200, 210), dtype="int64"),
+        "text": [text(i) for i in range(20, 28)] + [text(0), text(3)],
+    })
+    # file 2: 300-306 fresh, 307 clones f1-clean doc 200 (caught only if
+    # the index grew), 308 clones corpus doc 0, 309 clones f1 DUP 208's
+    # text (== corpus 0's text -> still flagged, via the corpus entry)
+    f2 = pd.DataFrame({
+        "doc_id": pd.array(range(300, 310), dtype="int64"),
+        "text": [text(i) for i in range(40, 47)]
+        + [text(20), text(0), text(0)],
+    })
+
+    root = str(tmp_path / "ingest")
+    os.makedirs(root)
+    for i, part in enumerate((f1, f2)):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       os.path.join(root, f"part-{i}.parquet"))
+
+    index_root = str(tmp_path / "index")
+    os.makedirs(index_root)
+    dd.minhash_band_buckets(
+        spark.createDataFrame(corpus)
+    ).write.parquet(os.path.join(index_root, "seed"))
+
+    out_root = str(tmp_path / "dedup_out")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(root)
+        )
+        q = sp.incremental_dedup_job(
+            stream, index_root, out_root, str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run("ckpt1")
+
+    clean = SnapshotWriter(os.path.join(out_root, "clean"))
+    cand = SnapshotWriter(os.path.join(out_root, "candidates"))
+    got_clean = set(
+        r[0] for r in clean.read(spark).select("doc_id").collect()
+    )
+    assert got_clean == ({*range(200, 208)} | {*range(300, 307)})
+    pairs = {
+        (r["doc_new"], r["doc_old"])
+        for r in cand.read(spark).collect()
+    }
+    assert (208, 100) in pairs and (209, 103) in pairs   # corpus clones
+    assert (307, 200) in pairs                           # grown-index hit
+    assert (308, 100) in pairs and (309, 100) in pairs
+    # flagged docs never enter the index: 307's only match is clean 200
+    assert not any(new == 307 and old != 200 for new, old in pairs)
+    deltas = sorted(d for d in os.listdir(index_root) if d != "seed")
+    assert deltas == ["batch-000000000000", "batch-000000000001"]
+
+    # full replay with a fresh checkpoint: same batch ids -> writer
+    # no-ops, deltas not re-appended, outputs byte-identical
+    n_clean, n_cand = clean.read(spark).count(), cand.read(spark).count()
+    run("ckpt2")
+    assert clean.read(spark).count() == n_clean
+    assert cand.read(spark).count() == n_cand
+    assert sorted(d for d in os.listdir(index_root) if d != "seed") == deltas
