@@ -198,11 +198,12 @@ def minhash_candidate_pairs(
 
 def dedup_incremental(
     index: DataFrame,
-    new_docs: DataFrame,
+    new_docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 8,
     band_size: int = 2,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental LSH dedup: match an ingest batch against a PERSISTED
     band index of the existing corpus — the production shape where the
@@ -225,10 +226,20 @@ def dedup_incremental(
     Join keys (band_id, bucket) are uniform md5s, so no skew; a tiny
     batch's bucket table broadcasts under AQE automatically. Intra-batch
     duplicates are a separate :func:`minhash_candidate_pairs` over the
-    batch alone (|batch|-sized, cheap)."""
-    nb = minhash_band_buckets(
-        new_docs, text_col, id_col, n_hashes, band_size
-    ).select("band_id", "bucket", F.col(id_col).alias("doc_new"))
+    batch alone (|batch|-sized, cheap).
+
+    ``new_bands``: pass the batch's own :func:`minhash_band_buckets`
+    output (instead of ``new_docs``) when the caller reuses it — e.g.
+    the streaming ingest job computes the bands ONCE and feeds the same
+    frame to this join AND to the index-delta append, halving the
+    shingle passes per micro-batch."""
+    if new_bands is None:
+        if new_docs is None:
+            raise ValueError("pass new_docs or new_bands")
+        new_bands = minhash_band_buckets(
+            new_docs, text_col, id_col, n_hashes, band_size
+        )
+    nb = new_bands.select("band_id", "bucket", F.col(id_col).alias("doc_new"))
     idx = index.select(
         "band_id", "bucket", F.col(id_col).alias("doc_old")
     )

@@ -99,8 +99,14 @@ class SnapshotWriter:
         )
         latency = time.monotonic() - t0
 
-        # per-partition lineage from the files just written (pruned scan)
-        written = spark.read.parquet(self.data_path).filter(
+        # per-partition lineage from the files just written (pruned scan).
+        # Explicit schema, never inference: a ZERO-ROW snapshot on a fresh
+        # table writes no data files, and schema inference over the empty
+        # root would throw UNABLE_TO_INFER_SCHEMA (streaming sinks commit
+        # empty micro-batch slices routinely — e.g. a dedup batch with no
+        # candidates).
+        os.makedirs(self.data_path, exist_ok=True)
+        written = spark.read.schema(out.schema).parquet(self.data_path).filter(
             F.col(SNAPSHOT_COL) == snapshot_id
         )
         group = [SNAPSHOT_COL, *partition_cols] if partition_cols else [SNAPSHOT_COL]
@@ -108,6 +114,15 @@ class SnapshotWriter:
         stats = stats.withColumn("write_latency_sec", F.lit(float(latency)))
         committed_at = float(time.time())
         stats = stats.withColumn("committed_at_unix", F.lit(committed_at))
+        # A zero-row snapshot still needs its manifest row — the manifest
+        # IS the commit record; without it the snapshot never becomes a
+        # replay no-op and committed_snapshots/read() never see it.
+        if not stats.take(1):
+            stats = spark.createDataFrame(
+                [(snapshot_id, *([None] * len(partition_cols)), 0,
+                  float(latency), committed_at)],
+                schema=stats.schema,
+            )
         # schema-as-of-snapshot (Iceberg keeps schema in table metadata,
         # never by merging data-file footers): one row per commit with the
         # dataframe's schema JSON. read()/read_at() resolve the schema

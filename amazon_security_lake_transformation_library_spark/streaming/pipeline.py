@@ -462,7 +462,9 @@ def incremental_dedup_job(
     1. its band buckets join against the CURRENT index (a parquet
        directory of per-batch deltas under ``index_root``; seed it with
        the corpus's :func:`~..operators.dedup.minhash_band_buckets`
-       output in any subdirectory);
+       output in any subdirectory NOT named ``batch-*`` — that prefix
+       is the job's reserved delta namespace, and a seed inside it
+       would be shadowed by the same-id batch and then overwritten);
     2. batch docs with >=1 candidate match commit to the ``candidates``
        table (``(doc_new, doc_old, n_shared_bands)`` — feed the same
        n-gram-Jaccard verify stage as the batch path); the clean
@@ -473,18 +475,24 @@ def incremental_dedup_job(
        with overwrite mode — a replay overwrites the identical delta
        (the bands are a pure function of the clean set) instead of
        appending duplicate index rows, so index growth is exactly-once
-       too. A replayed batch also EXCLUDES its own delta from the read
-       in step 1; without that, its earlier append would mark every
-       one of its docs as a duplicate of itself.
+       too. A delta counts as written only once its ``_SUCCESS`` marker
+       exists (a crash mid-write leaves a markerless dir that the retry
+       rewrites and readers skip — bare dir-existence would lose the
+       batch's index rows forever). A replayed batch also EXCLUDES its
+       own delta from the read in step 1; without that, its earlier
+       append would mark every one of its docs as a duplicate of
+       itself.
 
     Intra-batch duplicates are out of scope by contract (the operator is
     batch-vs-corpus); run ``minhash_candidate_pairs`` over the batch in
     the same sink when ingest units can self-duplicate.
 
-    At scale: per micro-batch cost = shingling the BATCH + one hash join
-    against the 3-column index (uniform md5 keys, no skew) — the index
-    is never re-derived from corpus text, and state lives entirely in
-    storage (no streaming state store), so the query restarts from the
+    At scale: per micro-batch cost = ONE shingle pass over the batch
+    (its band table is persisted and shared by the match join, the
+    clean-set anti-join, and the delta write) + one hash join against
+    the 3-column index (uniform md5 keys, no skew) — the index is never
+    re-derived from corpus text, and state lives entirely in storage
+    (no streaming state store), so the query restarts from the
     checkpoint with nothing to rebuild."""
     import os
 
@@ -495,35 +503,52 @@ def incremental_dedup_job(
     cand_w = SnapshotWriter(os.path.join(writer_root, "candidates"))
     os.makedirs(index_root, exist_ok=True)
 
+    def _complete(name: str) -> bool:
+        return os.path.exists(os.path.join(index_root, name, "_SUCCESS"))
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         snap = f"batch-{batch_id:012d}"
-        deltas = [
-            os.path.join(index_root, d)
-            for d in sorted(os.listdir(index_root))
-            if d != snap and os.path.isdir(os.path.join(index_root, d))
-        ]
-        if deltas:
-            idx = s.read.parquet(*deltas)
-        else:
-            # empty index (first ever batch): zero-row index of the
-            # right schema — everything lands clean, and the candidates
-            # table's column types stay id_col-derived from batch one
-            idx = minhash_band_buckets(
-                batch_df.limit(0), text_col, id_col, n_hashes, band_size
-            )
-        matches = dedup_incremental(
-            idx, batch_df, text_col, id_col, n_hashes, band_size
-        )
-        dup_ids = matches.select(F.col("doc_new").alias(id_col)).distinct()
-        clean = batch_df.join(dup_ids, id_col, "left_anti")
-        cand_w.commit(matches, snapshot_id=snap)
-        committed = clean_w.commit(clean, snapshot_id=snap)
-        delta_dir = os.path.join(index_root, snap)
-        if committed or not os.path.isdir(delta_dir):
-            minhash_band_buckets(
-                clean, text_col, id_col, n_hashes, band_size
-            ).write.mode("overwrite").parquet(delta_dir)
+        parts = []
+        for d in sorted(os.listdir(index_root)):
+            if not os.path.isdir(os.path.join(index_root, d)):
+                continue
+            if d.startswith("batch-"):
+                # job-owned delta: skip our own id (replay) and any
+                # crash-torn dir without its _SUCCESS marker
+                if d == snap or not _complete(d):
+                    continue
+            parts.append(os.path.join(index_root, d))
+        # the batch's bands are computed ONCE and persisted: the match
+        # join, the anti-join's dup set, and the index delta all read
+        # this frame — without it each consumer re-runs the shingle+md5
+        # pipeline (the dominant per-batch cost)
+        nb = minhash_band_buckets(
+            batch_df, text_col, id_col, n_hashes, band_size
+        ).persist()
+        matches = None
+        try:
+            # empty index (first ever batch, no seed): zero-row index of
+            # the right schema — everything lands clean
+            idx = s.read.parquet(*parts) if parts else nb.limit(0)
+            matches = dedup_incremental(
+                idx, text_col=text_col, id_col=id_col,
+                n_hashes=n_hashes, band_size=band_size, new_bands=nb,
+            ).persist()
+            dup_ids = matches.select(
+                F.col("doc_new").alias(id_col)
+            ).distinct()
+            clean = batch_df.join(dup_ids, id_col, "left_anti")
+            cand_w.commit(matches, snapshot_id=snap)
+            committed = clean_w.commit(clean, snapshot_id=snap)
+            if committed or not _complete(snap):
+                nb.join(dup_ids, id_col, "left_anti").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(index_root, snap))
+        finally:
+            if matches is not None:
+                matches.unpersist()
+            nb.unpersist()
 
     return (
         docs.writeStream.foreachBatch(sink)

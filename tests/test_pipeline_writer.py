@@ -231,3 +231,31 @@ def test_resume_recovers_lost_quarantine(spark, tmp_path):
     r3 = run_transform_job(spark, reg, {"aws-alb": raw}, out, "snapA", **kw)
     assert r3.reject_rows == 1
     assert SnapshotWriter(f"{out}/quarantine/aws-alb").read(spark).count() == 1
+
+
+def test_empty_snapshot_commit(spark, tmp_path):
+    """r5: a ZERO-ROW snapshot must commit like any other (streaming
+    sinks emit empty micro-batch slices routinely — e.g. a dedup batch
+    with no candidates): no schema-inference crash on a fresh table, a
+    manifest row lands so the replay is a no-op, and reads work."""
+    w = SnapshotWriter(str(tmp_path / "flat"))
+    e = spark.createDataFrame([], "a long, b string")
+    assert w.commit(e, snapshot_id="s0") is True
+    assert w.commit(e, snapshot_id="s0") is False        # replay no-op
+    assert w.read(spark).count() == 0
+    assert w.commit(
+        spark.createDataFrame([(1, "x")], "a long, b string"),
+        snapshot_id="s1",
+    ) is True
+    assert w.read(spark).count() == 1
+    assert {r[0] for r in w.snapshots(spark).collect()} == {"s0", "s1"}
+
+    wp = SnapshotWriter(str(tmp_path / "part"))
+    ep = spark.createDataFrame([], "a long, eventday string")
+    assert wp.commit(ep, snapshot_id="p0", partition_cols=["eventday"]) is True
+    assert wp.commit(ep, snapshot_id="p0", partition_cols=["eventday"]) is False
+    assert wp.commit(
+        spark.createDataFrame([(1, "20240101")], "a long, eventday string"),
+        snapshot_id="p1", partition_cols=["eventday"],
+    ) is True
+    assert wp.read(spark).count() == 1

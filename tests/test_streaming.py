@@ -498,15 +498,15 @@ def test_incremental_dedup_job_stream_and_replay(spark, tmp_path):
 
     out_root = str(tmp_path / "dedup_out")
 
-    def run(ckpt):
+    def run(ckpt, iroot=index_root, oroot=out_root):
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1).parquet(root)
         )
         q = sp.incremental_dedup_job(
-            stream, index_root, out_root, str(tmp_path / ckpt)
+            stream, iroot, oroot, str(tmp_path / ckpt)
         ).trigger(availableNow=True).start()
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "streaming query did not finish"
 
     run("ckpt1")
 
@@ -535,3 +535,16 @@ def test_incremental_dedup_job_stream_and_replay(spark, tmp_path):
     assert clean.read(spark).count() == n_clean
     assert cand.read(spark).count() == n_cand
     assert sorted(d for d in os.listdir(index_root) if d != "seed") == deltas
+
+    # no seed, first batch has zero candidates: the empty-matches commit
+    # must succeed (zero-row snapshot, manifest row, replay no-op) and
+    # batch 1 must still catch dups of batch 0's clean docs
+    iroot2, oroot2 = str(tmp_path / "index2"), str(tmp_path / "out2")
+    os.makedirs(iroot2)
+    run("ckpt3", iroot2, oroot2)
+    clean2 = SnapshotWriter(os.path.join(oroot2, "clean"))
+    cand2 = SnapshotWriter(os.path.join(oroot2, "candidates"))
+    assert clean2.read(spark).count() == 17  # 10 (all of f1) + 7
+    assert {r["doc_new"] for r in cand2.read(spark).collect()} == {307, 308, 309}
+    assert len(clean2.committed_snapshots(spark)) == 2
+    assert len(cand2.committed_snapshots(spark)) == 2  # incl. the empty one

@@ -101,10 +101,15 @@ def build_corpus(spark, n_convs: int, root: str) -> tuple[str, str]:
             " ",
         )
         base = t.select("conv_id", "turn_idx", mixed.alias("text"))
+        # clone condition must be INDEPENDENT of the index/batch parity
+        # split below: pmod(h, 20) == 0 implies h is even, which would
+        # put every injected clone on the index side and never exercise
+        # the duplicate-arrives-in-the-batch direction the operator
+        # exists for — rehash before the modulus to decorrelate
         docs = base.select(
             h.alias("doc_id"),
             F.when(
-                F.pmod(h, F.lit(20)) == 0,
+                F.pmod(F.xxhash64(h), F.lit(20)) == 0,
                 F.coalesce(F.lag("text").over(w), F.col("text")),
             ).otherwise(F.col("text")).alias("text"),
         )
