@@ -114,15 +114,18 @@ class SnapshotWriter:
         stats = stats.withColumn("write_latency_sec", F.lit(float(latency)))
         committed_at = float(time.time())
         stats = stats.withColumn("committed_at_unix", F.lit(committed_at))
-        # A zero-row snapshot still needs its manifest row — the manifest
-        # IS the commit record; without it the snapshot never becomes a
-        # replay no-op and committed_snapshots/read() never see it.
-        if not stats.take(1):
-            stats = spark.createDataFrame(
-                [(snapshot_id, *([None] * len(partition_cols)), 0,
-                  float(latency), committed_at)],
-                schema=stats.schema,
-            )
+        # Materialize the (tiny: one row per partition of one snapshot)
+        # lineage ONCE — the manifest append below would otherwise
+        # re-execute the read-back scan + aggregation as a second job on
+        # every commit. A zero-row snapshot still needs its manifest row
+        # — the manifest IS the commit record; without it the snapshot
+        # never becomes a replay no-op and committed_snapshots/read()
+        # never see it.
+        rows = stats.collect()
+        if not rows:
+            rows = [(snapshot_id, *([None] * len(partition_cols)), 0,
+                     float(latency), committed_at)]
+        stats = spark.createDataFrame(rows, schema=stats.schema)
         # schema-as-of-snapshot (Iceberg keeps schema in table metadata,
         # never by merging data-file footers): one row per commit with the
         # dataframe's schema JSON. read()/read_at() resolve the schema

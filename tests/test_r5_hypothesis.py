@@ -127,7 +127,13 @@ def test_curriculum_total_ordered_nan_safe(spark, scores, n_buckets):
     by_score = sorted(real, key=lambda t: t[1])
     buckets = [int(out.loc[i, "bucket"]) for i, _ in by_score]
     assert buckets == sorted(buckets)
-    # with >= n_buckets distinct real scores, the TOP bucket is reachable
-    # even when NaN rows outnumber the real ones (the r5 boundary fix)
-    if len({v for _, v in real}) >= n_buckets:
+    # with >= n_buckets ALL-DISTINCT real scores the TOP bucket is
+    # reachable even when NaN rows outnumber the real ones (the r5
+    # boundary fix). Distinctness matters: ties AT the max legitimately
+    # pull the top percentile boundary onto the max score, and the
+    # boundary-goes-DOWN contract then leaves the top bucket empty
+    # (e.g. scores [0, 10, 10], n=2: p50 = 10, bucket(10) = 0) — that
+    # is correct operator behavior, not a reachability bug.
+    vals = [v for _, v in real]
+    if len(set(vals)) == len(vals) and len(vals) >= n_buckets:
         assert max(buckets) == n_buckets - 1
