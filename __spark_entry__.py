@@ -1738,6 +1738,24 @@ def _q_embedding_near_dup_blocked(spark, sf_dir):
     )
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup within k-means
+    clusters, keep-the-outlier rule (see similarity.semdedup). k=8/iters=1
+    reuses the proven kmeans oracle unroll; threshold 0.35 sits inside the
+    fixture's occupied cosine range (max pairwise 0.51) so both pruned and
+    kept rows exist. Oracle: same Lloyd CTE + within-cluster asymmetric
+    prune join in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, k=8, iters=1)
+    out = sim.semdedup(emb, threshold=0.35, centroids=cents)
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        (F.col("cos_to_centroid") + F.lit(0.0)).alias("cent_sim"),
+        "keep",
+    )
+
+
 def _q_kmeans_centroids(spark, sf_dir):
     # Lloyd iterations as pure DataFrame ops; exploded (label, d, val) so
     # the differential gate compares scalars, rounded for cross-engine
@@ -2256,6 +2274,7 @@ _GATE_FRONT = [
     "multimodal_decode_image",
     "decontaminate_docs_bloom_forced",
     "dedup_incremental_docs",
+    "semdedup_docs",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2321,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_incremental_docs": _q_dedup_incremental,
+        "semdedup_docs": _q_semdedup,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -2770,6 +2790,31 @@ def _near_dup_blocked_oracle_sql(
         FROM cand c JOIN e ea ON ea.vec_id = c.id_a
              JOIN e eb ON eb.vec_id = c.id_b
         WHERE {_cos('ea.v', 'eb.v')} >= {threshold}
+    """
+    )
+
+
+def _semdedup_oracle_sql(threshold: float = 0.35, k: int = 8, iters: int = 1) -> str:
+    parts, cfinal = _kmeans_cte(k, iters)
+    parts.append(f"cl AS (SELECT label AS cell, centroid FROM {cfinal})")
+    parts.append(f"""asn AS (
+          SELECT vec_id, cell, cc, v FROM (
+            SELECT e.vec_id, cl.cell, e.v, {_cos('e.v', 'cl.centroid')} AS cc,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.v', 'cl.centroid')} DESC, cl.cell) AS rn
+            FROM e, cl
+          ) WHERE rn = 1)""")
+    parts.append(f"""pr AS (
+          SELECT DISTINCT a.vec_id
+          FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id != b.vec_id
+           AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id))
+          WHERE {_cos('a.v', 'b.v')} >= {threshold})""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+        SELECT a.vec_id, a.cell::BIGINT AS cell, a.cc + 0.0 AS cent_sim,
+               (p.vec_id IS NULL) AS keep
+        FROM asn a LEFT JOIN pr p ON p.vec_id = a.vec_id
     """
     )
 
@@ -3303,6 +3348,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _MINHASH_PAIRS,
         "dedup_incremental_docs": _MINHASH_INCREMENTAL,
+        "semdedup_docs": _semdedup_oracle_sql(threshold=0.35, k=8, iters=1),
         # same fixpoint as graph.connected_components, via transitive
         # closure in a recursive CTE (different algorithm, different engine)
         "dedup_clusters": f"""

@@ -182,6 +182,77 @@ def cosine_near_dup_pairs_blocked(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    inside k-means clusters. Cluster the embedding space, then call two
+    same-cluster items semantic duplicates when their cosine >= threshold;
+    from each duplicate relation keep the member LEAST similar to its
+    cluster centroid (the paper's keep-the-outlier rule — prototypical
+    redundant points go, boundary points stay), ties keep the lower id.
+
+    The keep rule is applied pairwise-greedily rather than over transitive
+    duplicate closures: a row is pruned iff SOME same-cluster row with
+    cosine >= threshold beats it under (cos_to_centroid ASC, id ASC)
+    priority. Each cluster's minimum-priority member therefore always
+    survives, every pruned row names a surviving-or-lower-priority witness,
+    and the result is deterministic with no iterative connected-components
+    pass (for transitive closures compose with graph.connected_components
+    as dedup_minhash_lsh does).
+
+    Scale: centroids are broadcast and assignment is one corpus scan
+    (ivf_assign, no shuffle); the duplicate search self-joins on the
+    cluster key, so work is quadratic within a cell only — the k ~ sqrt(N)
+    rule from cosine_near_dup_pairs_blocked keeps cells ~sqrt(N). All
+    cosines are rounded to 4 decimals (cross-engine determinism, same
+    contract as the blocked near-dup path).
+
+    Returns every input row: (id, cell, cos_to_centroid, keep).
+    """
+    cents = centroids if centroids is not None else kmeans_centroids(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    # persist: consumed three times (both self-join sides + the final
+    # mark-back); 3 narrow columns per row, tiny next to the vectors.
+    asn = persist_tracked(ivf_assign(df, cents, id_col, vec_col))
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    sided = asn.join(vecs, id_col)
+    a = sided.select(
+        "cell", F.col(id_col).alias("id_a"),
+        F.col("cos_to_centroid").alias("cc_a"), F.col("v").alias("va"),
+    )
+    b = sided.select(
+        "cell", F.col(id_col).alias("id_b"),
+        F.col("cos_to_centroid").alias("cc_b"), F.col("v").alias("vb"),
+    )
+    beats = (F.col("cc_b") < F.col("cc_a")) | (
+        (F.col("cc_b") == F.col("cc_a")) & (F.col("id_b") < F.col("id_a"))
+    )
+    pruned = (
+        a.join(b, "cell")
+        .filter((F.col("id_a") != F.col("id_b")) & beats)
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        asn.join(
+            pruned.withColumn("__pruned", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col, "cell", "cos_to_centroid",
+            F.col("__pruned").isNull().alias("keep"),
+        )
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = 8,

@@ -245,6 +245,56 @@ def test_kmeans_centroids_and_recall(emb_df):
     cpdf = cents.toPandas()
     assert 1 <= len(cpdf) <= 4 and all(len(c) == 16 for c in cpdf["centroid"])
 
+
+def test_semdedup_keep_outlier_rule(emb_df):
+    """semdedup == a numpy mirror of the pairwise-greedy SemDeDup rule on
+    the planted fixture: exactly one of the planted near-dup pair (3, 7) is
+    pruned, the survivor is the member FARTHER from its centroid (the
+    keep-the-outlier rule), and every cluster's min-priority member
+    survives regardless of threshold."""
+    df, vecs = emb_df
+    cents = sim.kmeans_centroids(df, k=4, iters=1)
+    out = sim.semdedup(df, threshold=0.9, centroids=cents).toPandas()
+    assert len(out) == 40 and set(out["vec_id"]) == set(range(40))
+
+    cpdf = cents.toPandas()
+    C = [np.asarray(c, dtype=np.float64) for c in cpdf["centroid"]]
+    labels = list(cpdf["label"])
+    V = vecs.astype(np.float64)
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+
+    cc, cell = {}, {}
+    for i in range(40):
+        best = sorted(
+            ((cos(V[i], C[j]), labels[j]) for j in range(len(labels))),
+            key=lambda t: (-t[0], t[1]),
+        )[0]
+        cc[i], cell[i] = best
+    pruned = {
+        i
+        for i in range(40)
+        for j in range(40)
+        if i != j
+        and cell[i] == cell[j]
+        and cos(V[i], V[j]) >= 0.9
+        and (cc[j] < cc[i] or (cc[j] == cc[i] and j < i))
+    }
+    got = dict(zip(out["vec_id"], out["keep"]))
+    assert all(got[i] == (i not in pruned) for i in range(40))
+    assert [got[3], got[7]].count(False) == 1
+    loser = 3 if not got[3] else 7
+    keeper = 10 - loser
+    assert (cc[loser] > cc[keeper]) or (cc[loser] == cc[keeper] and keeper < loser)
+    # each cluster's min-(cos_to_centroid, id) member always survives
+    for c in set(cell.values()):
+        best = min((i for i in range(40) if cell[i] == c), key=lambda i: (cc[i], i))
+        assert got[best]
+    # an impossible threshold prunes nothing
+    all_keep = sim.semdedup(df, threshold=1.01, centroids=cents).toPandas()
+    assert all_keep["keep"].all()
+
     # recall@5 of cell-probed search against brute force, reported per
     # VERDICT item 10; full probe (n_probe = n_cells) must be exact
     n_cells = len(cpdf)
