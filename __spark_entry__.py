@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from amazon_security_lake_transformation_library_spark.functions.timeops import eventday
 from amazon_security_lake_transformation_library_spark.operators import asof as asof_ops
+from amazon_security_lake_transformation_library_spark.operators import behavior as bhv
 from amazon_security_lake_transformation_library_spark.operators import chatprep as chp
 from amazon_security_lake_transformation_library_spark.operators import curation as cur
 from amazon_security_lake_transformation_library_spark.operators import datasetops as dso
@@ -2251,6 +2252,64 @@ def _q_preference_pairs(spark, sf_dir):
     return chp.preference_pairs(_pref_variants(t), k_prefix=2)
 
 
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def _q_funnel_steps(spark, sf_dir):
+    """Ordered k-step funnel (behavior.funnel_conversion): earliest
+    qualifying time per step per user, step i strictly after step i-1.
+    k-1 joins over |entities|-sized aggregates — the raw event stream is
+    scanned once per step with the type filter pushed down, never
+    self-joined. Oracle: the same greedy recurrence as chained CTEs."""
+    out = bhv.funnel_conversion(
+        _t(spark, sf_dir, "events"), FUNNEL_STEPS, entity="user_id"
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.unix_micros(F.col(f"step{i}_ts").cast("timestamp")).alias(
+                f"step{i}_us"
+            )
+            for i in range(1, len(FUNNEL_STEPS) + 1)
+        ],
+        "furthest_step",
+    )
+
+
+def _q_funnel_reach(spark, sf_dir):
+    """Per-step funnel reach (behavior.funnel_counts): one conditional
+    aggregate over the per-entity funnel -> (step, n_entities). The
+    composition query for the funnel family."""
+    fd = bhv.funnel_conversion(
+        _t(spark, sf_dir, "events"), FUNNEL_STEPS, entity="user_id"
+    )
+    return bhv.funnel_counts(fd, len(FUNNEL_STEPS))
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (behavior.cohort_retention): one
+    distinct presence projection, one first-seen aggregate, one join on
+    the SAME key (exchange reuse), one (cohort, offset) count. Output is
+    |weeks|^2-bounded at any corpus scale."""
+    return bhv.cohort_retention(
+        _t(spark, sf_dir, "events"), entity="user_id", granularity="week"
+    )
+
+
+def _q_rolling_distinct(spark, sf_dir):
+    """Exact trailing-24h rolling distinct users per hourly bucket
+    (behavior.rolling_distinct): coverage-interval islands -> bounded
+    explode -> plain partial-aggregable count, instead of the
+    non-distributive windowed COUNT DISTINCT. Oracle: quadratic
+    bucket-range join (different algorithm, same answer)."""
+    return bhv.rolling_distinct(
+        _t(spark, sf_dir, "events"),
+        entity="user_id",
+        bucket_seconds=3600,
+        window_buckets=24,
+    )
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -2275,6 +2334,8 @@ _GATE_FRONT = [
     "decontaminate_docs_bloom_forced",
     "dedup_incremental_docs",
     "semdedup_docs",
+    "funnel_steps_events", "funnel_reach_events",
+    "cohort_retention_events", "rolling_distinct_users",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2359,6 +2420,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_transcripts_bucketed": _q_flagship_bucketed,
         "flagship_transcripts_salted": _q_flagship_salted,
         "flagship_transcripts_hybrid": _q_flagship_hybrid,
+        # behavioral analytics family (new r5): funnel / cohort / rolling
+        "funnel_steps_events": _q_funnel_steps,
+        "funnel_reach_events": _q_funnel_reach,
+        "cohort_retention_events": _q_cohort_retention,
+        "rolling_distinct_users": _q_rolling_distinct,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
         "stream_interval_join_batch": _q_stream_interval_join_batch,
@@ -2481,6 +2547,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _EVENT_WINDOW = "PARTITION BY user_id ORDER BY ts, event_id"
 _EVENT_CUM = _EVENT_WINDOW + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+# greedy funnel recurrence (same shape as behavior.funnel_conversion, as
+# chained CTEs): step i = earliest event of type i strictly after the
+# entity's step i-1 time
+_FUNNEL_CTES = """
+            s1 AS (
+              SELECT user_id, min(ts) AS step1_ts FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS step2_ts
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS step3_ts
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+              GROUP BY e.user_id
+            )
+"""
 
 _SESSION_FLAG = f"""
 SELECT event_id, user_id, ts, value,
@@ -3011,6 +3097,50 @@ _SUBSTR_SPANS_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return _alias_oracles({
+        "funnel_steps_events": f"""
+            WITH {_FUNNEL_CTES}
+            SELECT s1.user_id, epoch_us(s1.step1_ts) AS step1_us,
+                   epoch_us(s2.step2_ts) AS step2_us,
+                   epoch_us(s3.step3_ts) AS step3_us,
+                   CASE WHEN s3.step3_ts IS NOT NULL THEN 3
+                        WHEN s2.step2_ts IS NOT NULL THEN 2
+                        ELSE 1 END AS furthest_step
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+        """,
+        "funnel_reach_events": f"""
+            WITH {_FUNNEL_CTES}
+            SELECT 1 AS step, count(*)::BIGINT AS n_entities FROM s1
+            UNION ALL
+            SELECT 2 AS step, count(*)::BIGINT FROM s2
+            UNION ALL
+            SELECT 3 AS step, count(*)::BIGINT FROM s3
+        """,
+        "cohort_retention_events": """
+            WITH presence AS (
+              SELECT DISTINCT user_id AS e,
+                     date_trunc('week', ts)::DATE AS p
+              FROM events
+            ), cohort AS (
+              SELECT e, min(p) AS c FROM presence GROUP BY e
+            )
+            SELECT c AS cohort_period,
+                   ((p - c) // 7)::INT AS period_offset,
+                   count(*)::BIGINT AS n_active
+            FROM presence JOIN cohort USING (e)
+            GROUP BY 1, 2
+        """,
+        "rolling_distinct_users": """
+            WITH presence AS (
+              SELECT DISTINCT user_id AS e,
+                     epoch_us(ts) // 3600000000 AS b
+              FROM events
+            ), obs AS (SELECT DISTINCT b FROM presence)
+            SELECT obs.b AS bucket, count(DISTINCT p.e)::BIGINT AS n_distinct
+            FROM obs JOIN presence p ON p.b BETWEEN obs.b - 23 AND obs.b
+            GROUP BY 1
+        """,
         "lag_lead_events": f"""
             SELECT event_id, user_id,
                    lag(value) OVER ({_EVENT_WINDOW}) AS prev_value,

@@ -399,3 +399,35 @@ def test_curation_windows_zero_exchange_on_micros_sorted_layout(spark, tmp_path)
     assert out.exceptAll(ref).count() == 0
     assert ref.exceptAll(out).count() == 0
     spark.sql("DROP TABLE tb_cur_plan")
+
+
+def test_funnel_pushes_step_filters_no_cartesian(spark):
+    """Every raw-events scan in the funnel plan is pruned to one step's
+    event type at the parquet reader, every join is a hash join on the
+    entity key (no BroadcastNestedLoop / cartesian from the ts-range
+    predicate), and the join sides after step 1 are the |entities|-sized
+    aggregates."""
+    plan = _plan(entrymod.queries()["funnel_steps_events"](spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert all("EqualTo(event_type" in ln for ln in pushed), pushed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_rolling_distinct_entity_partitioned_window(spark):
+    """The islands window is partitioned by entity (never a global sort),
+    and the final bucket count is a partial-aggregable HashAggregate —
+    the plan never materializes a per-(bucket, entity) RANGE window."""
+    plan = _plan(entrymod.queries()["rolling_distinct_users"](spark, SF_DIR))
+    assert re.search(r"Window .*windowspecdefinition\(_e", plan), plan
+    # lag + cumsum stack as two Window ops on ONE partition/order: a
+    # single Exchange(_e) and a single Sort serve both, and the
+    # (entity, island) aggregate rides the same partitioning (subset
+    # clustering) — no exchange between the window stack and the agg
+    assert plan.count("Window") == 2
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(_e#\d+L, \d+\)", plan)) == 1, plan
+    # explode is the bounded per-island sequence, not a join enumeration
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
