@@ -2296,6 +2296,23 @@ def _q_cohort_retention(spark, sf_dir):
     )
 
 
+def _q_rolling_distinct_kmv(spark, sf_dir):
+    """KMV-sketched rolling distinct (behavior.rolling_distinct_kmv) in
+    its exact regime: k=256 exceeds the fixture's 150 distinct users, so
+    every window synopsis is the full entity set and the estimate IS the
+    exact count — gated against the SAME quadratic oracle as the exact
+    operator (two algorithms, one answer). The estimation regime's error
+    envelope is property-tested in tests/test_behavior.py."""
+    out = bhv.rolling_distinct_kmv(
+        _t(spark, sf_dir, "events"),
+        entity="user_id",
+        bucket_seconds=3600,
+        window_buckets=24,
+        k=256,
+    )
+    return out.select("bucket", F.col("estimate").cast("long").alias("n_distinct"))
+
+
 def _q_rolling_distinct(spark, sf_dir):
     """Exact trailing-24h rolling distinct users per hourly bucket
     (behavior.rolling_distinct): coverage-interval islands -> bounded
@@ -2336,6 +2353,7 @@ _GATE_FRONT = [
     "semdedup_docs",
     "funnel_steps_events", "funnel_reach_events",
     "cohort_retention_events", "rolling_distinct_users",
+    "rolling_distinct_kmv_users",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2425,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_reach_events": _q_funnel_reach,
         "cohort_retention_events": _q_cohort_retention,
         "rolling_distinct_users": _q_rolling_distinct,
+        "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
         "stream_interval_join_batch": _q_stream_interval_join_batch,
@@ -3130,6 +3149,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_active
             FROM presence JOIN cohort USING (e)
             GROUP BY 1, 2
+        """,
+        "rolling_distinct_kmv_users": """
+            WITH presence AS (
+              SELECT DISTINCT user_id AS e,
+                     epoch_us(ts) // 3600000000 AS b
+              FROM events
+            ), obs AS (SELECT DISTINCT b FROM presence)
+            SELECT obs.b AS bucket, count(DISTINCT p.e)::BIGINT AS n_distinct
+            FROM obs JOIN presence p ON p.b BETWEEN obs.b - 23 AND obs.b
+            GROUP BY 1
         """,
         "rolling_distinct_users": """
             WITH presence AS (

@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 from ..functions.timeops import epoch_seconds
 
 __all__ = ["funnel_conversion", "funnel_counts", "cohort_retention",
-           "rolling_distinct"]
+           "rolling_distinct", "rolling_distinct_kmv"]
 
 
 def funnel_conversion(
@@ -271,3 +271,72 @@ def rolling_distinct(
         obs = presence.select(F.col("_b").alias("bucket")).distinct()
         counts = counts.join(obs, "bucket", "left_semi")
     return counts
+
+
+def rolling_distinct_kmv(
+    events: DataFrame,
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    window_buckets: int = 24,
+    k: int = 64,
+    observed_only: bool = True,
+) -> DataFrame:
+    """KMV-sketched rolling distinct — the scale path for LARGE trailing
+    windows, where :func:`rolling_distinct`'s exact coverage explode
+    (O(islands x W) entity-level rows) gets expensive.
+
+    Collapses the corpus ONCE to a per-bucket k-min synopsis
+    (|buckets| x k rows, via the partition-bounded
+    ``sketch.kmv_synopsis`` reduction), then solves the rolling merge
+    entirely on the synopsis table: each bucket's k-min set covers the W
+    target buckets [b, b+W-1] (the same coverage trick, but exploding
+    sketch rows, not entities), and the k smallest distinct fractions per
+    target bucket ARE the KMV state of the union of the window's entities
+    (k-min-of-union == k-min of unioned k-min sets), so the estimator
+    keeps exact KMV semantics over the window.
+
+    Returns ``(bucket: long, n_candidates: long, estimate: double)``.
+    Exact-regime contract: a window holding fewer than k distinct
+    entities gets ``estimate == exact distinct count`` (integer-valued)
+    — the differential gate pins this against the same quadratic oracle
+    as the exact operator; the estimation regime carries the standard
+    KMV ~1/sqrt(k-2) relative error (property-tested against
+    :func:`rolling_distinct`).
+
+    At 100 TB: every corpus scan is a map-side bounded reduction (the
+    k-min pass emits <= |buckets| x k rows per partition; the
+    observed-bucket branch is a partial-agg distinct of one long column);
+    everything after is |buckets|-scale. Explode volume is
+    |buckets| x k x W synopsis rows — independent of corpus size.
+    """
+    from .sketch import kmv_estimate, kmv_synopsis
+
+    w = int(window_buckets)
+    bucket = F.floor(epoch_seconds(F.col(ts_col)) / F.lit(int(bucket_seconds)))
+    proj = events.select(bucket.alias("_b"), F.col(entity).alias("_e"))
+    syn = kmv_synopsis(proj, "_b", "_e", k).select(
+        F.col("g").cast("long").alias("_b"), "frac"
+    )
+    covered = syn.select(
+        F.explode(
+            F.sequence(F.col("_b"), F.col("_b") + F.lit(w - 1))
+        ).alias("g"),
+        "frac",
+    )
+    merge_w = Window.partitionBy("g").orderBy("frac")
+    ranked = (
+        covered.distinct()
+        .withColumn("rn", F.row_number().over(merge_w))
+        .where(F.col("rn") <= k)
+        .withColumn("g", F.col("g").cast("string"))
+    )
+    out = kmv_estimate(ranked, k, "bucket").select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_candidates",
+        "estimate",
+    )
+    if observed_only:
+        obs = syn.select(F.col("_b").alias("bucket")).distinct()
+        out = out.join(obs, "bucket", "left_semi")
+    return out

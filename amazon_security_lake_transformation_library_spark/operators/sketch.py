@@ -48,7 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "hash_frac", "kmv_distinct",
+    "hash_frac", "kmv_synopsis", "kmv_distinct", "kmv_estimate",
     "mg_candidates", "heavy_hitters", "heavy_hitters_abs",
 ]
 
@@ -99,19 +99,21 @@ def _partition_kmin(k: int):
     return fn
 
 
-def kmv_distinct(
+def kmv_synopsis(
     df: DataFrame,
     group_col: str,
     value_col: str,
     k: int = 64,
 ) -> DataFrame:
-    """Per-group KMV distinct-count estimate: (group, n_candidates,
-    estimate). ``estimate`` is rounded to 4 decimals; exact (= the number
-    of distinct hashes seen) when a group has < k distinct values.
+    """Per-group merged KMV synopsis: the k smallest DISTINCT hash
+    fractions of ``value_col`` per group, as ``(g: string, frac: double,
+    rn: int)`` with ``rn`` the 1-based rank within the group.
 
-    ``n_candidates`` is the size of the merged k-min set (= k when the
-    group saturates) — exposed so callers can see which groups are in
-    the exact regime."""
+    This is the *mergeable state* of the KMV sketch (the k-min set), not
+    the estimate — exposed so composite operators (e.g. rolling distinct
+    over time buckets) can union synopses across groups and re-rank: the
+    k smallest of a union of per-set k-min sets IS the k-min set of the
+    union, so downstream merges stay exact sketch semantics."""
     hashed = df.select(
         F.col(group_col).cast("string").alias("g"),
         hash_frac(F.col(value_col)).alias("frac"),
@@ -125,11 +127,18 @@ def kmv_distinct(
     from pyspark.sql import Window
 
     w = Window.partitionBy("g").orderBy("frac")
-    ranked = (
+    return (
         candidates.distinct()
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
     )
+
+
+def kmv_estimate(ranked: DataFrame, k: int, group_out: str = "g") -> DataFrame:
+    """Finish a :func:`kmv_synopsis`-shaped frame ``(g, frac, rn)`` into
+    ``(group_out, n_candidates, estimate)``: (k-1)/h_k when the group
+    saturates k candidates, else exact n_candidates. Estimate rounded to
+    4 decimals (differential-gate float contract)."""
     return (
         ranked.groupBy("g")
         .agg(
@@ -137,7 +146,7 @@ def kmv_distinct(
             F.max(F.when(F.col("rn") == k, F.col("frac"))).alias("__hk"),
         )
         .select(
-            F.col("g").alias(group_col),
+            F.col("g").alias(group_out),
             F.col("n_candidates").cast("long").alias("n_candidates"),
             (
                 F.round(
@@ -151,6 +160,22 @@ def kmv_distinct(
             ).alias("estimate"),
         )
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate: (group, n_candidates,
+    estimate). ``estimate`` is rounded to 4 decimals; exact (= the number
+    of distinct hashes seen) when a group has < k distinct values.
+
+    ``n_candidates`` is the size of the merged k-min set (= k when the
+    group saturates) — exposed so callers can see which groups are in
+    the exact regime."""
+    return kmv_estimate(kmv_synopsis(df, group_col, value_col, k), k, group_col)
 
 
 # --------------------------------------------------------- heavy hitters

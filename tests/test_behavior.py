@@ -216,3 +216,81 @@ def test_rolling_distinct_w1_is_plain_distinct(spark, events_df):
         .collect()
     )
     assert got == {r["b"]: r["count"] for r in plain}
+
+
+def test_rolling_distinct_kmv_exact_regime(spark, events_df, events_pdf):
+    """k above the global entity cardinality -> the sketch path equals the
+    exact operator bucket-for-bucket (integer equality), and n_candidates
+    equals the true window distinct."""
+    exact = {
+        r["bucket"]: r["n_distinct"]
+        for r in bhv.rolling_distinct(events_df, window_buckets=24).collect()
+    }
+    kmv = bhv.rolling_distinct_kmv(events_df, window_buckets=24, k=512).collect()
+    assert {r["bucket"] for r in kmv} == set(exact)
+    for r in kmv:
+        assert r["estimate"] == float(exact[r["bucket"]]), r
+        assert r["n_candidates"] == exact[r["bucket"]], r
+
+
+def _py_hash_frac(v) -> float:
+    """Python mirror of sketch.hash_frac: first 8 md5 hex nibbles as an
+    exact binary fraction."""
+    import hashlib
+
+    h = hashlib.md5(str(v).encode()).hexdigest()
+    return sum(int(c, 16) * 16.0 ** -(i + 1) for i, c in enumerate(h[:8]))
+
+
+def test_rolling_distinct_kmv_estimation_regime(spark):
+    """k far below window cardinality: the windowed merge of per-bucket
+    synopses must equal a GLOBAL KMV computed directly over each window's
+    entity set (k-min-of-union == union-of-k-mins) — exact equality
+    against a python mirror, no statistical tolerance. Entities rotate
+    over time so different windows genuinely hold different sets."""
+    rows = []
+    rng = random.Random(11)
+    for _ in range(6000):
+        hour = rng.randrange(48)
+        # sliding active population: ids [hour*8, hour*8 + 120)
+        uid = hour * 8 + rng.randrange(120)
+        rows.append(
+            {
+                "user_id": uid,
+                "ts": T0 + dt.timedelta(seconds=hour * 3600 + rng.randrange(3600)),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+    k, w = 16, 24
+    pdf["b"] = pdf.ts.map(lambda t: int(pd.Timestamp(t).timestamp()) // 3600)
+    pres = pdf[["user_id", "b"]].drop_duplicates()
+
+    def mirror(bucket):
+        ents = set(pres[(pres.b > bucket - w) & (pres.b <= bucket)].user_id)
+        fr = sorted({_py_hash_frac(e) for e in ents})
+        if len(fr) < k:
+            return len(fr), float(len(fr))
+        return k, round((k - 1) / fr[k - 1], 4)
+
+    est = bhv.rolling_distinct_kmv(df, window_buckets=w, k=k).collect()
+    assert {r["bucket"] for r in est} == set(pres.b.unique())
+    saturated = 0
+    for r in est:
+        n_cand, e = mirror(r["bucket"])
+        assert r["n_candidates"] == n_cand, r
+        assert r["estimate"] == pytest.approx(e, abs=1e-9), (r, e)
+        if n_cand == k:
+            saturated += 1
+    assert saturated > 10, "fixture must exercise the estimator regime"
+
+
+def test_rolling_distinct_kmv_small_window_exactness(spark, events_df, events_pdf):
+    """W=1 + big k degenerates to per-bucket exact distinct via the
+    sketch plumbing."""
+    got = {
+        r["bucket"]: int(r["estimate"])
+        for r in bhv.rolling_distinct_kmv(events_df, window_buckets=1, k=512).collect()
+    }
+    want = _brute_rolling(events_pdf, 3600, 1, True)
+    assert got == want
