@@ -32,6 +32,7 @@ from amazon_security_lake_transformation_library_spark.operators import features
 from amazon_security_lake_transformation_library_spark.operators import fused as fused_ops
 from amazon_security_lake_transformation_library_spark.operators import merge as merge_ops
 from amazon_security_lake_transformation_library_spark.operators import repetition as rep
+from amazon_security_lake_transformation_library_spark.operators import retrieval as ret
 from amazon_security_lake_transformation_library_spark.operators import similarity as sim
 from amazon_security_lake_transformation_library_spark.operators import textstats as ts_ops
 from amazon_security_lake_transformation_library_spark.operators.salted import time_chunk
@@ -2327,6 +2328,28 @@ def _q_rolling_distinct(spark, sf_dir):
     )
 
 
+BM25_TERMS = ["spark", "window", "merge", "vector"]
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 top-20 docs for a constant 4-term query (retrieval.bm25_topk):
+    per-term tf via in-row higher-order functions (zero explode), ONE
+    scalar aggregate for N/avgdl/df broadcast back, global
+    TakeOrderedAndProject for the top-k — two column-pruned corpus scans,
+    no wide shuffle. Oracle: the same formula as explicit SQL."""
+    return ret.bm25_topk(_t(spark, sf_dir, "documents"), BM25_TERMS, k=20)
+
+
+def _q_knn_label_metrics(spark, sf_dir):
+    """Embedding-quality gate (retrieval.knn_label_metrics): exact top-5
+    cosine neighbors for the fixed query set (broadcast queries, one
+    corpus scan), then per-label precision@5 and MRR of the first
+    same-label neighbor. Oracle: quadratic join + window replay."""
+    return ret.knn_label_metrics(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
+    )
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -2354,6 +2377,7 @@ _GATE_FRONT = [
     "funnel_steps_events", "funnel_reach_events",
     "cohort_retention_events", "rolling_distinct_users",
     "rolling_distinct_kmv_users",
+    "bm25_topk_docs", "knn_label_metrics",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2443,6 +2467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_reach_events": _q_funnel_reach,
         "cohort_retention_events": _q_cohort_retention,
         "rolling_distinct_users": _q_rolling_distinct,
+        "bm25_topk_docs": _q_bm25_topk,
+        "knn_label_metrics": _q_knn_label_metrics,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -2714,6 +2740,51 @@ def _cos(a: str, b: str) -> str:
 
 
 _QUERY_IDS_SQL = "(" + ",".join(str(i) for i in QUERY_VEC_IDS) + ")"
+
+
+def _bm25_sql(terms, k=20, k1=1.2, b=0.75):
+    """BM25 oracle: the identical formula as explicit SQL, every double
+    literal spelled with repr() so DuckDB parses the exact binary64 value
+    Spark computes (e.g. k1+1.0), and the per-term sum written in the same
+    left-to-right association order as retrieval.bm25_topk."""
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    tf_cols = ",\n                     ".join(
+        f"len(list_filter(tk, x -> x = '{t}'))::DOUBLE AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                     ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    contrib = "\n                       + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * {k1 + 1.0!r} / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, tk, len(tk)::DOUBLE AS dl,
+                     {tf_cols}
+              FROM (SELECT doc_id, {toks} AS tk FROM documents)
+            ), st AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(dl) / count(*) AS avgdl,
+                     {df_cols}
+              FROM toks
+            ), sc AS (
+              SELECT doc_id,
+                     round(0.0
+                       + {contrib}, 4) AS score
+              FROM toks, st
+            )
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+                   doc_id, score + 0.0 AS score
+            FROM sc WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT {k}
+        """
+
+
+_BM25_SQL = _bm25_sql(BM25_TERMS)
 
 # ------------------------------------------------- flagship transcripts oracle
 
@@ -3169,6 +3240,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT obs.b AS bucket, count(DISTINCT p.e)::BIGINT AS n_distinct
             FROM obs JOIN presence p ON p.b BETWEEN obs.b - 23 AND obs.b
             GROUP BY 1
+        """,
+        "bm25_topk_docs": _BM25_SQL,
+        "knn_label_metrics": f"""
+            WITH e AS ({_EMB}),
+            s AS (
+              SELECT q.vec_id AS query_id, q.label AS q_label,
+                     c.vec_id AS neighbor_id, c.label AS n_label,
+                     {_cos('q.v', 'c.v')} AS cos_sim
+              FROM e q JOIN e c ON c.vec_id != q.vec_id
+              WHERE q.vec_id IN {_QUERY_IDS_SQL}
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM s
+            ), pq AS (
+              SELECT query_id, q_label,
+                     sum(CASE WHEN n_label = q_label THEN 1.0 ELSE 0.0 END) / 5 AS p,
+                     coalesce(1.0 / min(CASE WHEN n_label = q_label THEN rank END), 0.0) AS rr
+              FROM r WHERE rank <= 5 GROUP BY 1, 2
+            )
+            SELECT q_label AS label, count(*)::BIGINT AS n_queries,
+                   round(avg(p), 4) + 0.0 AS p_at_k,
+                   round(avg(rr), 4) + 0.0 AS mrr
+            FROM pq GROUP BY 1
         """,
         "lag_lead_events": f"""
             SELECT event_id, user_id,

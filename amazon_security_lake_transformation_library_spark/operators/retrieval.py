@@ -1,0 +1,190 @@
+"""Lexical retrieval over a document corpus: BM25 scoring / top-k and a
+kNN label-consistency evaluation metric for embedding spaces.
+
+A training-data pipeline at corpus scale needs a retrieval surface twice:
+once for curation (find documents about X to up/down-sample, locate eval
+contamination beyond exact n-grams) and once for evaluating learned
+embeddings (does nearest-neighbor structure respect labels?). The
+reference library has no retrieval surface at all (its
+transformation_function only normalizes rows into OCSF); this module is
+part of the training-pipeline extension inventoried in SURVEY.md §2.D.
+
+Design for scale
+----------------
+* ``bm25_topk`` — the naive formulation builds an exploded (doc, term)
+  posting table and shuffles it twice (df aggregate, then score join).
+  For the ad-hoc-query case the engine instead exploits that the query
+  is a SMALL constant set of terms: per-term term frequency is computed
+  *in-row* with ``size(filter(tokens, t = term))`` (a JVM higher-order
+  function — zero explode, zero shuffle), corpus statistics
+  (N, avgdl, per-term document frequency) reduce to ONE scalar aggregate
+  (map-side partial, a handful of doubles), and the stats row is
+  broadcast back with a literal cross join. Total cost: two corpus scans,
+  no wide shuffle, top-k via a global ``TakeOrderedAndProject`` (never a
+  full sort). At 100 TB both scans are column-pruned to (doc_id, text).
+* ``knn_label_metrics`` — composes the exact ``cosine_topk`` kernel
+  (query side broadcast, corpus scanned once) with a label join on the
+  |queries × k|-sized neighbor table, then one tiny per-label aggregate.
+  The expensive part inherits cosine_topk's scale shape; everything
+  after it is query-set-sized.
+
+Both are deterministic functions of the input set (scores are fixed
+left-to-right double expressions, ties broken on ids), so the DuckDB
+differential oracle replays them in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_topk", "knn_label_metrics"]
+
+_TOKEN_RE = "[^a-z0-9]+"
+
+
+def _tokens(text_col):
+    """Lowercased alphanumeric tokens, empties dropped (regex split keeps
+    leading/trailing empty strings on both engines)."""
+    return F.filter(
+        F.split(F.lower(text_col), _TOKEN_RE), lambda x: x != F.lit("")
+    )
+
+
+def _term_freq(toks_col, term: str):
+    # Single-arg lambda only: a second lambda parameter would be bound to
+    # the element INDEX by Spark's higher-order-function protocol.
+    return F.size(F.filter(toks_col, lambda x: x == F.lit(term)))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 score against a constant term set.
+
+    Returns (rank, <id_col>, score) with score rounded to 4 decimals;
+    ranking is on the rounded score with id tiebreak so the order is
+    insensitive to sub-1e-4 float noise. Documents matching no query
+    term (score 0) are excluded.
+
+    idf uses the non-negative Robertson–Sparck-Jones form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    terms = list(dict.fromkeys(query_terms))  # stable-order dedup
+
+    toks = docs.select(
+        F.col(id_col),
+        _tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        id_col,
+        F.size("_toks").cast("double").alias("_dl"),
+        *[
+            _term_freq(F.col("_toks"), t).cast("double").alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    # ONE scalar aggregate for every corpus statistic the formula needs.
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("double")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = toks.crossJoin(F.broadcast(stats))
+    # Fixed left-to-right sum over the constant term list — the same
+    # association order the SQL oracle writes, so doubles agree bit-wise.
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5)
+        )
+        tf = F.col(f"_tf_{i}")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / denom
+
+    out = (
+        scored.select(F.col(id_col), F.round(score, 4).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    # The window runs AFTER the global limit — k rows, one task.
+    return out.select(
+        F.row_number().over(w).alias("rank"), id_col, "score"
+    )
+
+
+def knn_label_metrics(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label kNN consistency of an embedding space.
+
+    For each query vector: exact top-k cosine neighbors (self excluded,
+    via similarity.cosine_topk — broadcast queries, one corpus scan),
+    then per query ``precision@k`` (share of neighbors sharing the
+    query's label) and ``reciprocal rank`` of the first same-label
+    neighbor (0 when none). Returns one row per query label:
+    (label, n_queries, p_at_k, mrr), metrics rounded to 4 decimals.
+
+    This is the standard embedding-quality gate a dedup/curation
+    pipeline runs before trusting cosine thresholds at corpus scale.
+    """
+    from .similarity import cosine_topk
+
+    topk = cosine_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    joined = (
+        topk.join(
+            F.broadcast(labels.withColumnRenamed(label_col, "_q_label")),
+            topk.query_id == F.col(id_col),
+        )
+        .drop(id_col)
+        .join(
+            F.broadcast(labels.withColumnRenamed(label_col, "_n_label")),
+            topk.neighbor_id == F.col(id_col),
+        )
+        .drop(id_col)
+    )
+    per_query = joined.groupBy("query_id", "_q_label").agg(
+        (F.sum((F.col("_n_label") == F.col("_q_label")).cast("double")) / k).alias(
+            "_p"
+        ),
+        F.coalesce(
+            F.lit(1.0)
+            / F.min(
+                F.when(F.col("_n_label") == F.col("_q_label"), F.col("rank"))
+            ),
+            F.lit(0.0),
+        ).alias("_rr"),
+    )
+    return (
+        per_query.groupBy(F.col("_q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("_p"), 4).alias("p_at_k"),
+            F.round(F.avg("_rr"), 4).alias("mrr"),
+        )
+    )
