@@ -33,6 +33,8 @@ from amazon_security_lake_transformation_library_spark.operators import fused as
 from amazon_security_lake_transformation_library_spark.operators import merge as merge_ops
 from amazon_security_lake_transformation_library_spark.operators import repetition as rep
 from amazon_security_lake_transformation_library_spark.operators import retrieval as ret
+from amazon_security_lake_transformation_library_spark.operators import profiling as prof
+from amazon_security_lake_transformation_library_spark.operators import sketch as sk
 from amazon_security_lake_transformation_library_spark.operators import similarity as sim
 from amazon_security_lake_transformation_library_spark.operators import textstats as ts_ops
 from amazon_security_lake_transformation_library_spark.operators.salted import time_chunk
@@ -2340,6 +2342,38 @@ def _q_bm25_topk(spark, sf_dir):
     return ret.bm25_topk(_t(spark, sf_dir, "documents"), BM25_TERMS, k=20)
 
 
+CMS_DEPTH, CMS_WIDTH = 4, 64
+
+
+def _q_cms_freq(spark, sf_dir):
+    """Count-min sketch point frequencies (sketch.cms_build/cms_estimate):
+    per-partition partial aggregation collapses the corpus to a
+    depth*width counter table; the probe set joins only the broadcast
+    counter slices. width=64 over 150 users forces real bucket
+    collisions, so the gate exercises the overestimate path too (the
+    oracle replays the identical md5-derived buckets). exact count joined
+    alongside to pin est >= exact."""
+    ev = _t(spark, sf_dir, "events")
+    counters = sk.cms_build(ev, "user_id", depth=CMS_DEPTH, width=CMS_WIDTH)
+    probes = ev.select("user_id").where(F.col("user_id") < 10).distinct()
+    est = sk.cms_estimate(
+        counters, probes, "user_id", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    exact = ev.where(F.col("user_id") < 10).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    return est.join(exact, "user_id").select("user_id", "est", "exact")
+
+
+def _q_key_skew_profile(spark, sf_dir):
+    """Key-skew diagnostic (profiling.key_skew_profile): one groupBy-count
+    shuffle, every statistic an aggregate over the |keys|-sized count
+    table — the pre-pass a salting/routing decision consumes. Oracle:
+    the same statistics in plain SQL (quantile_cont = Spark's exact
+    interpolated percentile)."""
+    return prof.key_skew_profile(_t(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
 def _q_knn_label_metrics(spark, sf_dir):
     """Embedding-quality gate (retrieval.knn_label_metrics): exact top-5
     cosine neighbors for the fixed query set (broadcast queries, one
@@ -2378,6 +2412,7 @@ _GATE_FRONT = [
     "cohort_retention_events", "rolling_distinct_users",
     "rolling_distinct_kmv_users",
     "bm25_topk_docs", "knn_label_metrics",
+    "cms_freq_users", "key_skew_profile_events",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2469,6 +2504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": _q_rolling_distinct,
         "bm25_topk_docs": _q_bm25_topk,
         "knn_label_metrics": _q_knn_label_metrics,
+        "cms_freq_users": _q_cms_freq,
+        "key_skew_profile_events": _q_key_skew_profile,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -2785,6 +2822,79 @@ def _bm25_sql(terms, k=20, k1=1.2, b=0.75):
 
 
 _BM25_SQL = _bm25_sql(BM25_TERMS)
+
+
+def _cms_sql(depth=4, width=64):
+    """CMS oracle: replays the identical md5-derived buckets (the exact
+    binary-fraction construction of sketch.hash_frac) and the min-over-
+    rows estimate in plain SQL."""
+
+    def frac(expr):
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
+            f" * power(16.0, -{i})"
+            for i in range(1, 9)
+        )
+
+    def bucket(j):
+        h = f"md5('{j}:' || user_id::VARCHAR)"
+        return f"floor(({frac(h)}) * {float(width)!r})::INT"
+
+    pairs = "\n              UNION ALL ".join(
+        f"SELECT {j} AS row, {bucket(j)} AS bucket FROM events"
+        for j in range(depth)
+    )
+    probe_cols = ",\n                     ".join(
+        f"{bucket(j)} AS b{j}" for j in range(depth)
+    )
+    joins = "\n            ".join(
+        f"LEFT JOIN counters c{j} ON c{j}.row = {j} AND c{j}.bucket = p.b{j}"
+        for j in range(depth)
+    )
+    least = ", ".join(f"coalesce(c{j}.cnt, 0)" for j in range(depth))
+    return f"""
+            WITH pairs AS (
+              {pairs}
+            ), counters AS (
+              SELECT row, bucket, count(*)::BIGINT AS cnt
+              FROM pairs GROUP BY 1, 2
+            ), probes AS (
+              SELECT DISTINCT user_id,
+                     {probe_cols}
+              FROM events WHERE user_id < 10
+            ), exact AS (
+              SELECT user_id, count(*)::BIGINT AS exact
+              FROM events WHERE user_id < 10 GROUP BY 1
+            )
+            SELECT p.user_id, least({least})::BIGINT AS est, e.exact
+            FROM probes p
+            {joins}
+            JOIN exact e ON e.user_id = p.user_id
+        """
+
+
+_CMS_SQL = _cms_sql(depth=4, width=64)
+
+_KEY_SKEW_SQL = """
+            WITH c AS (
+              SELECT user_id::VARCHAR AS k, count(*)::BIGINT AS c
+              FROM events GROUP BY 1
+            ), r AS (
+              SELECT c.*, row_number() OVER (ORDER BY c DESC, k) AS rn FROM c
+            )
+            SELECT sum(c)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_keys,
+                   max(c)::BIGINT AS max_key_rows,
+                   round(quantile_cont(c, 0.99), 4) + 0.0 AS p99_key_rows,
+                   round(quantile_cont(c, 0.5), 4) + 0.0 AS median_key_rows,
+                   round(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END)::DOUBLE
+                         / sum(c)::DOUBLE, 4) + 0.0 AS top_share,
+                   round(stddev_pop(c) / avg(c), 4) + 0.0 AS cv,
+                   round((log2(sum(c)::DOUBLE)
+                          + sum(-(c::DOUBLE) * log2(c::DOUBLE)) / sum(c)::DOUBLE)
+                         / log2(count(*)::DOUBLE), 4) + 0.0 AS entropy_norm
+            FROM r
+        """
 
 # ------------------------------------------------- flagship transcripts oracle
 
@@ -3242,6 +3352,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "bm25_topk_docs": _BM25_SQL,
+        "cms_freq_users": _CMS_SQL,
+        "key_skew_profile_events": _KEY_SKEW_SQL,
         "knn_label_metrics": f"""
             WITH e AS ({_EMB}),
             s AS (

@@ -1,0 +1,99 @@
+"""Key-distribution diagnostics: the skew profile a pipeline operator
+(shuffle-keyed join, window, groupBy) needs BEFORE it runs at 100 TB.
+
+Every skew mitigation in this engine (salted flagship, hybrid router,
+adaptive hot-entity threshold in plans/bucketed.py) needs an input
+statistic to act on. ``key_skew_profile`` computes that statistic as a
+first-class operator: per-key row counts reduced to one summary row —
+total rows, distinct keys, the max/p99/median key mass, the share held
+by the top-N keys, the coefficient of variation, and the normalized
+Shannon entropy of the key distribution (1.0 = perfectly balanced,
+0.0 = one key holds everything).
+
+Scale shape: ONE groupBy-count over the corpus (map-side partial agg —
+the shuffle carries ≤ |keys| rows per partition), then every statistic
+is an aggregate over the |keys|-sized count table; the top-N share uses
+a sketch-sized sort (TakeOrderedAndProject semantics via a bounded
+window on the count table, never the corpus). No corpus re-scan, no
+driver collect.
+
+The reference library has no profiling surface; this generalizes the
+hot-entity pre-pass of fused.asof_turn_features_hybrid into a reusable
+diagnostic (SURVEY.md §2.D training-pipeline extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["key_skew_profile"]
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """One-row skew summary of the ``key_col`` distribution.
+
+    Columns: ``n_rows, n_keys, max_key_rows, p99_key_rows,
+    median_key_rows, top_share, cv, entropy_norm`` (doubles rounded to 4
+    decimals). ``top_share`` is the fraction of all rows held by the
+    ``top_n`` heaviest keys (count-desc, key-asc tiebreak so the cut is
+    deterministic under ties); ``entropy_norm`` is Shannon entropy of
+    the key distribution divided by log2(n_keys) (NULL when n_keys = 1,
+    where balance is undefined); ``cv`` is the population
+    coefficient-of-variation of per-key counts (0 when n_keys = 1).
+    """
+    counts = (
+        df.groupBy(F.col(key_col).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("k"))
+    # rank runs on the |keys|-sized count table (single-partition window
+    # over the sketch-sized intermediate, not the corpus)
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.sum("c").alias("_n"),
+        F.count(F.lit(1)).alias("_k"),
+        F.max("c").alias("max_key_rows"),
+        F.expr("percentile(c, 0.99)").alias("_p99"),
+        F.expr("percentile(c, 0.5)").alias("_med"),
+        F.sum(F.when(F.col("rn") <= top_n, F.col("c")).otherwise(0)).alias(
+            "_top"
+        ),
+        F.stddev_pop("c").alias("_sd"),
+        F.avg("c").alias("_mean"),
+        F.sum(
+            -(F.col("c").cast("double"))
+            * F.log2(F.col("c").cast("double"))
+        ).alias("_clogc"),
+    ).select(
+        F.col("_n").alias("n_rows"),
+        F.col("_k").alias("n_keys"),
+        "max_key_rows",
+        (F.round("_p99", 4) + F.lit(0.0)).alias("p99_key_rows"),
+        (F.round("_med", 4) + F.lit(0.0)).alias("median_key_rows"),
+        (F.round(F.col("_top") / F.col("_n"), 4) + F.lit(0.0)).alias(
+            "top_share"
+        ),
+        (F.round(F.col("_sd") / F.col("_mean"), 4) + F.lit(0.0)).alias("cv"),
+        # H = log2(N) - (1/N) * sum(c*log2 c); normalized by log2(K).
+        # Computed from the single c*log2(c) aggregate instead of a
+        # second pass over per-key probabilities.
+        (
+            F.round(
+                F.when(
+                    F.col("_k") > 1,
+                    (
+                        F.log2(F.col("_n").cast("double"))
+                        + F.col("_clogc") / F.col("_n")
+                    )
+                    / F.log2(F.col("_k").cast("double")),
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("entropy_norm"),
+    )

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_frac", "kmv_synopsis", "kmv_distinct", "kmv_estimate",
     "mg_candidates", "heavy_hitters", "heavy_hitters_abs",
+    "cms_build", "cms_estimate",
 ]
 
 _HEX = "0123456789abcdef"
@@ -363,3 +364,90 @@ def _exact_count_pass(df: DataFrame, key_col: str, k: int, thresh):
         .where(F.col(key_col).isNotNull() & (F.col("n_rows") >= F.col("__t")))
         .select(key_col, "n_rows")
     )
+
+
+# ------------------------------------------------------ count-min sketch
+
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    """Bucket of ``value`` in CMS hash row ``row``: md5 of the
+    row-salted value, mapped through the same exact-binary-fraction
+    construction as :func:`hash_frac` so DuckDB reproduces it
+    bit-for-bit, then scaled to [0, width)."""
+    return F.floor(
+        hash_frac(F.concat(F.lit(f"{row}:"), value.cast("string")))
+        * F.lit(float(width))
+    ).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Algorithms'05) of the
+    frequency distribution of ``value_col``: returns the counter table
+    ``(row: int, bucket: int, cnt: long)`` with at most depth*width rows.
+
+    Scale shape: the only shuffle carries ≤ depth*width rows per map
+    partition (map-side partial aggregation collapses each partition to
+    its local counter table first), independent of input volume — the
+    classic mergeable-summary trade. Two sketches of disjoint data merge
+    by unioning and re-summing (property-tested), so the counter table
+    is incrementally maintainable under appends.
+
+    ``depth`` rows give error ≤ e/width · N with probability
+    1 - e^-depth (overestimate-only); point estimates are the min over
+    rows (:func:`cms_estimate`).
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(F.col(value_col), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy("p.row", "p.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_build` counter table:
+    one row per input value, ``(value_col, est: long)`` with
+    ``est = min over hash rows of the value's counter`` (0 when a row's
+    bucket was never touched). Each ≤ width-row counter slice is
+    broadcast against the query set, so the corpus is never re-scanned
+    and no shuffle occurs."""
+    probes = values.select(
+        F.col(value_col),
+        *[
+            _cms_bucket(F.col(value_col), j, width).alias(f"_b{j}")
+            for j in range(depth)
+        ],
+    )
+    est = F.least(
+        *[
+            F.coalesce(F.col(f"_c{j}"), F.lit(0).cast("long"))
+            for j in range(depth)
+        ]
+    )
+    out = probes
+    for j in range(depth):
+        row_j = counters.where(F.col("row") == j).select(
+            F.col("bucket").alias(f"_b{j}"), F.col("cnt").alias(f"_c{j}")
+        )
+        out = out.join(F.broadcast(row_j), on=f"_b{j}", how="left")
+    return out.select(value_col, est.alias("est"))
