@@ -2374,6 +2374,42 @@ def _q_key_skew_profile(spark, sf_dir):
     return prof.key_skew_profile(_t(spark, sf_dir, "events"), "user_id", top_n=10)
 
 
+MAD_K = 3.0
+
+
+def _q_mad_outliers(spark, sf_dir):
+    """Robust per-type outlier gate (profiling.mad_outliers): two exact
+    grouped percentile passes (median, MAD) joined back on the same key
+    (exchange reuse), summarized per event_type. Oracle: identical
+    recurrence with quantile_cont."""
+    flags = prof.mad_outliers(
+        _t(spark, sf_dir, "events"), "event_type", "value", k=MAD_K
+    )
+    return flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        (F.round(F.max("med"), 4) + F.lit(0.0)).alias("med"),
+        (F.round(F.max("mad"), 4) + F.lit(0.0)).alias("mad"),
+    )
+
+
+def _q_normalize_text(spark, sf_dir):
+    """Unicode NFC + lowercase + whitespace-collapse normalization
+    (textstats.normalize_text): Arrow-batched pandas UDF for the NFC
+    step (no Spark built-in), JVM regexp for the collapse. Oracle:
+    DuckDB nfc_normalize + regexp_replace."""
+    out = ts_ops.normalize_text(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "text_norm", "changed")
+
+
+def _q_conv_latency(spark, sf_dir):
+    """Assistant response-latency profile over the transcripts fixture
+    (chatprep.response_latency_profile): one conv_id window + one
+    conv_id aggregate with exact per-conversation percentiles."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return chp.response_latency_profile(t)
+
+
 def _q_knn_label_metrics(spark, sf_dir):
     """Embedding-quality gate (retrieval.knn_label_metrics): exact top-5
     cosine neighbors for the fixed query set (broadcast queries, one
@@ -2413,6 +2449,7 @@ _GATE_FRONT = [
     "rolling_distinct_kmv_users",
     "bm25_topk_docs", "knn_label_metrics",
     "cms_freq_users", "key_skew_profile_events",
+    "mad_outliers_value", "normalize_text_docs", "conv_latency_profile",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2506,6 +2543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_metrics": _q_knn_label_metrics,
         "cms_freq_users": _q_cms_freq,
         "key_skew_profile_events": _q_key_skew_profile,
+        "mad_outliers_value": _q_mad_outliers,
+        "normalize_text_docs": _q_normalize_text,
+        "conv_latency_profile": _q_conv_latency,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -2874,6 +2914,60 @@ def _cms_sql(depth=4, width=64):
 
 
 _CMS_SQL = _cms_sql(depth=4, width=64)
+
+_MAD_SQL = f"""
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY 1
+            ), j AS (
+              SELECT e.event_type, e.value, m.med
+              FROM events e JOIN med m USING (event_type)
+            ), mad AS (
+              SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+              FROM j GROUP BY 1
+            )
+            SELECT j.event_type, count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN (CASE WHEN mad.mad > 0
+                                  THEN abs(j.value - j.med) > {3.0 * 1.4826!r} * mad.mad
+                                  ELSE j.value != j.med END)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                   round(max(j.med), 4) + 0.0 AS med,
+                   round(max(mad.mad), 4) + 0.0 AS mad
+            FROM j JOIN mad USING (event_type) GROUP BY 1
+        """
+
+_NORMALIZE_SQL = r"""
+            WITH n AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(lower(nfc_normalize(text)),
+                                         '[ \t\n\r]+', ' ', 'g')) AS text_norm
+              FROM documents
+            )
+            SELECT doc_id, text_norm, (text_norm != text) AS changed FROM n
+        """
+
+
+def _conv_latency_oracle_sql() -> str:
+    d = synth.ensure_fixture(
+        float(os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01"))
+    )
+    return f"""
+            WITH t AS (SELECT * FROM read_parquet('{d}/transcripts.parquet')),
+            l AS (
+              SELECT conv_id, role,
+                     lag(role) OVER w AS prev_role,
+                     epoch_us(ts) - epoch_us(lag(ts) OVER w) AS lat
+              FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, count(*)::BIGINT AS n_responses,
+                   round(avg(lat), 4) + 0.0 AS mean_latency_us,
+                   round(quantile_cont(lat, 0.5), 4) + 0.0 AS p50_latency_us,
+                   round(quantile_cont(lat, 0.95), 4) + 0.0 AS p95_latency_us,
+                   max(lat)::BIGINT AS max_latency_us
+            FROM l WHERE role = 'assistant' AND prev_role = 'user'
+            GROUP BY 1
+        """
+
 
 _KEY_SKEW_SQL = """
             WITH c AS (
@@ -3354,6 +3448,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_docs": _BM25_SQL,
         "cms_freq_users": _CMS_SQL,
         "key_skew_profile_events": _KEY_SKEW_SQL,
+        "mad_outliers_value": _MAD_SQL,
+        "normalize_text_docs": _NORMALIZE_SQL,
+        "conv_latency_profile": _conv_latency_oracle_sql(),
         "knn_label_metrics": f"""
             WITH e AS ({_EMB}),
             s AS (

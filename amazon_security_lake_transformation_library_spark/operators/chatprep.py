@@ -626,3 +626,48 @@ def repair_turns(t: DataFrame) -> DataFrame:
         (F.row_number().over(wr) - F.lit(1)).alias("turn_idx"),
         "was_dup",
     )
+
+
+def response_latency_profile(t: DataFrame) -> DataFrame:
+    """Per-conversation assistant responsiveness: over the user->assistant
+    turn transitions, ``(conv_id, n_responses, mean_latency_us,
+    p50_latency_us, p95_latency_us, max_latency_us)`` — latency is the
+    gap from a user turn to the immediately following assistant turn.
+    The agent-quality feature a curation pass thresholds on (slow tool
+    loops, stalled conversations) and a serving dashboard trends.
+
+    Latencies stay INTEGER MICROSECONDS through the aggregates (the
+    engine's duration_us convention): dividing micros by 1e6 first puts
+    every value's 5th decimal on an exact ..50 tie, where Spark
+    (shortest-decimal HALF_UP) and a binary-faithful engine round(x, 4)
+    disagree — integer-domain aggregates only hit such ties on
+    measure-zero inputs.
+
+    Shape: ONE conv_id window (lag of ts and role — the flagship's
+    Exchange+Sort, zero Exchange on the bucketed layout) then one conv_id
+    hash aggregate on the same key. Exact percentiles buffer only each
+    conversation's response gaps on the reducer (bounded by max turns per
+    conversation). Conversations with no user->assistant transition are
+    absent from the output (no latency is defined there).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    x = t.select(
+        "conv_id",
+        "role",
+        F.lag("role").over(w).alias("_prev_role"),
+        lat.alias("_lat"),
+    ).where((F.col("role") == "assistant") & (F.col("_prev_role") == "user"))
+    return x.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        (F.round(F.avg("_lat"), 4) + F.lit(0.0)).alias("mean_latency_us"),
+        (F.round(F.expr("percentile(_lat, 0.5)"), 4) + F.lit(0.0)).alias(
+            "p50_latency_us"
+        ),
+        (F.round(F.expr("percentile(_lat, 0.95)"), 4) + F.lit(0.0)).alias(
+            "p95_latency_us"
+        ),
+        F.max("_lat").alias("max_latency_us"),
+    )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["key_skew_profile"]
+__all__ = ["key_skew_profile", "mad_outliers"]
 
 
 def key_skew_profile(
@@ -96,4 +96,49 @@ def key_skew_profile(
             )
             + F.lit(0.0)
         ).alias("entropy_norm"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier flags: a row is an outlier when
+    ``|value - median| > k * 1.4826 * MAD`` (MAD = median absolute
+    deviation; 1.4826 scales MAD to sigma-equivalent under normality, so
+    ``k`` reads like a z-score but survives the heavy tails that wreck a
+    mean/stddev gate at corpus scale).
+
+    Returns the input columns plus ``med, mad, is_outlier``. Degenerate
+    groups (MAD = 0: >=50% of values identical) flag only values
+    strictly different from the median — the conventional fallback.
+
+    Scale shape: two grouped EXACT-percentile aggregates (median, then
+    median of |x - med|) joined back on the group key. All three
+    shuffles hash the same key, so the exchange is planned once and
+    reused; group-count-sized intermediates broadcast when small. Exact
+    percentile buffers each GROUP's values on the reducer — right for
+    grouping columns with bounded group size (event types, slices); for
+    billion-row single groups swap in approx_percentile at the call
+    site.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(med, group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+    )
+    scaled = F.lit(k * 1.4826) * F.col("mad")
+    return (
+        with_med.join(mad, group_col)
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col("mad") > 0,
+                F.abs(F.col(value_col) - F.col("med")) > scaled,
+            ).otherwise(F.col(value_col) != F.col("med")),
+        )
     )

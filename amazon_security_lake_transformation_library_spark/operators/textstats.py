@@ -15,6 +15,8 @@ row, reproducible bit-for-bit in ANSI SQL (see ``__spark_entry__.oracle_sql``)
 
 from __future__ import annotations
 
+import pandas
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -213,4 +215,45 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         lang_pred.alias("lang_pred"),
         fingerprint(tt).alias("fingerprint"),
         quality.alias("quality_bp"),
+    )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Canonical text normalization for dedup/tokenizer front-ends:
+    Unicode NFC composition, optional lowercasing, ASCII-whitespace
+    collapse to single spaces, and edge trim. Adds ``out_col`` plus a
+    ``changed`` flag (normalization touched the string) — the flag lets
+    a pipeline route only mutated docs into re-tokenization.
+
+    NFC runs in an Arrow-batched pandas UDF (pandas ``str.normalize`` is
+    vectorized C under the hood; Spark has no built-in Unicode
+    normalizer) — per-batch, zero per-row Python. The whitespace
+    collapse stays JVM-side regexp so codegen fuses it with neighboring
+    projections. Deterministic per-row function: partitioning-immune,
+    and the DuckDB oracle replays it with nfc_normalize + regexp.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: type hints are spelled against the module-global `pandas`
+    # import — this module uses `from __future__ import annotations`, so
+    # pyspark resolves the (stringified) hints via get_type_hints in
+    # module globals; a function-local import would raise
+    # UNSUPPORTED_SIGNATURE.
+    @pandas_udf("string")
+    def _nfc(s: pandas.Series) -> pandas.Series:
+        out = s.str.normalize("NFC")
+        if lowercase:
+            out = out.str.lower()
+        return out
+
+    collapsed = F.trim(
+        F.regexp_replace(_nfc(F.col(text_col)), "[ \\t\\n\\r]+", " ")
+    )
+    return df.withColumn(out_col, collapsed).withColumn(
+        "changed", F.col(out_col) != F.col(text_col)
     )
