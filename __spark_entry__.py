@@ -2410,6 +2410,49 @@ def _q_conv_latency(spark, sf_dir):
     return chp.response_latency_profile(t)
 
 
+def _q_pagerank(spark, sf_dir):
+    """PageRank over the event-type transition graph (graph.pagerank):
+    the graph is DERIVED from the corpus with one window + one
+    graph-sized aggregate; each power iteration joins the rank table to
+    the out-normalized edge table only (parquet-checkpointed per round,
+    like connected_components). Oracle: the same 5 iterations unrolled
+    as chained CTEs."""
+    from amazon_security_lake_transformation_library_spark.operators import graph as g
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = g.pagerank(edges, damping=0.85, iterations=5, weight_col="w")
+    return pr.select(
+        F.col("node").alias("event_type"),
+        (F.round("rank", 4) + F.lit(0.0)).alias("rank"),
+    )
+
+
+def _q_corpus_overlap(spark, sf_dir):
+    """KMV set-overlap estimate (sketch.kmv_set_overlap) between the
+    (user, day) activity sets of two event types: each side reduces
+    map-side to a 64-hash synopsis; the union k-min is the k smallest of
+    the two synopses (KMV union closure), so |A|, |B|, |A∪B| and the
+    Jaccard all come from one pass per side with no pair join. Oracle:
+    the same k-min order statistics in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    uday = F.concat_ws(
+        ":", F.col("user_id"), F.to_date("ts").cast("string")
+    ).alias("uday")
+    a = ev.where(F.col("event_type") == "purchase").select(uday)
+    b = ev.where(F.col("event_type") == "click").select(uday)
+    return sk.kmv_set_overlap(a, b, "uday", k=64)
+
+
 def _q_knn_label_metrics(spark, sf_dir):
     """Embedding-quality gate (retrieval.knn_label_metrics): exact top-5
     cosine neighbors for the fixed query set (broadcast queries, one
@@ -2450,6 +2493,7 @@ _GATE_FRONT = [
     "bm25_topk_docs", "knn_label_metrics",
     "cms_freq_users", "key_skew_profile_events",
     "mad_outliers_value", "normalize_text_docs", "conv_latency_profile",
+    "pagerank_event_graph", "corpus_overlap_kmv",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2546,6 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_value": _q_mad_outliers,
         "normalize_text_docs": _q_normalize_text,
         "conv_latency_profile": _q_conv_latency,
+        "pagerank_event_graph": _q_pagerank,
+        "corpus_overlap_kmv": _q_corpus_overlap,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -2968,6 +3014,111 @@ def _conv_latency_oracle_sql() -> str:
             GROUP BY 1
         """
 
+
+def _pagerank_sql(iters=5, d=0.85):
+    """PageRank oracle: the identical power iteration unrolled as chained
+    CTEs. Every float literal is repr()'d so DuckDB parses the same
+    binary64 constants the Spark plan embeds; 1.0-d is left as the SQL
+    expression because Spark computes (1.0-damping)/n with the identical
+    IEEE operation sequence."""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        steps.append(f"""
+            c{i} AS (
+              SELECT e.v AS n, sum(r.rank * e.p) AS c
+              FROM {p} r JOIN ep e ON e.u = r.n GROUP BY 1
+            ), d{i} AS (
+              SELECT coalesce(sum(rank), 0.0) AS dm FROM {p}
+              WHERE n NOT IN (SELECT u FROM ep)
+            ), r{i} AS (
+              SELECT vt.n,
+                     (1.0 - {d!r}) / nn.n
+                       + {d!r} * (coalesce(c.c, 0.0) + dg.dm / nn.n) AS rank
+              FROM verts vt
+              CROSS JOIN nn CROSS JOIN d{i} dg
+              LEFT JOIN c{i} c ON c.n = vt.n
+            )""")
+    return f"""
+            WITH edges AS (
+              SELECT prev AS u, event_type AS v, count(*)::DOUBLE AS w
+              FROM (SELECT event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS prev
+                    FROM events)
+              WHERE prev IS NOT NULL GROUP BY 1, 2
+            ),
+            verts AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+            outw AS (SELECT u, sum(w) AS outw FROM edges GROUP BY 1),
+            ep AS (SELECT e.u, e.v, e.w / o.outw AS p
+                   FROM edges e JOIN outw o USING (u)),
+            r0 AS (SELECT verts.n, 1.0 / nn.n AS rank FROM verts, nn),
+            {",".join(steps)}
+            SELECT n AS event_type, round(rank, 4) + 0.0 AS rank
+            FROM r{iters}
+        """
+
+
+_PAGERANK_SQL = _pagerank_sql(iters=5, d=0.85)
+
+
+def _overlap_sql(k=64):
+    """kmv_set_overlap oracle: per-side k smallest distinct md5 fractions,
+    union k-min from the two synopses, the (k-1)/h_k estimator per set,
+    and inclusion-exclusion — all replayed on DuckDB's engine."""
+    uday = "user_id::VARCHAR || ':' || (ts::DATE)::VARCHAR"
+    # same exact-binary-fraction construction as _KMV_FRAC (defined later
+    # in this module), rebuilt locally so this generator can run at import
+    frac_expr = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * power(16.0, -{i})"
+        for i in range(1, 9)
+    )
+
+    def side(name, pred):
+        return f"""
+            h{name} AS (
+              SELECT DISTINCT 0.0 + {frac_expr} AS frac
+              FROM (SELECT md5({uday}) AS h FROM events WHERE {pred})
+            ), k{name} AS (
+              SELECT frac, rn FROM (
+                SELECT frac, row_number() OVER (ORDER BY frac) AS rn
+                FROM h{name}
+              ) WHERE rn <= {k}
+            ), e{name} AS (
+              SELECT round(coalesce(
+                       {float(k - 1)!r} / max(CASE WHEN rn = {k} THEN frac END),
+                       count(*)::DOUBLE), 4) + 0.0 AS est
+              FROM k{name}
+            )"""
+
+    return f"""
+            WITH {side('a', "event_type = 'purchase'")},
+            {side('b', "event_type = 'click'")},
+            hu AS (
+              SELECT DISTINCT frac FROM (
+                SELECT frac FROM ka UNION ALL SELECT frac FROM kb
+              )
+            ), ku AS (
+              SELECT frac, rn FROM (
+                SELECT frac, row_number() OVER (ORDER BY frac) AS rn FROM hu
+              ) WHERE rn <= {k}
+            ), eu AS (
+              SELECT round(coalesce(
+                       {float(k - 1)!r} / max(CASE WHEN rn = {k} THEN frac END),
+                       count(*)::DOUBLE), 4) + 0.0 AS est
+              FROM ku
+            )
+            SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+                   round(greatest(0.0, ea.est + eb.est - eu.est), 4) + 0.0
+                     AS est_intersection,
+                   round(greatest(0.0, ea.est + eb.est - eu.est) / eu.est, 4)
+                     + 0.0 AS jaccard_est
+            FROM ea, eb, eu
+        """
+
+
+_OVERLAP_SQL = _overlap_sql(k=64)
 
 _KEY_SKEW_SQL = """
             WITH c AS (
@@ -3451,6 +3602,8 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers_value": _MAD_SQL,
         "normalize_text_docs": _NORMALIZE_SQL,
         "conv_latency_profile": _conv_latency_oracle_sql(),
+        "pagerank_event_graph": _PAGERANK_SQL,
+        "corpus_overlap_kmv": _OVERLAP_SQL,
         "knn_label_metrics": f"""
             WITH e AS ({_EMB}),
             s AS (

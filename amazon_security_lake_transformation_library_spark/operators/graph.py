@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..caching import persist_tracked
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "pagerank"]
 
 
 def connected_components(
@@ -174,3 +174,110 @@ def dedup_clusters(
         )
         .withColumn("keep", (F.col(id_col) == F.col("cluster_id")))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Weighted damped PageRank after a FIXED number of power iterations:
+    ``(node, rank)`` over the vertex set of ``edges`` (ranks sum to 1).
+
+    The graph here is a DERIVED table (domain/source link graph, dedup
+    pair graph, event-transition graph), orders of magnitude smaller than
+    the corpus that produced it — the same regime as
+    :func:`connected_components`. Per iteration: one join of the rank
+    table to the out-normalized edge table + one dst-keyed sum (both
+    shuffles carry graph-sized data only), dangling mass folded back
+    uniformly via a broadcast scalar. Fixed iteration count keeps the
+    result a pure function of the graph (no float-convergence test that
+    could flip across partitionings), and each round checkpoints through
+    parquet for the same exponential-lineage reason documented on
+    connected_components. |V| is the one driver-side scalar (bounded by
+    the derived graph, like CC's convergence count).
+
+    Dangling redistribution follows the standard formulation:
+    ``r'(v) = (1-d)/N + d * (sum_{u->v} r(u) * w(u,v)/outw(u) + dm/N)``
+    with ``dm`` the total rank mass on nodes without out-edges.
+
+    Checkpoint strategy: intermediate rounds use eager localCheckpoint
+    (the rank table is referenced twice per round — contributions and
+    dangling mass — so a lazy chain doubles the plan every iteration);
+    only the FINAL table goes through one parquet round-trip, so the
+    returned frame is not backed by checkpoint blocks and every
+    intermediate RDD is released before returning (the same no-leaked-RDD
+    contract as similarity.ann_kmeans).
+    """
+    import tempfile
+
+    from .similarity import _release_local_checkpoint
+
+    spark = edges.sparkSession
+    root = work_dir or tempfile.mkdtemp(prefix="spark_graft_pr_")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
+    verts = persist_tracked(
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    n = verts.count()
+    outw = e.groupBy("u").agg(F.sum("w").alias("outw"))
+    ep = persist_tracked(
+        e.join(outw, "u").select(
+            "u", "v", (F.col("w") / F.col("outw")).alias("p")
+        )
+    )
+    dangling_nodes = persist_tracked(
+        verts.join(ep.select(F.col("u").alias("n")).distinct(), "n", "left_anti")
+    )
+    ranks = verts.select("n", F.lit(1.0 / n).alias("rank"))
+    checkpoints: list[DataFrame] = []
+    try:
+        for it in range(iterations):
+            contribs = (
+                ranks.join(ep, ranks.n == ep.u)
+                .groupBy("v")
+                .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
+            )
+            dm = ranks.join(dangling_nodes, "n", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+            new = (
+                verts.join(contribs, verts.n == contribs.v, "left")
+                .crossJoin(F.broadcast(dm))
+                .select(
+                    "n",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.col("dm") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+            )
+            if it < iterations - 1:
+                ranks = new.localCheckpoint(eager=True)
+                checkpoints.append(ranks)
+            else:
+                path = f"{root}/final"
+                new.write.mode("overwrite").parquet(path)
+                ranks = spark.read.parquet(path)
+    finally:
+        verts.unpersist()
+        ep.unpersist()
+        dangling_nodes.unpersist()
+        for h in checkpoints:
+            _release_local_checkpoint(h)
+    return ranks.select(F.col("n").alias("node"), "rank")

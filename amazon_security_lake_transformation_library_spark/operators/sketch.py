@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_frac", "kmv_synopsis", "kmv_distinct", "kmv_estimate",
     "mg_candidates", "heavy_hitters", "heavy_hitters_abs",
-    "cms_build", "cms_estimate",
+    "cms_build", "cms_estimate", "kmv_set_overlap",
 ]
 
 _HEX = "0123456789abcdef"
@@ -451,3 +451,67 @@ def cms_estimate(
         )
         out = out.join(F.broadcast(row_j), on=f"_b{j}", how="left")
     return out.select(value_col, est.alias("est"))
+
+
+# --------------------------------------------------- set-overlap estimate
+
+def kmv_set_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV-sketched overlap between two value sets: one row
+    ``(est_a, est_b, est_union, est_intersection, jaccard_est)``.
+
+    Uses the closure of KMV under union (the k smallest distinct hashes
+    of A ∪ B are exactly the k smallest of union(kmin(A), kmin(B))) to
+    estimate |A|, |B|, |A∪B| from ONE pass over each side, then
+    inclusion-exclusion for the intersection and Jaccard. This is how a
+    pipeline measures train/eval split contamination or cross-source
+    duplication mass WITHOUT the pair join the exact answer needs —
+    each side is reduced map-side to a k-hash synopsis; only 2k doubles
+    meet at the end (the re-rank window below runs on that ≤2k-row
+    sketch, never the corpus). Sides with < k distinct values are in the
+    exact regime (see kmv_distinct); so is their union while it holds
+    < k distinct hashes.
+
+    Estimates can be individually biased (KMV error ~1/sqrt(k)), so the
+    intersection is clamped at 0. Deterministic: a pure function of the
+    two value sets (md5 hashing, ties impossible between distinct
+    hashes) — the DuckDB oracle replays it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    tagged = a.select(
+        F.lit("a").alias("side"), F.col(value_col).alias("val")
+    ).unionByName(
+        b.select(F.lit("b").alias("side"), F.col(value_col).alias("val"))
+    )
+    syn = kmv_synopsis(tagged, "side", "val", k)
+    w = Window.orderBy("frac")
+    union_syn = (
+        syn.select("frac")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(F.lit("u").alias("g"), "frac", "rn")
+    )
+    est = kmv_estimate(syn.unionByName(union_syn), k)
+    one = est.groupBy().agg(
+        F.max(F.when(F.col("g") == "a", F.col("estimate"))).alias("est_a"),
+        F.max(F.when(F.col("g") == "b", F.col("estimate"))).alias("est_b"),
+        F.max(F.when(F.col("g") == "u", F.col("estimate"))).alias("est_union"),
+    )
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return one.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.round(inter, 4) + F.lit(0.0)).alias("est_intersection"),
+        (F.round(inter / F.col("est_union"), 4) + F.lit(0.0)).alias(
+            "jaccard_est"
+        ),
+    )
