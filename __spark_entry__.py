@@ -2410,6 +2410,51 @@ def _q_conv_latency(spark, sf_dir):
     return chp.response_latency_profile(t)
 
 
+def _q_rolling_median(spark, sf_dir):
+    """Exact rolling median over the trailing 10 rows per user
+    (features.rolling_quantile): one entity Exchange+Sort, O(frame)
+    buffering. Oracle: DuckDB quantile_cont over the identical ROWS
+    frame."""
+    out = feat.rolling_quantile(
+        _t(spark, sf_dir, "events"),
+        "user_id", "ts", "value",
+        q=0.5, n_preceding=9, tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        (F.round("roll_q", 4) + F.lit(0.0)).alias("roll_median"),
+    )
+
+
+def _q_rolling_zscore(spark, sf_dir):
+    """Strictly-past rolling z-score anomaly flag
+    (features.rolling_zscore): the (50 PRECEDING, 1 PRECEDING) frame
+    reads nothing at-or-after the current row — zero temporal leakage by
+    construction. Oracle: the same frame with DuckDB window aggregates."""
+    out = feat.rolling_zscore(
+        _t(spark, sf_dir, "events"),
+        "user_id", "ts", "value",
+        n_preceding=50, min_periods=5, tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        (F.round("zscore", 4) + F.lit(0.0)).alias("zscore"),
+        "is_anomaly",
+    )
+
+
+def _q_throttle(spark, sf_dir):
+    """Tumbling-window rate limiting (features.throttle_events): first
+    event per (user, type, aligned hour) — one composite-key window,
+    rank 1, WindowGroupLimit-eligible. Oracle: the same rank in SQL."""
+    out = feat.throttle_events(
+        _t(spark, sf_dir, "events"),
+        "user_id", "ts", 3600,
+        by=["event_type"], tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph (graph.pagerank):
     the graph is DERIVED from the corpus with one window + one
@@ -2494,6 +2539,7 @@ _GATE_FRONT = [
     "cms_freq_users", "key_skew_profile_events",
     "mad_outliers_value", "normalize_text_docs", "conv_latency_profile",
     "pagerank_event_graph", "corpus_overlap_kmv",
+    "rolling_median_value", "rolling_zscore_value", "throttle_events_hourly",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2592,6 +2638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_latency_profile": _q_conv_latency,
         "pagerank_event_graph": _q_pagerank,
         "corpus_overlap_kmv": _q_corpus_overlap,
+        "rolling_median_value": _q_rolling_median,
+        "rolling_zscore_value": _q_rolling_zscore,
+        "throttle_events_hourly": _q_throttle,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -3604,6 +3653,41 @@ def oracle_sql() -> dict[str, str]:
         "conv_latency_profile": _conv_latency_oracle_sql(),
         "pagerank_event_graph": _PAGERANK_SQL,
         "corpus_overlap_kmv": _OVERLAP_SQL,
+        "rolling_median_value": f"""
+            SELECT event_id, user_id,
+                   round(quantile_cont(value, 0.5) OVER (
+                     {_EVENT_WINDOW}
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) + 0.0
+                     AS roll_median
+            FROM events
+        """,
+        "rolling_zscore_value": f"""
+            WITH b AS (
+              SELECT event_id, user_id, value,
+                     avg(value) OVER w AS m,
+                     stddev_pop(value) OVER w AS s,
+                     count(value) OVER w AS c
+              FROM events
+              WINDOW w AS ({_EVENT_WINDOW}
+                           ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id, user_id,
+                   round(CASE WHEN c >= 5 AND s > 0
+                              THEN (value - m) / s END, 4) + 0.0 AS zscore,
+                   CASE WHEN c >= 5 AND s > 0
+                        THEN abs((value - m) / s) > 3.0 END AS is_anomaly
+            FROM b
+        """,
+        "throttle_events_hourly": """
+            SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type,
+                                    epoch_us(ts) // 3600000000
+                       ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
         "knn_label_metrics": f"""
             WITH e AS ({_EMB}),
             s AS (

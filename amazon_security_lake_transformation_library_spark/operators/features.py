@@ -283,3 +283,126 @@ def ewma_time_decay_grouped(
         return pdf
 
     return df.groupBy(entity).applyInPandas(fn, schema=schema)
+
+
+# ------------------------------------------------ robust rolling features
+
+def rolling_quantile(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    value_col: str,
+    q: float = 0.5,
+    n_preceding: int = 9,
+    out_col: str = "roll_q",
+    strict_past: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exact rolling quantile of ``value_col`` over the trailing
+    ``n_preceding`` rows (plus the current row unless ``strict_past``)
+    per entity, time-ordered — the robust counterpart of a rolling mean
+    (a single spike moves the mean, not the median).
+
+    ``strict_past=True`` shifts the frame to ``(n_preceding PRECEDING,
+    1 PRECEDING)``: the feature then provably reads no value at or after
+    the current row's timestamp — the leakage-safe form for training
+    features (NULL on each entity's first row).
+
+    Scale shape: ONE Exchange + Sort per entity (shared with any other
+    window feature on the same key); the exact percentile buffers only
+    the O(n_preceding) frame rows. Deterministic: the frame is a ROWS
+    frame over a total order (pass a unique ``tiebreak`` column so
+    equal-timestamp rows have a fixed frame), and Spark's interpolated
+    exact percentile matches DuckDB quantile_cont.
+    """
+    lo, hi = (-n_preceding, -1) if strict_past else (-n_preceding, 0)
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(entity).orderBy(*order).rowsBetween(lo, hi)
+    return df.withColumn(
+        out_col, F.expr(f"percentile({value_col}, {q!r})").over(w)
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    value_col: str,
+    n_preceding: int = 100,
+    min_periods: int = 5,
+    flag_sigma: float = 3.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Strictly-past rolling z-score anomaly flag: how far the current
+    value sits from the trailing window's mean, in trailing-window
+    standard deviations. Adds ``roll_mean, roll_std, zscore,
+    is_anomaly``.
+
+    The frame is ``(n_preceding PRECEDING, 1 PRECEDING)`` — the current
+    row NEVER contributes to its own baseline, so the feature has zero
+    temporal leakage by construction (the same strictly-past discipline
+    as encoders.target_encode / the PSI gate). ``zscore`` is NULL when
+    the trailing window holds fewer than ``min_periods`` rows or has
+    zero variance (both undefined, not zero, so downstream filters drop
+    rather than mis-rank them).
+
+    One Exchange + Sort on the entity key; mean/std are sliding-frame
+    aggregates (no self-join, no explode).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(entity).orderBy(*order).rowsBetween(-n_preceding, -1)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_pop(value_col).over(w)
+    cnt = F.count(value_col).over(w)
+    z = F.when(
+        (cnt >= min_periods) & (std > 0),
+        (F.col(value_col) - mean) / std,
+    )
+    return (
+        df.withColumn("roll_mean", mean)
+        .withColumn("roll_std", std)
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(z.isNotNull(), F.abs(z) > F.lit(flag_sigma)),
+        )
+    )
+
+
+def throttle_events(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    window_seconds: int,
+    by: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Fixed-window rate limiting: keep only the FIRST event per
+    (entity, *by, tumbling ``window_seconds`` bucket) — the standard
+    debounce/throttle pass a 100 TB event feed runs before feature
+    extraction so hot emitters can't dominate windows.
+
+    Note this is the TUMBLING-window form (first per aligned bucket),
+    which is fully declarative — one composite-key window, rank 1. The
+    sliding form ("drop within N seconds of the previous KEPT event")
+    is inherently sequential state; at scale the tumbling form is the
+    standard approximation (an event stream throttled at one per bucket
+    emits at most 2 events per N-second sliding window).
+
+    Determinism: rank orders by (ts, tiebreak) — pass a unique
+    ``tiebreak`` column (event id) so equal-timestamp rows pick a stable
+    winner.
+    """
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(int(window_seconds) * 1_000_000)
+    )
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(entity, *(by or []), bucket.alias("__b")).orderBy(
+        *order
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
