@@ -237,32 +237,56 @@ def pagerank(
             "u", "v", (F.col("w") / F.col("outw")).alias("p")
         )
     )
-    dangling_nodes = persist_tracked(
-        verts.join(ep.select(F.col("u").alias("n")).distinct(), "n", "left_anti")
+    from pyspark.sql import Window
+
+    # dangling flag joined once onto the vertex table; per-iteration
+    # dangling MASS then comes from a single-partition window over the
+    # |V|-sized rank table (the sketch-sized-window pattern of
+    # sketch._exact_count_pass) instead of a broadcast scalar subquery —
+    # one Spark job per iteration rather than broadcast-job + compute-job.
+    flagged = persist_tracked(
+        verts.join(
+            ep.select(F.col("u").alias("n"))
+            .distinct()
+            .withColumn("_out", F.lit(True)),
+            "n",
+            "left",
+        ).select("n", F.coalesce(~F.col("_out"), F.lit(True)).alias("_dang"))
     )
-    ranks = verts.select("n", F.lit(1.0 / n).alias("rank"))
+    dm_w = F.sum(F.when(F.col("_dang"), F.col("rank"))).over(
+        Window.partitionBy()
+    )
+    # Adaptive physical mode on the KNOWN vertex count: below the
+    # threshold the whole graph fits one task, so pin single-partition
+    # rank/contrib tables + broadcast joins — each power iteration is then
+    # ONE short job instead of a multi-stage shuffle cascade (fixed
+    # per-stage scheduling dominates tiny iterative plans). Above it,
+    # natural partitioning + AQE take over.
+    small = n < 1_000_000
+    _hint = F.broadcast if small else (lambda d: d)
+    _narrow = (lambda d: d.coalesce(1)) if small else (lambda d: d)
+    ranks = _narrow(flagged.select("n", "_dang", F.lit(1.0 / n).alias("rank")))
     checkpoints: list[DataFrame] = []
     try:
         for it in range(iterations):
-            contribs = (
-                ranks.join(ep, ranks.n == ep.u)
+            contribs = _narrow(
+                ranks.join(_hint(ep), ranks.n == ep.u)
                 .groupBy("v")
                 .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
             )
-            dm = ranks.join(dangling_nodes, "n", "left_semi").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-            )
             new = (
-                verts.join(contribs, verts.n == contribs.v, "left")
-                .crossJoin(F.broadcast(dm))
+                ranks.join(
+                    _hint(contribs.withColumnRenamed("v", "n")), "n", "left"
+                )
                 .select(
                     "n",
+                    "_dang",
                     (
                         F.lit((1.0 - damping) / n)
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("c"), F.lit(0.0))
-                            + F.col("dm") / F.lit(float(n))
+                            + F.coalesce(dm_w, F.lit(0.0)) / F.lit(float(n))
                         )
                     ).alias("rank"),
                 )
@@ -277,7 +301,7 @@ def pagerank(
     finally:
         verts.unpersist()
         ep.unpersist()
-        dangling_nodes.unpersist()
+        flagged.unpersist()
         for h in checkpoints:
             _release_local_checkpoint(h)
     return ranks.select(F.col("n").alias("node"), "rank")
