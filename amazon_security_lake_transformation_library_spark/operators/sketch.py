@@ -428,29 +428,35 @@ def cms_estimate(
     """Point-frequency estimates from a :func:`cms_build` counter table:
     one row per input value, ``(value_col, est: long)`` with
     ``est = min over hash rows of the value's counter`` (0 when a row's
-    bucket was never touched). Each ≤ width-row counter slice is
-    broadcast against the query set, so the corpus is never re-scanned
-    and no shuffle occurs."""
-    probes = values.select(
+    bucket was never touched). One probe-pair explode (depth rows per
+    value), ONE left join against the broadcast ≤ depth*width counter
+    table, one min-aggregate — the corpus is never re-scanned and no
+    wide shuffle occurs."""
+    pairs = values.select(
         F.col(value_col),
-        *[
-            _cms_bucket(F.col(value_col), j, width).alias(f"_b{j}")
-            for j in range(depth)
-        ],
-    )
-    est = F.least(
-        *[
-            F.coalesce(F.col(f"_c{j}"), F.lit(0).cast("long"))
-            for j in range(depth)
-        ]
-    )
-    out = probes
-    for j in range(depth):
-        row_j = counters.where(F.col("row") == j).select(
-            F.col("bucket").alias(f"_b{j}"), F.col("cnt").alias(f"_c{j}")
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(F.col(value_col), j, width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(value_col, "p.row", "p.bucket")
+    return (
+        pairs.join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+                "est"
+            )
         )
-        out = out.join(F.broadcast(row_j), on=f"_b{j}", how="left")
-    return out.select(value_col, est.alias("est"))
+    )
 
 
 # --------------------------------------------------- set-overlap estimate
