@@ -2455,6 +2455,26 @@ def _q_throttle(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type")
 
 
+def _q_length_batches(spark, sf_dir):
+    """Length-bucketed batch assignment (datasetops.length_bucket_batches):
+    curriculum_buckets' scalar-quantile bucketing + a tiny cumulative-
+    offset window + an in-row md5-ring batch pick — zero corpus shuffle.
+    Oracle: the same boundary/offset/hex-fold recurrence in SQL."""
+    return dso.length_bucket_batches(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id", len_col="n_chars",
+        n_buckets=4, batch_rows=32,
+    )
+
+
+def _q_column_profile(spark, sf_dir):
+    """One-pass column profile (profiling.column_profile): nulls /
+    distincts / numeric min-max-mean for every column of events from a
+    single aggregate (timestamps profiled as epoch micros). Oracle:
+    per-column UNION ALL of the same aggregates."""
+    return prof.column_profile(_t(spark, sf_dir, "events"))
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph (graph.pagerank):
     the graph is DERIVED from the corpus with one window + one
@@ -2540,6 +2560,7 @@ _GATE_FRONT = [
     "mad_outliers_value", "normalize_text_docs", "conv_latency_profile",
     "pagerank_event_graph", "corpus_overlap_kmv",
     "rolling_median_value", "rolling_zscore_value", "throttle_events_hourly",
+    "length_bucket_batches", "column_profile_events",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2641,6 +2662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median_value": _q_rolling_median,
         "rolling_zscore_value": _q_rolling_zscore,
         "throttle_events_hourly": _q_throttle,
+        "length_bucket_batches": _q_length_batches,
+        "column_profile_events": _q_column_profile,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -3169,6 +3192,78 @@ def _overlap_sql(k=64):
 
 _OVERLAP_SQL = _overlap_sql(k=64)
 
+def _length_batches_sql(n_buckets=4, batch_rows=32, salt="batch-v1"):
+    frac_expr = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * power(16.0, -{i})"
+        for i in range(1, 9)
+    )
+    bnds = ", ".join(
+        f"round(quantile_cont(CAST(n_chars AS DOUBLE), {i / n_buckets!r}), 4)"
+        for i in range(1, n_buckets)
+    )
+    return f"""
+            WITH b AS (SELECT [{bnds}] AS bnds FROM documents),
+            assigned AS (
+              SELECT doc_id,
+                     len(list_filter(b.bnds,
+                         x -> x < CAST(n_chars AS DOUBLE)))::BIGINT AS bucket
+              FROM documents, b
+            ), counts AS (
+              SELECT bucket, ceil(count(*) / {float(batch_rows)!r})::BIGINT
+                       AS n_batches
+              FROM assigned GROUP BY 1
+            ), offs AS (
+              SELECT bucket, n_batches,
+                     coalesce(sum(n_batches) OVER (
+                       ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS off
+              FROM counts
+            )
+            SELECT a.doc_id, a.bucket,
+                   (o.off + floor((0.0 + {frac_expr})
+                                  * o.n_batches::DOUBLE))::BIGINT AS batch_id
+            FROM (SELECT doc_id, bucket,
+                         md5('{salt}:' || doc_id::VARCHAR) AS h
+                  FROM assigned) a
+            JOIN offs o USING (bucket)
+        """
+
+
+_LENGTH_BATCHES_SQL = _length_batches_sql()
+
+
+def _column_profile_sql():
+    spec = [
+        ("event_id", "event_id::DOUBLE", True),
+        ("ts", "epoch_us(ts)::DOUBLE", False),
+        ("user_id", "user_id::DOUBLE", True),
+        ("event_type", None, False),
+        ("value", "value", True),
+        ("props", None, False),
+    ]
+    parts = []
+    for name, num, with_mean in spec:
+        mn = (
+            f"round(min({num}), 4) + 0.0" if num else "NULL::DOUBLE"
+        )
+        mx = (
+            f"round(max({num}), 4) + 0.0" if num else "NULL::DOUBLE"
+        )
+        av = (
+            f"round(avg({num}), 4) + 0.0" if with_mean else "NULL::DOUBLE"
+        )
+        parts.append(f"""
+            SELECT '{name}' AS column, count(*)::BIGINT AS n_rows,
+                   sum(({name} IS NULL)::INT)::BIGINT AS n_nulls,
+                   count(DISTINCT {name})::BIGINT AS n_distinct,
+                   {mn} AS min_num, {mx} AS max_num, {av} AS mean
+            FROM events""")
+    return "\n            UNION ALL".join(parts)
+
+
+_COLUMN_PROFILE_SQL = _column_profile_sql()
+
 _KEY_SKEW_SQL = """
             WITH c AS (
               SELECT user_id::VARCHAR AS k, count(*)::BIGINT AS c
@@ -3653,6 +3748,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_latency_profile": _conv_latency_oracle_sql(),
         "pagerank_event_graph": _PAGERANK_SQL,
         "corpus_overlap_kmv": _OVERLAP_SQL,
+        "length_bucket_batches": _LENGTH_BATCHES_SQL,
+        "column_profile_events": _COLUMN_PROFILE_SQL,
         "rolling_median_value": f"""
             SELECT event_id, user_id,
                    round(quantile_cont(value, 0.5) OVER (

@@ -504,3 +504,67 @@ def positive_pairs(
         )
         .filter(F.col("positive_text").isNotNull())
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    n_buckets: int = 8,
+    batch_rows: int = 64,
+    salt: str = "batch-v1",
+) -> DataFrame:
+    """Length-bucketed training-batch assignment: documents are bucketed
+    by exact length quantile (so a batch mixes only similar lengths —
+    the padding-efficiency trick every sequence-training loader uses),
+    then assigned a deterministic batch id targeting ``batch_rows`` rows
+    per batch. Returns ``(id, bucket, batch_id)``; batch ids are globally
+    unique and dense across buckets.
+
+    Scale shape — zero corpus shuffle: quantile boundaries come from
+    curation.curriculum_buckets' ONE scalar aggregate; per-bucket counts
+    are one n_buckets-row aggregate whose cumulative batch offsets are a
+    window over that tiny table (broadcast back); the batch WITHIN a
+    bucket is ``floor(hash_frac(salt:id) * ceil(cnt/batch_rows))`` — an
+    in-row projection. Batch sizes are therefore multinomial around
+    ``batch_rows`` (±sqrt jitter), the standard trade for not paying a
+    global per-bucket row_number sort; a loader that needs exact-size
+    batches drains each approx-batch sequentially. NULL/NaN lengths
+    surface as NULL bucket AND batch (curriculum_buckets' contract).
+
+    Deterministic under any partitioning/engine: md5 ring + rounded
+    boundaries, no rand().
+    """
+    from .curation import curriculum_buckets
+    from .sketch import hash_frac
+
+    b = curriculum_buckets(
+        df, score=F.col(len_col), n_buckets=n_buckets, id_col=id_col
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # n_buckets-row table: the single-partition window is sketch-sized
+    offsets = counts.where(F.col("bucket").isNotNull()).select(
+        "bucket",
+        F.ceil(F.col("cnt") / F.lit(batch_rows)).alias("n_batches"),
+    ).select(
+        "bucket",
+        "n_batches",
+        F.coalesce(F.sum("n_batches").over(w), F.lit(0)).alias("offset"),
+    )
+    frac = hash_frac(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return (
+        b.join(F.broadcast(offsets), "bucket", "left")
+        .select(
+            F.col(id_col),
+            "bucket",
+            F.when(
+                F.col("bucket").isNotNull(),
+                F.col("offset")
+                + F.floor(frac * F.col("n_batches").cast("double")),
+            ).cast("long").alias("batch_id"),
+        )
+    )

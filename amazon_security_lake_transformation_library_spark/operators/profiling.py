@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["key_skew_profile", "mad_outliers"]
+__all__ = ["key_skew_profile", "mad_outliers", "column_profile"]
 
 
 def key_skew_profile(
@@ -142,3 +142,79 @@ def mad_outliers(
             ).otherwise(F.col(value_col) != F.col("med")),
         )
     )
+
+
+_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def column_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """One-pass column-level profile of a table: one output row per
+    column with ``(column, n_rows, n_nulls, n_distinct, min_num,
+    max_num, mean)`` — the drift/quality snapshot a pipeline records per
+    ingest batch and diffs across snapshots (value-level drift is
+    encoders.psi_drift; this is the column-level counterpart).
+
+    Numeric statistics cover numeric columns plus timestamps/dates
+    (profiled as epoch microseconds / days, so min/max are comparable
+    across snapshots); they are NULL for string/binary columns. For
+    temporal columns the MEAN is also NULL: summing epoch micros
+    overflows the 2^53 exact-double range on even modest row counts, so
+    the value would be summation-order-dependent (irreproducible across
+    engines and partitionings). Doubles are rounded to 4 decimals.
+
+    Scale shape: every statistic for every column comes from ONE
+    aggregate pass (map-side partials). The exact per-column distinct
+    counts compile to Spark's Expand strategy — the input is replayed
+    once per distinct aggregate within the same scan, a deliberate
+    exactness trade; swap in sketch.kmv_distinct per column when
+    billions of distincts make Expand's shuffle too heavy. The 1-row
+    wide aggregate is then unpivoted in-row to the long per-column
+    shape (no second pass).
+    """
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        t = dtypes[c]
+        temporal = t.startswith("timestamp") or t == "date"
+        if t in _NUMERIC_TYPES:
+            num = F.col(c).cast("double")
+        elif t.startswith("timestamp"):
+            num = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        elif t == "date":
+            num = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        else:
+            num = None
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn{i}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd{i}"))
+        if num is not None:
+            aggs.append((F.round(F.min(num), 4) + F.lit(0.0)).alias(f"__mn{i}"))
+            aggs.append((F.round(F.max(num), 4) + F.lit(0.0)).alias(f"__mx{i}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__mn{i}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__mx{i}"))
+        if num is not None and not temporal:
+            aggs.append((F.round(F.avg(num), 4) + F.lit(0.0)).alias(f"__av{i}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__av{i}"))
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn{i}").alias("n_nulls"),
+                F.col(f"__nd{i}").alias("n_distinct"),
+                F.col(f"__mn{i}").alias("min_num"),
+                F.col(f"__mx{i}").alias("max_num"),
+                F.col(f"__av{i}").alias("mean"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
