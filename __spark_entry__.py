@@ -34,6 +34,7 @@ from amazon_security_lake_transformation_library_spark.operators import merge as
 from amazon_security_lake_transformation_library_spark.operators import repetition as rep
 from amazon_security_lake_transformation_library_spark.operators import retrieval as ret
 from amazon_security_lake_transformation_library_spark.operators import profiling as prof
+from amazon_security_lake_transformation_library_spark.operators import scaling as scl
 from amazon_security_lake_transformation_library_spark.operators import sketch as sk
 from amazon_security_lake_transformation_library_spark.operators import similarity as sim
 from amazon_security_lake_transformation_library_spark.operators import textstats as ts_ops
@@ -2475,6 +2476,25 @@ def _q_column_profile(spark, sf_dir):
     return prof.column_profile(_t(spark, sf_dir, "events"))
 
 
+def _q_scale_features(spark, sf_dir):
+    """Leakage-safe numeric scaling (scaling.fit_transform_temporal):
+    temporal 80% cutoff as a broadcast 1-row frame, ONE fit aggregate
+    over the train slice, then standard/min-max/robust/winsor/equi-depth
+    outputs as pure JVM expressions — two corpus scans, zero shuffles.
+    Oracle: the same two-pass program as quantile_cont CTEs."""
+    out = scl.fit_transform_temporal(
+        _t(spark, sf_dir, "events"), "ts", "value", train_frac=0.8
+    )
+    return out.select(
+        "event_id", "is_train",
+        F.round(F.col("v_std") + 0.0, 4).alias("v_std"),
+        F.round(F.col("v_minmax") + 0.0, 4).alias("v_minmax"),
+        F.round(F.col("v_robust") + 0.0, 4).alias("v_robust"),
+        F.round(F.col("v_winsor") + 0.0, 4).alias("v_winsor"),
+        "v_bin",
+    )
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph (graph.pagerank):
     the graph is DERIVED from the corpus with one window + one
@@ -2561,6 +2581,7 @@ _GATE_FRONT = [
     "pagerank_event_graph", "corpus_overlap_kmv",
     "rolling_median_value", "rolling_zscore_value", "throttle_events_hourly",
     "length_bucket_batches", "column_profile_events",
+    "scale_features_events",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2664,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throttle_events_hourly": _q_throttle,
         "length_bucket_batches": _q_length_batches,
         "column_profile_events": _q_column_profile,
+        "scale_features_events": _q_scale_features,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -3750,6 +3772,46 @@ def oracle_sql() -> dict[str, str]:
         "corpus_overlap_kmv": _OVERLAP_SQL,
         "length_bucket_batches": _LENGTH_BATCHES_SQL,
         "column_profile_events": _COLUMN_PROFILE_SQL,
+        "scale_features_events": """
+            WITH cut AS (
+              SELECT quantile_cont(epoch_us(ts)::DOUBLE, 0.8) AS cutoff_us
+              FROM events
+            ),
+            tagged AS (
+              SELECT event_id, value,
+                     epoch_us(ts)::DOUBLE <= cutoff_us AS is_train
+              FROM events, cut
+            ),
+            s AS (
+              SELECT avg(value) AS mean, stddev_samp(value) AS std,
+                     min(value) AS vmin, max(value) AS vmax,
+                     quantile_cont(value, 0.01) AS p_lo,
+                     quantile_cont(value, 0.99) AS p_hi,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.50) AS med,
+                     quantile_cont(value, 0.75) AS q3
+              FROM tagged WHERE is_train
+            )
+            SELECT event_id, is_train,
+              round(CASE WHEN value IS NULL THEN NULL
+                         WHEN std IS NULL OR std = 0 THEN 0.0
+                         ELSE (value - mean) / std END + 0.0, 4) AS v_std,
+              round(CASE WHEN value IS NULL THEN NULL
+                         WHEN vmax - vmin = 0 THEN 0.0
+                         ELSE (value - vmin) / (vmax - vmin) END + 0.0,
+                    4) AS v_minmax,
+              round(CASE WHEN value IS NULL THEN NULL
+                         WHEN q3 - q1 = 0 THEN 0.0
+                         ELSE (value - med) / (q3 - q1) END + 0.0,
+                    4) AS v_robust,
+              round(CASE WHEN value IS NULL THEN NULL
+                         ELSE greatest(least(value, p_hi), p_lo) END + 0.0,
+                    4) AS v_winsor,
+              CASE WHEN value IS NULL THEN NULL
+                   ELSE (q1 < value)::BIGINT + (med < value)::BIGINT
+                        + (q3 < value)::BIGINT END AS v_bin
+            FROM tagged, s
+        """,
         "rolling_median_value": f"""
             SELECT event_id, user_id,
                    round(quantile_cont(value, 0.5) OVER (
