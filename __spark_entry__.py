@@ -2495,6 +2495,24 @@ def _q_scale_features(spark, sf_dir):
     )
 
 
+def _q_scale_features_grouped(spark, sf_dir):
+    """Per-group scaler (scaling.fit_scaler_stats_grouped +
+    apply_scalers_grouped): one hash-aggregate to a |groups|-row dim
+    table, broadcast hash join back — the corpus never shuffles.
+    Left-join semantics: unseen-at-fit groups scale to NULL. Oracle:
+    grouped quantile_cont CTE + join."""
+    ev = _t(spark, sf_dir, "events")
+    stats = scl.fit_scaler_stats_grouped(ev, "event_type", "value")
+    out = scl.apply_scalers_grouped(ev, "event_type", "value", stats)
+    return out.select(
+        "event_id", "event_type",
+        F.round(F.col("v_std") + 0.0, 4).alias("v_std"),
+        F.round(F.col("v_minmax") + 0.0, 4).alias("v_minmax"),
+        F.round(F.col("v_robust") + 0.0, 4).alias("v_robust"),
+        F.round(F.col("v_winsor") + 0.0, 4).alias("v_winsor"),
+    )
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph (graph.pagerank):
     the graph is DERIVED from the corpus with one window + one
@@ -2581,7 +2599,7 @@ _GATE_FRONT = [
     "pagerank_event_graph", "corpus_overlap_kmv",
     "rolling_median_value", "rolling_zscore_value", "throttle_events_hourly",
     "length_bucket_batches", "column_profile_events",
-    "scale_features_events",
+    "scale_features_events", "scale_features_grouped",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2686,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_batches": _q_length_batches,
         "column_profile_events": _q_column_profile,
         "scale_features_events": _q_scale_features,
+        "scale_features_grouped": _q_scale_features_grouped,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -3811,6 +3830,35 @@ def oracle_sql() -> dict[str, str]:
                    ELSE (q1 < value)::BIGINT + (med < value)::BIGINT
                         + (q3 < value)::BIGINT END AS v_bin
             FROM tagged, s
+        """,
+        "scale_features_grouped": """
+            WITH s AS (
+              SELECT event_type,
+                     avg(value) AS mean, stddev_samp(value) AS std,
+                     min(value) AS vmin, max(value) AS vmax,
+                     quantile_cont(value, 0.01) AS p_lo,
+                     quantile_cont(value, 0.99) AS p_hi,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.50) AS med,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+              round(CASE WHEN e.value IS NULL THEN NULL
+                         WHEN std IS NULL OR std = 0 THEN 0.0
+                         ELSE (e.value - mean) / std END + 0.0, 4) AS v_std,
+              round(CASE WHEN e.value IS NULL THEN NULL
+                         WHEN vmax - vmin = 0 THEN 0.0
+                         ELSE (e.value - vmin) / (vmax - vmin) END + 0.0,
+                    4) AS v_minmax,
+              round(CASE WHEN e.value IS NULL THEN NULL
+                         WHEN q3 - q1 = 0 THEN 0.0
+                         ELSE (e.value - med) / (q3 - q1) END + 0.0,
+                    4) AS v_robust,
+              round(CASE WHEN e.value IS NULL THEN NULL
+                         ELSE greatest(least(e.value, p_hi), p_lo) END + 0.0,
+                    4) AS v_winsor
+            FROM events e JOIN s USING (event_type)
         """,
         "rolling_median_value": f"""
             SELECT event_id, user_id,

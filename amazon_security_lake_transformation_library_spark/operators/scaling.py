@@ -46,6 +46,8 @@ __all__ = [
     "fit_scaler_stats",
     "apply_scalers",
     "fit_transform_temporal",
+    "fit_scaler_stats_grouped",
+    "apply_scalers_grouped",
 ]
 
 
@@ -184,3 +186,80 @@ def fit_transform_temporal(
         p_lo=p_lo, p_hi=p_hi, bin_quantiles=bin_quantiles,
     )
     return apply_scalers(tagged, value_col, stats, prefix=prefix)
+
+
+def fit_scaler_stats_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Per-group scaler statistics: the :func:`fit_scaler_stats`
+    aggregate keyed by ``group_col`` — one hash-aggregate (partial
+    map-side combine, then a groups-sized shuffle; the sort cost of the
+    exact percentiles is paid per group, inside the agg).
+
+    At 100 TB the output is |groups| rows — a dimension table. Keep
+    ``group_col`` low-cardinality (event types, domains, locales);
+    per-entity scaling at 1e9 entities should use the windowed z-score
+    in features.rolling_zscore instead (no dim table materializes).
+    """
+    v = F.col(value_col).cast("double")
+    probe = sorted({float(p_lo), 0.25, 0.5, 0.75, float(p_hi)})
+    pct = F.percentile(v, F.array(*[F.lit(q) for q in probe]))
+    idx = {q: i for i, q in enumerate(probe)}
+    row = df.groupBy(group_col).agg(
+        F.avg(v).alias("mean"),
+        F.stddev_samp(v).alias("std"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        pct.alias("_q"),
+    )
+
+    def at(q: float) -> Column:
+        return F.col("_q").getItem(idx[float(q)])
+
+    return row.select(
+        group_col, "mean", "std", "vmin", "vmax",
+        at(p_lo).alias("p_lo"), at(p_hi).alias("p_hi"),
+        at(0.25).alias("q1"), at(0.5).alias("med"), at(0.75).alias("q3"),
+    )
+
+
+def apply_scalers_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    stats: DataFrame,
+    prefix: str = "v",
+) -> DataFrame:
+    """Broadcast-join the |groups|-row ``stats`` frame on ``group_col``
+    and emit the same standard/min-max/robust/winsor family as
+    :func:`apply_scalers`, per group. A LEFT join: rows whose group has
+    no fit row (unseen at fit time) scale to NULL — never silently to a
+    global statistic. The corpus does not shuffle (broadcast hash join)."""
+    v = F.col(value_col).cast("double")
+    p = prefix
+    out = df.join(F.broadcast(stats), on=group_col, how="left")
+    out = out.withColumns({
+        f"{p}_std": F.when(
+            v.isNotNull() & F.col("mean").isNotNull(),
+            _safe_div(v - F.col("mean"), F.col("std")),
+        ),
+        f"{p}_minmax": F.when(
+            v.isNotNull() & F.col("vmin").isNotNull(),
+            _safe_div(v - F.col("vmin"), F.col("vmax") - F.col("vmin")),
+        ),
+        f"{p}_robust": F.when(
+            v.isNotNull() & F.col("med").isNotNull(),
+            _safe_div(v - F.col("med"), F.col("q3") - F.col("q1")),
+        ),
+        f"{p}_winsor": F.when(
+            v.isNotNull() & F.col("p_lo").isNotNull(),
+            F.greatest(F.least(v, F.col("p_hi")), F.col("p_lo")),
+        ),
+    })
+    return out.drop(
+        "mean", "std", "vmin", "vmax", "p_lo", "p_hi", "q1", "med", "q3"
+    )

@@ -98,6 +98,50 @@ def test_transform_matches_manual_stats(spark, ev_df):
     assert out[5].v_robust == pytest.approx((v - stats.med) / (stats.q3 - stats.q1))
 
 
+def test_grouped_matches_per_group_manual(spark):
+    rows = [
+        (1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "a", 4.0),
+        (5, "b", 10.0), (6, "b", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, g string, value double")
+    stats = scl.fit_scaler_stats_grouped(df, "g", "value")
+    out = {r.event_id: r for r in
+           scl.apply_scalers_grouped(df, "g", "value", stats).collect()}
+    # group a: mean 2.5, std stddev_samp([1..4]) = sqrt(5/3)
+    assert out[3].v_std == pytest.approx((3.0 - 2.5) / math.sqrt(5 / 3))
+    assert out[3].v_minmax == pytest.approx((3.0 - 1.0) / 3.0)
+    # group b scales against ITS OWN stats, not a's
+    assert out[6].v_minmax == pytest.approx(1.0)
+
+
+def test_grouped_unseen_group_scales_to_null(spark):
+    fit = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "event_id long, g string, value double"
+    )
+    apply_df = spark.createDataFrame(
+        [(3, "a", 1.5), (4, "zz", 9.0)], "event_id long, g string, value double"
+    )
+    stats = scl.fit_scaler_stats_grouped(fit, "g", "value")
+    out = {r.event_id: r for r in
+           scl.apply_scalers_grouped(apply_df, "g", "value", stats).collect()}
+    # group zz never fit: every scaled column must be NULL, never a
+    # silent fall-through to another group's statistics
+    for c in ("v_std", "v_minmax", "v_robust", "v_winsor"):
+        assert getattr(out[4], c) is None, c
+        assert getattr(out[3], c) is not None, c
+
+
+def test_grouped_plan_broadcasts_stats(spark):
+    rows = [(i, "g%d" % (i % 3), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, g string, value double").repartition(5)
+    stats = scl.fit_scaler_stats_grouped(df, "g", "value")
+    out = scl.apply_scalers_grouped(df, "g", "value", stats)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join: the corpus side must not shuffle for the join
+    assert "SortMergeJoin" not in plan
+
+
 def test_plan_has_no_shuffle(spark, ev_df):
     out = scl.fit_transform_temporal(ev_df, "ts", "value", train_frac=0.8)
     plan = out._jdf.queryExecution().executedPlan().toString()
