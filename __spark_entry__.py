@@ -2513,6 +2513,25 @@ def _q_scale_features_grouped(spark, sf_dir):
     )
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM quality scoring (lmscore.train_bigram_lm +
+    score_perplexity): fit add-k bigram counts on the corpus, score
+    every doc's avg negative log-likelihood and perplexity. Model is a
+    cluster-resident TABLE (two hash-aggregates over the exploded
+    bigram stream), scoring is two LEFT joins + one doc_id fold-back —
+    nothing driver-side. Oracle: list_zip consecutive-pair CTE."""
+    from amazon_security_lake_transformation_library_spark.operators import lmscore as lm
+
+    docs = _t(spark, sf_dir, "documents")
+    big, ctx, vocab = lm.train_bigram_lm(docs)
+    out = lm.score_perplexity(docs, big, ctx, vocab, k=0.5)
+    return out.select(
+        "doc_id", "n_scored",
+        F.round("avg_nll", 4).alias("avg_nll"),
+        F.round("ppl", 2).alias("ppl"),
+    )
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph (graph.pagerank):
     the graph is DERIVED from the corpus with one window + one
@@ -2600,6 +2619,7 @@ _GATE_FRONT = [
     "rolling_median_value", "rolling_zscore_value", "throttle_events_hourly",
     "length_bucket_batches", "column_profile_events",
     "scale_features_events", "scale_features_grouped",
+    "lm_perplexity_docs",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2705,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile_events": _q_column_profile,
         "scale_features_events": _q_scale_features,
         "scale_features_grouped": _q_scale_features_grouped,
+        "lm_perplexity_docs": _q_lm_perplexity,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -3830,6 +3851,34 @@ def oracle_sql() -> dict[str, str]:
                    ELSE (q1 < value)::BIGINT + (med < value)::BIGINT
                         + (q3 < value)::BIGINT END AS v_bin
             FROM tagged, s
+        """,
+        "lm_perplexity_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_prepend('<s>', list_filter(string_split(text, ' '),
+                                                     x -> x != '')) AS ws
+              FROM documents
+            ),
+            pairs AS (
+              SELECT doc_id, p[1] AS prev, p[2] AS w
+              FROM (SELECT doc_id, unnest(list_zip(ws[:-2], ws[2:])) AS p
+                    FROM toks)
+            ),
+            big AS (SELECT prev, w, count(*) AS c_big FROM pairs GROUP BY 1, 2),
+            ctx AS (SELECT prev, count(*) AS c_ctx FROM pairs GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT w) AS v_size FROM pairs)
+            SELECT pairs.doc_id, count(*) AS n_scored,
+                   round(avg(-ln((coalesce(c_big, 0) + 0.5)
+                                 / (coalesce(c_ctx, 0) + 0.5 * v_size))),
+                         4) AS avg_nll,
+                   round(exp(avg(-ln((coalesce(c_big, 0) + 0.5)
+                                     / (coalesce(c_ctx, 0) + 0.5 * v_size)))),
+                         2) AS ppl
+            FROM pairs
+            LEFT JOIN big USING (prev, w)
+            LEFT JOIN ctx USING (prev)
+            CROSS JOIN vocab
+            GROUP BY pairs.doc_id
         """,
         "scale_features_grouped": """
             WITH s AS (
