@@ -2532,6 +2532,33 @@ def _q_lm_perplexity(spark, sf_dir):
     )
 
 
+def _q_kfold_users(spark, sf_dir):
+    """Grouped k-fold assignment (folds.kfold_assign): every event of a
+    user lands in one of 5 folds via md5 — a pure narrow projection
+    (zero shuffle at any scale). Oracle: DuckDB hex-parse of the same
+    md5 prefix."""
+    from amazon_security_lake_transformation_library_spark.operators import folds as fld
+
+    ev = _t(spark, sf_dir, "events")
+    return fld.kfold_assign(ev, "user_id", k=5).select(
+        "event_id", "user_id", "fold"
+    )
+
+
+def _q_tscv_folds(spark, sf_dir):
+    """Expanding-window time-series CV (folds.tscv_folds): 4 splits over
+    equal-frequency time segments; split i trains on segments < i,
+    tests on segment i — one scalar percentile agg + broadcast, the
+    corpus never shuffles, future rows never appear in a split. Oracle:
+    quantile_cont boundary CTE + unnest over split ids."""
+    from amazon_security_lake_transformation_library_spark.operators import folds as fld
+
+    ev = _t(spark, sf_dir, "events")
+    return fld.tscv_folds(ev, "ts", n_splits=4).select(
+        "event_id", "split_id", "role"
+    )
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph (graph.pagerank):
     the graph is DERIVED from the corpus with one window + one
@@ -2619,7 +2646,7 @@ _GATE_FRONT = [
     "rolling_median_value", "rolling_zscore_value", "throttle_events_hourly",
     "length_bucket_batches", "column_profile_events",
     "scale_features_events", "scale_features_grouped",
-    "lm_perplexity_docs",
+    "lm_perplexity_docs", "kfold_users_events", "tscv_folds_events",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2726,6 +2753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_features_events": _q_scale_features,
         "scale_features_grouped": _q_scale_features_grouped,
         "lm_perplexity_docs": _q_lm_perplexity,
+        "kfold_users_events": _q_kfold_users,
+        "tscv_folds_events": _q_tscv_folds,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -3879,6 +3908,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ctx USING (prev)
             CROSS JOIN vocab
             GROUP BY pairs.doc_id
+        """,
+        "kfold_users_events": """
+            SELECT event_id, user_id,
+                   ('0x' || substr(md5('kfold-v1' || user_id::VARCHAR), 1, 8))
+                     ::BIGINT % 5 AS fold
+            FROM events
+        """,
+        "tscv_folds_events": """
+            WITH bs AS (
+              SELECT quantile_cont(epoch_us(ts) / 1000000.0,
+                                   [0.2, 0.4, 0.6, 0.8]) AS bl
+              FROM events
+            ),
+            seg AS (
+              SELECT event_id,
+                     len(list_filter((SELECT bl FROM bs),
+                                     b -> round(b, 4) < epoch_us(ts) / 1000000.0
+                         ))::BIGINT AS segment
+              FROM events
+            )
+            SELECT event_id, s.split_id,
+                   CASE WHEN segment = s.split_id THEN 'test'
+                        ELSE 'train' END AS role
+            FROM seg
+            CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS split_id) s
+            WHERE segment <= s.split_id
         """,
         "scale_features_grouped": """
             WITH s AS (
