@@ -2559,6 +2559,45 @@ def _q_tscv_folds(spark, sf_dir):
     )
 
 
+def _q_hashed_features(spark, sf_dir):
+    """Hashing-trick feature stream (vectorize.hash_feature_rows):
+    md5-bucketed (col=value) indices + ±1 sign hash, dim=64 — a pure
+    narrow projection (zero shuffle, zero fit pass at any scale).
+    Oracle: UNION ALL of the same md5 arithmetic per column."""
+    from amazon_security_lake_transformation_library_spark.operators import vectorize as vz
+
+    ev = _t(spark, sf_dir, "events")
+    return vz.hash_feature_rows(ev, "event_id", ["event_type", "user_id"], dim=64)
+
+
+def _q_hashed_features_vec(spark, sf_dir):
+    """In-row merged sparse-vector form (vectorize.hash_features_vec):
+    same hash space, but same-index collisions are SUMMED by an in-row
+    fold (still zero shuffle). Gated by exploding the vector back to
+    rows; oracle = independent GROUP BY over the exploded stream — so
+    the fold is pinned against a real aggregation."""
+    from amazon_security_lake_transformation_library_spark.operators import vectorize as vz
+
+    ev = _t(spark, sf_dir, "events")
+    out = vz.hash_features_vec(ev, "event_id", ["event_type", "user_id"], dim=8)
+    return out.select(
+        "event_id", F.explode("features").alias("_e")
+    ).select("event_id", F.col("_e.idx").alias("idx"), F.col("_e.val").alias("val"))
+
+
+def _q_multihot_docs(spark, sf_dir):
+    """Bounded-vocab multi-hot (vectorize.build_vocab + encode_multihot):
+    top-128 tokens by doc frequency (deterministic tie-break), each doc
+    becomes its sorted vocab-index list + OOV count. Vocab rank window
+    is vocabulary-sized; encode is explode + broadcast join + one
+    doc_id fold-back."""
+    from amazon_security_lake_transformation_library_spark.operators import vectorize as vz
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vz.build_vocab(docs, top_v=128)
+    return vz.encode_multihot(docs, vocab).select("doc_id", "idxs", "n_oov")
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph (graph.pagerank):
     the graph is DERIVED from the corpus with one window + one
@@ -2647,6 +2686,7 @@ _GATE_FRONT = [
     "length_bucket_batches", "column_profile_events",
     "scale_features_events", "scale_features_grouped",
     "lm_perplexity_docs", "kfold_users_events", "tscv_folds_events",
+    "hashed_features_events", "hashed_features_vec_events", "multihot_docs",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2755,6 +2795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_docs": _q_lm_perplexity,
         "kfold_users_events": _q_kfold_users,
         "tscv_folds_events": _q_tscv_folds,
+        "hashed_features_events": _q_hashed_features,
+        "hashed_features_vec_events": _q_hashed_features_vec,
+        "multihot_docs": _q_multihot_docs,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -3908,6 +3951,71 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ctx USING (prev)
             CROSS JOIN vocab
             GROUP BY pairs.doc_id
+        """,
+        "hashed_features_events": """
+            SELECT event_id, 'event_type' AS feature,
+                   ('0x' || substr(md5('fh-v1' || 'event_type' || '='
+                                       || event_type), 1, 8))::BIGINT
+                     % 64 AS idx,
+                   CASE WHEN substr(md5('fh-v1' || 'event_type' || '='
+                                        || event_type), 9, 1) < '8'
+                        THEN 1 ELSE -1 END AS sign
+            FROM events WHERE event_type IS NOT NULL
+            UNION ALL
+            SELECT event_id, 'user_id' AS feature,
+                   ('0x' || substr(md5('fh-v1' || 'user_id' || '='
+                                       || user_id::VARCHAR), 1, 8))::BIGINT
+                     % 64 AS idx,
+                   CASE WHEN substr(md5('fh-v1' || 'user_id' || '='
+                                        || user_id::VARCHAR), 9, 1) < '8'
+                        THEN 1 ELSE -1 END AS sign
+            FROM events WHERE user_id IS NOT NULL
+        """,
+        "hashed_features_vec_events": """
+            WITH rows_ AS (
+              SELECT event_id,
+                     ('0x' || substr(md5('fh-v1' || 'event_type' || '='
+                                         || event_type), 1, 8))::BIGINT
+                       % 8 AS idx,
+                     CASE WHEN substr(md5('fh-v1' || 'event_type' || '='
+                                          || event_type), 9, 1) < '8'
+                          THEN 1 ELSE -1 END AS val
+              FROM events WHERE event_type IS NOT NULL
+              UNION ALL
+              SELECT event_id,
+                     ('0x' || substr(md5('fh-v1' || 'user_id' || '='
+                                         || user_id::VARCHAR), 1, 8))::BIGINT
+                       % 8 AS idx,
+                     CASE WHEN substr(md5('fh-v1' || 'user_id' || '='
+                                          || user_id::VARCHAR), 9, 1) < '8'
+                          THEN 1 ELSE -1 END AS val
+              FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT event_id, idx, sum(val)::BIGINT AS val
+            FROM rows_ GROUP BY event_id, idx
+        """,
+        "multihot_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                      x -> x != ''))) AS token
+              FROM documents
+            ),
+            dfreq AS (SELECT token, count(*) AS doc_freq FROM toks GROUP BY 1),
+            vocab AS (
+              SELECT token,
+                     row_number() OVER (ORDER BY doc_freq DESC, token ASC)
+                       - 1 AS vocab_idx
+              FROM dfreq
+              QUALIFY vocab_idx < 128
+            )
+            SELECT t.doc_id,
+                   coalesce(list_sort(list(v.vocab_idx)
+                              FILTER (WHERE v.vocab_idx IS NOT NULL)),
+                            []) AS idxs,
+                   count(*) FILTER (WHERE v.vocab_idx IS NULL)::BIGINT AS n_oov
+            FROM toks t LEFT JOIN vocab v USING (token)
+            GROUP BY t.doc_id
         """,
         "kfold_users_events": """
             SELECT event_id, user_id,
