@@ -2651,6 +2651,157 @@ def _q_knn_label_metrics(spark, sf_dir):
     )
 
 
+def _q_resample_ffill(spark, sf_dir):
+    """Regular-grid resampling + point-in-time forward-fill
+    (features.resample_ffill): one feature snapshot per (user, aligned
+    6h instant), each carrying the last observed value at-or-before the
+    instant — the feature-store "as-of snapshot every N seconds"
+    materialization. Grid built with sequence()+explode from a
+    |entities|-row bounds agg (never a calendar cross join), filled by
+    ONE last(ignorenulls) window over the obs∪grid union. Oracle: the
+    identical union+window construction in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    out = feat.resample_ffill(
+        ev, "user_id", "ts", ["value"], step_seconds=21600,
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "grid_ts", (F.round("value", 4) + F.lit(0.0)).alias("value")
+    )
+
+
+def _q_calendar_features(spark, sf_dir):
+    """Cyclic calendar encodings (features.calendar_features): raw
+    hour/dow/dom/month plus sin/cos pairs — pure projection, zero
+    shuffle, codegen-fused with the scan at any scale. Oracle: the same
+    trigonometry in SQL (DuckDB isodow-1 == Spark (dayofweek+5)%7)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return feat.calendar_features(ev, "ts").drop("ts")
+
+
+def _q_rolling_corr(spark, sf_dir):
+    """Trailing-window Pearson correlation (features.rolling_corr)
+    between an event's value and its payload size over the last 51
+    rows per user — five sliding sufficient-stat aggregates fused into
+    ONE Window operator (no self-join). NULL below min_periods or at
+    zero variance. Oracle: the identical sufficient-stats formula over
+    the same frame."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "plen", F.length("props").cast("double")
+    )
+    out = feat.rolling_corr(
+        ev, "user_id", "ts", "value", "plen",
+        n_preceding=50, min_periods=5, tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", (F.col("roll_corr") + F.lit(0.0)).alias("roll_corr")
+    )
+
+
+def _q_cusum_value(spark, sf_dir):
+    """One-sided CUSUM drift detection (features.cusum_drift): the
+    sequential statistic S_i = max(0, S_{i-1} + (x_i - target - slack))
+    computed DECLARATIVELY via its closed form cumsum - min(0, running
+    min of cumsum) — two cumulative aggregates on one shared window, so
+    the "inherently stateful" detector parallelizes across entities
+    with zero Python. Oracle: the same closed form in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    out = feat.cusum_drift(
+        ev, "user_id", "ts", "value",
+        target=50.0, slack=5.0, threshold=500.0, tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        (F.col("cusum") + F.lit(0.0)).alias("cusum"), "drift_alarm",
+    )
+
+
+def _q_entropy_gate(spark, sf_dir):
+    """Character-entropy quality gate (textstats.entropy_gate):
+    Shannon bits/char computed IN-ROW by a sorted-run fold over the
+    char array (the repetition.py shape — no explode: exploding chars
+    would shuffle the corpus byte count). Rejects are routed with a
+    reason, never dropped. Oracle: DuckDB's entropy() aggregate over
+    unnested chars — a genuinely independent algorithm."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.entropy_gate(docs, min_bits=3.95, max_bits=4.20)
+
+
+def _q_roc_auc(spark, sf_dir):
+    """Distributed ROC-AUC (evalx.roc_auc) of the value score against a
+    conversion label, per event day: rank-sum identity over the
+    (day, distinct score) contingency table — the corpus is reduced by
+    a map-side hash agg BEFORE any window touches it, so 10^12 scored
+    rows never sort row-at-a-time. Mid-rank tie handling ==
+    sklearn.roc_auc_score. Oracle: the same contingency construction."""
+    from amazon_security_lake_transformation_library_spark.operators import evalx as ev_ops
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.col("event_type").isin("click", "purchase").cast("int").alias("label"),
+        "value",
+    )
+    out = ev_ops.roc_auc(ev, "label", "value", by=["day"], round_to=2)
+    return out.select(
+        "day", (F.col("auc") + F.lit(0.0)).alias("auc"), "n_pos", "n_neg"
+    )
+
+
+def _q_calibration(spark, sf_dir):
+    """Calibration / reliability bins (evalx.calibration_bins): 10
+    equal-width score bins with count, mean predicted score, observed
+    positive rate — ONE map-side-combined hash aggregate. Score is
+    value normalized to [0,1]; label as in roc_auc. Oracle: the same
+    binning in SQL."""
+    from amazon_security_lake_transformation_library_spark.operators import evalx as ev_ops
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").isin("click", "purchase").cast("int").alias("label"),
+        (F.col("value") / F.lit(500.0)).alias("score"),
+    )
+    return ev_ops.calibration_bins(ev, "label", "score", n_bins=10)
+
+
+def _q_rolling_slope(spark, sf_dir):
+    """Trailing-window OLS trend slope (features.rolling_slope): value
+    units per hour over the last 51 events per user, from sliding
+    sufficient statistics with the time axis re-centered per entity
+    (raw epoch seconds would cancel catastrophically in E[xy]-E[x]E[y];
+    see the docstring). One Exchange+Sort; centering + five sliding
+    aggregates share the window spec. Oracle: identical construction."""
+    ev = _t(spark, sf_dir, "events")
+    out = feat.rolling_slope(
+        ev, "user_id", "ts", "value",
+        n_preceding=50, min_periods=5, tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "roll_slope")
+
+
+def _q_quantile_bin(spark, sf_dir):
+    """Leakage-safe equal-frequency discretization
+    (encoders.quantile_bin_encode): quintile boundaries fit on the
+    hash-split train slice ONLY (split_assign at user granularity),
+    applied to every row as a pure in-row projection — one
+    exact-percentile scalar aggregate, zero corpus shuffle. Oracle:
+    DuckDB quantile_cont on the same train slice + the same
+    strict-below counting rule."""
+    ev = dso.split_assign(_t(spark, sf_dir, "events"), "user_id")
+    out = enc.quantile_bin_encode(ev, "value", "split", n_bins=5)
+    return out.select("event_id", "split", "qbin")
+
+
+def _q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift gate (curation.ks_drift):
+    sup-distance between the train slice's value CDF and every other
+    split's, on the 2-dp-quantized value grid — the bin-free companion
+    to psi_value_by_split (hash splits => KS ~ 0; the statistic's
+    correctness, not its magnitude, is what the oracle pins). The
+    corpus collapses to a (split, distinct value) count table before
+    any window runs. Oracle: identical union-grid CDF construction."""
+    ev = dso.split_assign(_t(spark, sf_dir, "events"), "user_id")
+    return cur.ks_drift(ev, "split", "value", base_split="train")
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -2687,6 +2838,10 @@ _GATE_FRONT = [
     "scale_features_events", "scale_features_grouped",
     "lm_perplexity_docs", "kfold_users_events", "tscv_folds_events",
     "hashed_features_events", "hashed_features_vec_events", "multihot_docs",
+    "resample_ffill_users", "calendar_features_events",
+    "rolling_corr_value", "cusum_value_by_user", "doc_entropy_gate",
+    "auc_value_events", "calibration_events",
+    "rolling_slope_value", "quantile_bin_value", "ks_drift_value",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2798,6 +2953,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features_events": _q_hashed_features,
         "hashed_features_vec_events": _q_hashed_features_vec,
         "multihot_docs": _q_multihot_docs,
+        # temporal feature surface (new r5): grid resampling, calendar,
+        # rolling correlation, CUSUM drift
+        "resample_ffill_users": _q_resample_ffill,
+        "calendar_features_events": _q_calendar_features,
+        "rolling_corr_value": _q_rolling_corr,
+        "cusum_value_by_user": _q_cusum_value,
+        # quality + evaluation surface (new r5)
+        "doc_entropy_gate": _q_entropy_gate,
+        "auc_value_events": _q_roc_auc,
+        "calibration_events": _q_calibration,
+        "rolling_slope_value": _q_rolling_slope,
+        "quantile_bin_value": _q_quantile_bin,
+        "ks_drift_value": _q_ks_drift,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -4016,6 +4184,226 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE v.vocab_idx IS NULL)::BIGINT AS n_oov
             FROM toks t LEFT JOIN vocab v USING (token)
             GROUP BY t.doc_id
+        """,
+        "resample_ffill_users": """
+            WITH obs AS (
+              SELECT user_id, epoch_us(ts) AS tus, 0 AS grid,
+                     event_id AS tb, value
+              FROM events
+            ),
+            b AS (
+              SELECT user_id,
+                     ceil(min(tus) / 21600000000.0)::BIGINT AS klo,
+                     floor(max(tus) / 21600000000.0)::BIGINT AS khi
+              FROM obs GROUP BY 1
+            ),
+            g AS (
+              SELECT user_id, unnest(generate_series(klo, khi)) AS k
+              FROM b WHERE klo <= khi
+            ),
+            u AS (
+              SELECT user_id, tus, grid, tb, value FROM obs
+              UNION ALL
+              SELECT user_id, k * 21600000000, 1, NULL, NULL FROM g
+            ),
+            f AS (
+              SELECT user_id, tus, grid,
+                     last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY tus, grid, tb NULLS LAST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS value
+              FROM u
+            )
+            SELECT user_id, make_timestamp(tus) AS grid_ts,
+                   round(value, 4) + 0.0 AS value
+            FROM f WHERE grid = 1
+        """,
+        "calendar_features_events": """
+            SELECT event_id,
+                   hour(ts) AS cal_hour,
+                   isodow(ts) - 1 AS cal_dow,
+                   day(ts) AS cal_dom,
+                   month(ts) AS cal_month,
+                   round(sin(2*pi()*hour(ts)/24.0), 4) + 0.0 AS cal_hour_sin,
+                   round(cos(2*pi()*hour(ts)/24.0), 4) + 0.0 AS cal_hour_cos,
+                   round(sin(2*pi()*(isodow(ts)-1)/7.0), 4) + 0.0 AS cal_dow_sin,
+                   round(cos(2*pi()*(isodow(ts)-1)/7.0), 4) + 0.0 AS cal_dow_cos,
+                   round(sin(2*pi()*(month(ts)-1)/12.0), 4) + 0.0
+                     AS cal_month_sin,
+                   round(cos(2*pi()*(month(ts)-1)/12.0), 4) + 0.0
+                     AS cal_month_cos
+            FROM events
+        """,
+        "rolling_corr_value": f"""
+            WITH b AS (
+              SELECT event_id, user_id,
+                     avg(value * length(props)::DOUBLE) OVER w AS exy,
+                     avg(value) OVER w AS ex,
+                     avg(length(props)::DOUBLE) OVER w AS ey,
+                     stddev_pop(value) OVER w AS sx,
+                     stddev_pop(length(props)::DOUBLE) OVER w AS sy,
+                     count(*) OVER w AS c
+              FROM events
+              WINDOW w AS ({_EVENT_WINDOW}
+                           ROWS BETWEEN 50 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id,
+                   round(CASE WHEN c >= 5 AND sx > 0 AND sy > 0
+                              THEN (exy - ex*ey) / (sx*sy) END, 4) + 0.0
+                     AS roll_corr
+            FROM b
+        """,
+        "cusum_value_by_user": f"""
+            WITH c AS (
+              SELECT event_id, user_id,
+                     sum(value - 55.0) OVER ({_EVENT_WINDOW}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     ts
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   round(cum - least(0.0, min(cum) OVER ({_EVENT_WINDOW}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+                     + 0.0 AS cusum,
+                   round(cum - least(0.0, min(cum) OVER ({_EVENT_WINDOW}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+                     > 500.0 AS drift_alarm
+            FROM c
+        """,
+        "doc_entropy_gate": """
+            WITH h AS (
+              SELECT doc_id, entropy(c) AS hh
+              FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                    FROM documents)
+              GROUP BY doc_id
+            )
+            SELECT doc_id, round(hh, 4) + 0.0 AS entropy_bits,
+                   CASE WHEN hh < 3.95 THEN 'low_entropy'
+                        WHEN hh > 4.20 THEN 'high_entropy' END
+                     AS reject_reason,
+                   hh >= 3.95 AND hh <= 4.20 AS keep
+            FROM h
+        """,
+        "auc_value_events": """
+            WITH l AS (
+              SELECT ts::DATE AS day,
+                     CASE WHEN event_type IN ('click','purchase')
+                          THEN 1 ELSE 0 END AS y,
+                     round(value, 2) AS s
+              FROM events
+            ),
+            c AS (
+              SELECT day, s, sum(y) AS pos, count(*) - sum(y) AS neg
+              FROM l GROUP BY day, s
+            ),
+            k AS (
+              SELECT day, pos, neg,
+                     coalesce(sum(neg) OVER (
+                       PARTITION BY day ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS nb
+              FROM c
+            ),
+            a AS (
+              SELECT day, sum(pos * (nb + neg / 2.0)) AS u,
+                     sum(pos) AS n_pos, sum(neg) AS n_neg
+              FROM k GROUP BY day
+            )
+            SELECT day,
+                   round(CASE WHEN n_pos > 0 AND n_neg > 0
+                              THEN u / (n_pos * n_neg) END, 4) + 0.0 AS auc,
+                   n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg
+            FROM a
+        """,
+        "calibration_events": """
+            SELECT least(floor(value / 500.0 * 10), 9)::INT AS bin,
+                   count(*) AS n,
+                   round(avg(value / 500.0), 4) + 0.0 AS mean_score,
+                   round(avg(CASE WHEN event_type IN ('click','purchase')
+                                  THEN 1.0 ELSE 0.0 END), 4) + 0.0
+                     AS pos_rate
+            FROM events GROUP BY 1
+        """,
+        "rolling_slope_value": f"""
+            WITH c AS (
+              SELECT event_id, user_id, value,
+                     epoch_us(ts) / 1000000.0
+                       - min(epoch_us(ts) / 1000000.0) OVER (
+                           PARTITION BY user_id) AS xc,
+                     ts
+              FROM events
+            ),
+            b AS (
+              SELECT event_id, user_id,
+                     avg(xc * value) OVER w AS exy,
+                     avg(xc) OVER w AS ex,
+                     avg(value) OVER w AS ey,
+                     avg(xc * xc) OVER w AS exx,
+                     count(*) OVER w AS c
+              FROM c
+              WINDOW w AS ({_EVENT_WINDOW}
+                           ROWS BETWEEN 50 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id,
+                   round(CASE WHEN c >= 5 AND exx - ex*ex > 0
+                              THEN (exy - ex*ey) / (exx - ex*ex) * 3600.0
+                         END, 4) + 0.0 AS roll_slope
+            FROM b
+        """,
+        "quantile_bin_value": """
+            WITH sp AS (
+              SELECT event_id, value,
+                     CASE WHEN substr(md5('split-v1' || user_id::VARCHAR),
+                                      1, 4) < 'cccc' THEN 'train'
+                          WHEN substr(md5('split-v1' || user_id::VARCHAR),
+                                      1, 4) < 'e666' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM events
+            ),
+            b AS (
+              SELECT quantile_cont(value, [0.2, 0.4, 0.6, 0.8]) AS bl
+              FROM sp WHERE split = 'train'
+            )
+            SELECT event_id, split,
+                   len(list_filter((SELECT bl FROM b),
+                                   x -> round(x, 4) < value))::INT AS qbin
+            FROM sp
+        """,
+        "ks_drift_value": """
+            WITH sp AS (
+              SELECT round(value, 2) AS v,
+                     CASE WHEN substr(md5('split-v1' || user_id::VARCHAR),
+                                      1, 4) < 'cccc' THEN 'train'
+                          WHEN substr(md5('split-v1' || user_id::VARCHAR),
+                                      1, 4) < 'e666' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM events
+            ),
+            counts AS (
+              SELECT split, v, count(*) AS n FROM sp GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT g.v, s.split
+              FROM (SELECT DISTINCT v FROM counts) g
+              CROSS JOIN (SELECT DISTINCT split FROM counts) s
+            ),
+            cdf AS (
+              SELECT grid.split, grid.v,
+                     sum(coalesce(counts.n, 0)) OVER (
+                       PARTITION BY grid.split ORDER BY grid.v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / sum(coalesce(counts.n, 0)) OVER (
+                         PARTITION BY grid.split) AS cdf
+              FROM grid LEFT JOIN counts
+                ON grid.split = counts.split AND grid.v = counts.v
+            )
+            SELECT o.split,
+                   round(max(abs(o.cdf - b.cdf)), 4) + 0.0 AS ks
+            FROM cdf o JOIN cdf b ON o.v = b.v AND b.split = 'train'
+            WHERE o.split != 'train'
+            GROUP BY o.split
         """,
         "kfold_users_events": """
             SELECT event_id, user_id,

@@ -566,3 +566,76 @@ def materialize_mixture(
         F.array().cast("array<int>")
     )
     return j.select("*", F.explode(seq).alias("epoch_idx"))
+
+
+def ks_drift(
+    df: DataFrame,
+    split_col: str,
+    value_col: str,
+    base_split: str = "train",
+    round_to: int | None = 2,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic of ``value_col``
+    between ``base_split`` and every other split:
+    ``KS = max_v |F_base(v) - F_other(v)|`` — the bin-free companion to
+    :func:`psi_by_split` (PSI needs a bin width; KS is the sup-distance
+    between the exact empirical CDFs, sensitive to shape shifts PSI's
+    coarse bins can blur).
+
+    Scale shape: the corpus collapses FIRST to a (split, distinct
+    value) count table via one map-side-combined hash aggregate (bound
+    the table with ``round_to`` quantization — KS over 2-dp-quantized
+    values is the statistic of the quantized variable, stated
+    explicitly rather than silently float-exact). Both CDFs are then
+    evaluated on the UNION grid of observed values — each side's CDF
+    must be carried across the other side's jump points, otherwise the
+    sup lands between grid points and is undercounted — with one
+    cumulative window per split over that small table, a broadcast join
+    back to the base CDF, and a |splits|-row max.
+    """
+    from .. import caching
+
+    v = F.col(value_col).cast("double")
+    if round_to is not None:
+        v = F.round(v, round_to)
+    # persist_tracked: the count table is referenced by the value grid,
+    # the split list, the CDF join AND the base/other CDF split — five
+    # consumers that would each re-run the corpus aggregation (the plan
+    # showed 12 corpus scans unpersisted). The table itself is
+    # (splits x distinct quantized values)-sized, safely cacheable.
+    counts = caching.persist_tracked(
+        df.select(F.col(split_col).alias("split"), v.alias("v"))
+        .groupBy("split", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    splits = counts.select("split").distinct()
+    grid = counts.select("v").distinct().crossJoin(F.broadcast(splits))
+    w = (
+        Window.partitionBy("split")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("split")
+    cdf = (
+        grid.join(counts, ["split", "v"], "left")
+        .select(
+            "split",
+            "v",
+            (
+                F.sum(F.coalesce(F.col("n"), F.lit(0))).over(w)
+                / F.sum(F.coalesce(F.col("n"), F.lit(0))).over(tot)
+            ).alias("cdf"),
+        )
+    )
+    base = cdf.where(F.col("split") == base_split).select(
+        "v", F.col("cdf").alias("cdf_base")
+    )
+    return (
+        cdf.where(F.col("split") != base_split)
+        .join(F.broadcast(base), "v")
+        .groupBy("split")
+        .agg(
+            (F.round(F.max(F.abs(F.col("cdf") - F.col("cdf_base"))), 4)
+             + F.lit(0.0)).alias("ks")
+        )
+    )

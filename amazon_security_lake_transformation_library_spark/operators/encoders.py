@@ -205,3 +205,46 @@ def mutual_information(
     return cells.select(
         (p_xy * F.log(p_xy / (p_x * p_y))).alias("_term")
     ).agg(F.sum("_term").alias(out_col))
+
+
+def quantile_bin_encode(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    n_bins: int = 5,
+    base_split: str = "train",
+    out_col: str = "qbin",
+) -> DataFrame:
+    """Equal-frequency (quantile) discretization with a LEAKAGE-SAFE
+    fit: bin boundaries are the interior quantiles of ``value_col``
+    computed over ``base_split`` rows ONLY, then applied to every row —
+    the standard discipline for binning a feature that will be
+    target-encoded or fed to a tree model (fitting on val/test rows
+    leaks their distribution into the transform).
+
+    Bin of a row = number of boundaries strictly below its value
+    (boundaries rounded to 4 dp so the edge comparison is reproducible
+    across engines — the folds.py time-series-CV convention), i.e.
+    bin 0 holds values up to the first quantile, bin n_bins-1 above the
+    last.
+
+    Scale shape: ONE exact-percentile aggregate over the train slice
+    (n_bins-1 doubles on the driver plan as a broadcast literal array),
+    then a pure in-row projection — the corpus itself is never
+    shuffled, exactly the PSI/temporal-scaling pattern.
+    """
+    v = F.col(value_col).cast("double")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = (
+        df.where(F.col(split_col) == base_split)
+        .agg(F.percentile(v, F.lit(qs)).alias("_b"))
+        .select(F.transform("_b", lambda b: F.round(b, 4)).alias("_b"))
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.size(F.filter("_b", lambda b: b < v)).cast("int"),
+        )
+        .drop("_b")
+    )

@@ -406,3 +406,276 @@ def throttle_events(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# ------------------------------------------- regular-grid resampling + ffill
+
+def resample_ffill(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    step_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Resample an irregular per-entity series onto a regular time grid
+    with point-in-time-correct forward-fill — the feature-store
+    "as-of snapshot every N seconds" materialization (training tables
+    want one feature row per (entity, grid_ts), not one per raw event).
+
+    Grid: every aligned ``step_seconds`` boundary in
+    ``[ceil(min_ts), floor(max_ts)]`` per entity (entities shorter than
+    one step emit nothing — there is no aligned instant inside their
+    span). Each grid instant carries the LAST observed value at-or-before
+    it (strict as-of: a grid row never reads a later observation, the
+    same zero-leakage discipline as :mod:`.asof`).
+
+    Scale shape: one groupBy(entity) agg for the bounds (map-side
+    partial, |entities| rows), ``sequence()`` + explode to build the grid
+    (never a driver loop, never a cross join against a calendar table),
+    union with the observations, ONE Window (Exchange+Sort on the entity
+    key) running ``last(ignorenulls)``, then a grid-only filter. Grid
+    cardinality is span/step per entity — bounded and predictable; at
+    10^12 turns the union input is |events| + |entities|·span/step rows,
+    both linear scans. Equal-instant tie: an observation AT a grid
+    boundary sorts before the grid row (is_grid orders last), so the
+    boundary snapshot includes it. Among equal-instant observations,
+    ``tiebreak`` (a unique id column) picks a stable winner — pass it
+    whenever the series can carry duplicate timestamps.
+    """
+    us = int(step_seconds) * 1_000_000
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bounds = df.groupBy(entity).agg(
+        F.min(t).alias("__lo"), F.max(t).alias("__hi")
+    )
+    k_lo = -F.floor(-F.col("__lo") / us)  # ceil_div
+    k_hi = F.floor(F.col("__hi") / us)
+    # sequence(start, stop) DESCENDS when start > stop — an entity whose
+    # span contains no aligned instant must emit nothing, not a reversed
+    # grid, so the empty case is filtered before explode.
+    grid = bounds.where(k_lo <= k_hi).select(
+        entity,
+        F.explode(F.sequence(k_lo, k_hi)).alias("__k"),
+    ).select(
+        entity,
+        (F.col("__k") * us).alias("__tus"),
+        F.lit(1).alias("__grid"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.lit(None).cast(dict(df.dtypes)[c]).alias(c) for c in value_cols],
+    )
+    obs = df.select(
+        entity,
+        t.alias("__tus"),
+        F.lit(0).alias("__grid"),
+        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0)).alias("__tb"),
+        *value_cols,
+    )
+    w = (
+        Window.partitionBy(entity)
+        .orderBy("__tus", "__grid", F.col("__tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = obs.unionByName(grid).select(
+        entity,
+        "__tus",
+        "__grid",
+        "__tb",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled.where(F.col("__grid") == 1).select(
+        entity,
+        F.timestamp_micros(F.col("__tus")).alias("grid_ts"),
+        *value_cols,
+    )
+
+
+# ------------------------------------------------- cyclic calendar features
+
+def calendar_features(
+    df: DataFrame,
+    ts_col: str,
+    prefix: str = "cal_",
+) -> DataFrame:
+    """Cyclic calendar encodings of an event timestamp: raw fields
+    (hour, dow Monday=0, day-of-month, month) plus sin/cos pairs so
+    models see midnight adjacent to 23:00 and December adjacent to
+    January. Pure projection — zero shuffle, whole-stage codegen,
+    trivially scan-fused at any scale. Values rounded to 4 dp (the
+    repo-wide float contract)."""
+    two_pi = 2.0 * 3.141592653589793
+    ts = F.col(ts_col).cast("timestamp")
+    hour = F.hour(ts)
+    # Monday=0..Sunday=6 (Spark dayofweek is Sunday=1)
+    dow = (F.dayofweek(ts) + 5) % 7
+    month = F.month(ts)
+
+    def cyc(col: Column, period: float, name: str) -> list[Column]:
+        ang = col.cast("double") * F.lit(two_pi / period)
+        # + 0.0 normalizes IEEE -0.0 (round(sin(pi), 4) is negative zero)
+        return [
+            (F.round(F.sin(ang), 4) + F.lit(0.0)).alias(f"{prefix}{name}_sin"),
+            (F.round(F.cos(ang), 4) + F.lit(0.0)).alias(f"{prefix}{name}_cos"),
+        ]
+
+    return df.select(
+        "*",
+        hour.alias(f"{prefix}hour"),
+        dow.alias(f"{prefix}dow"),
+        F.dayofmonth(ts).alias(f"{prefix}dom"),
+        month.alias(f"{prefix}month"),
+        *cyc(hour, 24.0, "hour"),
+        *cyc(dow, 7.0, "dow"),
+        *cyc(month - 1, 12.0, "month"),
+    )
+
+
+# ------------------------------------------------------- rolling correlation
+
+def rolling_corr(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    n_preceding: int = 50,
+    min_periods: int = 5,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two per-entity series
+    (e.g. a turn-level feature vs its lag) — the co-movement feature of a
+    drift dashboard. Computed from sliding sufficient statistics
+    (E[xy], E[x], E[y], population stddevs) over ONE shared window frame:
+    one Exchange+Sort, five sliding aggregates Catalyst fuses into a
+    single Window operator, no self-join. NULL when the frame holds fewer
+    than ``min_periods`` rows or either variance is zero (undefined, not
+    zero). Frame includes the current row — corr is a symmetric
+    descriptive feature, not a leakage-sensitive predictor baseline;
+    for a strictly-past form shift the frame like rolling_zscore."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(-n_preceding, 0)
+    )
+    x, y = F.col(x_col), F.col(y_col)
+    exy = F.avg(x * y).over(w)
+    ex, ey = F.avg(x).over(w), F.avg(y).over(w)
+    sx, sy = F.stddev_pop(x).over(w), F.stddev_pop(y).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    corr = F.when(
+        (cnt >= min_periods) & (sx > 0) & (sy > 0),
+        (exy - ex * ey) / (sx * sy),
+    )
+    return df.withColumn("roll_corr", F.round(corr, 4))
+
+
+# ------------------------------------------------------------ CUSUM drift
+
+def cusum_drift(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """One-sided upper CUSUM change detection per entity: the classic
+    sequential drift statistic ``S_i = max(0, S_{i-1} + (x_i - target -
+    slack))`` with an alarm when ``S_i > threshold``.
+
+    The recurrence looks inherently sequential, but has the closed form
+    ``S_i = C_i - min(0, min_{j<=i} C_j)`` where ``C_i`` is the plain
+    cumulative sum of ``(x - target - slack)`` — a running sum plus a
+    running min, i.e. TWO cumulative-frame aggregates over one shared
+    window. So the "stateful" detector is fully declarative: one
+    Exchange+Sort per entity, no applyInPandas, no per-row Python, and
+    it parallelizes across entities exactly like every other window
+    feature. (Induction: S_i = max(0, C_{i-1} - m_{i-1} + x_i - k)
+    = C_i - min(m_{i-1}, C_i) = C_i - m_i, with m_i = min(0, C_j, j<=i).)
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    wc = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.col(value_col) - F.lit(float(target) + float(slack))
+    cum = F.sum(dev).over(wc)
+    runmin = F.least(F.lit(0.0), F.min(cum).over(wc))
+    # min(cum) over the running frame of the ALREADY-windowed column is
+    # illegal (nested window); materialize cum first.
+    out = (
+        df.withColumn("__cum", cum)
+        .withColumn(
+            "cusum",
+            F.round(
+                F.col("__cum")
+                - F.least(F.lit(0.0), F.min("__cum").over(wc)),
+                4,
+            ),
+        )
+        .withColumn("drift_alarm", F.col("cusum") > F.lit(float(threshold)))
+        .drop("__cum")
+    )
+    return out
+
+
+# ------------------------------------------------------- rolling trend slope
+
+def rolling_slope(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    value_col: str,
+    n_preceding: int = 50,
+    min_periods: int = 5,
+    per_seconds: float = 3600.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Trailing-window OLS trend slope of ``value_col`` against event
+    time — "is this metric rising, and how fast" as a per-row feature.
+    ``roll_slope`` is value units per ``per_seconds`` (default: per
+    hour), 4 dp; NULL when the frame holds fewer than ``min_periods``
+    rows or time has zero variance in the frame.
+
+    beta = cov(x, y) / var(x) from sliding sufficient statistics, with
+    x RE-CENTERED PER ENTITY (x - min(x) over the entity partition,
+    materialized by a first Window pass on the SAME partition spec so
+    it adds no Exchange): raw epoch seconds are ~1.7e9, so E[x^2] ~
+    2.9e18 overflows the 53-bit double mantissa and E[xy] - E[x]E[y]
+    would cancel catastrophically; covariance is shift-invariant, so
+    subtracting any frame-constant offset leaves beta unchanged while
+    keeping every moment entity-span-sized (exact for spans up to
+    ~years). The centering must be a materialized column — a
+    first_value over the frame nested inside the sliding aggregates
+    would be an (illegal) window-in-window expression. One
+    Exchange+Sort; the centering Window and the five sliding aggregates
+    reuse the same partitioning/order.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    wp = Window.partitionBy(entity).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(-n_preceding, 0)
+    )
+    x_raw = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    base = df.withColumn("__xc", x_raw - F.min(x_raw).over(wp))
+    xc, y = F.col("__xc"), F.col(value_col)
+    cov = F.avg(xc * y).over(w) - F.avg(xc).over(w) * F.avg(y).over(w)
+    varx = F.avg(xc * xc).over(w) - F.avg(xc).over(w) * F.avg(xc).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    beta = F.when(
+        (cnt >= min_periods) & (varx > 0),
+        cov / varx * F.lit(float(per_seconds)),
+    )
+    return base.withColumn(
+        "roll_slope", F.round(beta, 4) + F.lit(0.0)
+    ).drop("__xc")

@@ -257,3 +257,72 @@ def normalize_text(
     return df.withColumn(out_col, collapsed).withColumn(
         "changed", F.col(out_col) != F.col(text_col)
     )
+
+
+# --------------------------------------------------- character entropy gate
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the character distribution of a
+    string — the cheap degenerate-text detector (keyboard mash, single
+    repeated char, base64 blobs all sit at distribution extremes; CCNet
+    and Gopher both gate on it).
+
+    Computed IN-ROW with zero shuffle: ``split('')`` -> ``array_sort``
+    -> one linear fold over equal-char runs accumulating ``Σ c·ln c``
+    incrementally (when a run reaches length r the term gains
+    ``r·ln r − (r−1)·ln(r−1)``), then
+    ``H = (ln n − (Σ c·ln c)/n) / ln 2``. Same sorted-run-fold shape as
+    repetition.py's Gopher signals — O(L log L) per row inside
+    whole-stage codegen, no explode (an explode would shuffle |chars|
+    rows: at 100 TB that is the corpus byte count as exchange traffic).
+    NULL for empty strings (undefined, not zero)."""
+    chars = F.array_sort(F.split(text, ""))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("acc"),
+    )
+
+    def step(st: Column, x: Column) -> Column:
+        run = (
+            F.when(x.eqNullSafe(st["prev"]), st["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        inc = F.when(
+            run > 1,
+            run.cast("double") * F.log(run.cast("double"))
+            - (run - 1).cast("double") * F.log((run - 1).cast("double")),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), (st["acc"] + inc).alias("acc")
+        )
+
+    sum_clnc = F.aggregate(chars, zero, step, lambda st: st["acc"])
+    n = F.length(text).cast("double")
+    ln2 = 0.6931471805599453
+    return F.when(
+        n > 0, (F.log(n) - sum_clnc / n) / F.lit(ln2)
+    )
+
+
+def entropy_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_bits: float = 2.0,
+    max_bits: float = 6.0,
+) -> DataFrame:
+    """Per-document entropy quality gate: emit id, entropy (4 dp), and
+    keep/reject with the reject reason — the same persisted-reject
+    discipline as corpus_filter / the mapping pipeline (rejects are
+    routed, never silently dropped). Pure projection; scales with bytes."""
+    h = char_entropy(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.round(h, 4).alias("entropy_bits"),
+        F.when(h.isNull(), F.lit("empty"))
+        .when(h < min_bits, F.lit("low_entropy"))
+        .when(h > max_bits, F.lit("high_entropy"))
+        .alias("reject_reason"),
+    ).withColumn("keep", F.col("reject_reason").isNull())
