@@ -2802,6 +2802,51 @@ def _q_ks_drift(spark, sf_dir):
     return cur.ks_drift(ev, "split", "value", base_split="train")
 
 
+def _q_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build (merge.scd2_build): the
+    events stream read as a per-user state-change log becomes one
+    validity interval per distinct consecutive state, no-op repeats
+    collapsed, open interval flagged current — the dimension layout
+    asof_join_over_intervals serves point-in-time lookups from. ONE
+    Exchange+Sort on the entity key (change flag, lead end, current
+    flag share the window). Oracle: the same lag-collapse + lead in
+    SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return merge_ops.scd2_build(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak="event_id"
+    )
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Row-level table-version diff (merge.snapshot_diff): CDC
+    extraction between two snapshots derived from events (modulo
+    filters plant inserts, deletes and value updates) — emits ONLY
+    changed keys with change_type, so the diff of two nearly-identical
+    snapshots is delta-sized, never corpus-sized. One full-outer SMJ on
+    the key; null-safe struct compare. Oracle: the same full-outer
+    construction."""
+    ev = _t(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 7 != 0).select(
+        "event_id", "event_type", "value"
+    )
+    new = ev.where(F.col("event_id") % 5 != 0).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, F.col("value") + 1)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = merge_ops.snapshot_diff(old, new, ["event_id"])
+    return out.select(
+        "event_id",
+        "change_type",
+        "old_event_type",
+        (F.round("old_value", 4) + F.lit(0.0)).alias("old_value"),
+        "new_event_type",
+        (F.round("new_value", 4) + F.lit(0.0)).alias("new_value"),
+    )
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -2842,6 +2887,7 @@ _GATE_FRONT = [
     "rolling_corr_value", "cusum_value_by_user", "doc_entropy_gate",
     "auc_value_events", "calibration_events",
     "rolling_slope_value", "quantile_bin_value", "ks_drift_value",
+    "scd2_user_state", "snapshot_diff_events",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2966,6 +3012,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_slope_value": _q_rolling_slope,
         "quantile_bin_value": _q_quantile_bin,
         "ks_drift_value": _q_ks_drift,
+        # data-versioning surface (new r5): SCD2 dimension build + CDC diff
+        "scd2_user_state": _q_scd2,
+        "snapshot_diff_events": _q_snapshot_diff,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -4404,6 +4453,52 @@ def oracle_sql() -> dict[str, str]:
             FROM cdf o JOIN cdf b ON o.v = b.v AND b.split = 'train'
             WHERE o.split != 'train'
             GROUP BY o.split
+        """,
+        "scd2_user_state": """
+            WITH chg AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            cur AS (
+              SELECT user_id, event_type, ts, event_id FROM chg
+              WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM cur
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "snapshot_diff_events": """
+            WITH o AS (
+              SELECT event_id, event_type, value FROM events
+              WHERE event_id % 7 != 0
+            ),
+            n AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 3 = 0 THEN value + 1
+                          ELSE value END AS value
+              FROM events WHERE event_id % 5 != 0
+            ),
+            j AS (
+              SELECT coalesce(o.event_id, n.event_id) AS event_id,
+                     o.event_type AS oet, o.value AS ov,
+                     n.event_type AS net, n.value AS nv,
+                     CASE WHEN o.event_id IS NULL THEN 'insert'
+                          WHEN n.event_id IS NULL THEN 'delete'
+                          WHEN o.event_type IS DISTINCT FROM n.event_type
+                               OR o.value IS DISTINCT FROM n.value
+                            THEN 'update' END AS change_type
+              FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+            )
+            SELECT event_id, change_type,
+                   oet AS old_event_type,
+                   round(ov, 4) + 0.0 AS old_value,
+                   net AS new_event_type,
+                   round(nv, 4) + 0.0 AS new_value
+            FROM j WHERE change_type IS NOT NULL
         """,
         "kfold_users_events": """
             SELECT event_id, user_id,

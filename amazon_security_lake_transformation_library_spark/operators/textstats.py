@@ -275,7 +275,13 @@ def char_entropy(text: Column) -> Column:
     repetition.py's Gopher signals — O(L log L) per row inside
     whole-stage codegen, no explode (an explode would shuffle |chars|
     rows: at 100 TB that is the corpus byte count as exchange traffic).
-    NULL for empty strings (undefined, not zero)."""
+    NULL for empty strings (undefined, not zero).
+
+    Parallelism note: being scan-fused, task count == input split
+    count — at real scale the corpus is thousands of files and every
+    core folds its own splits; the single-file toy bench runs this
+    CPU-bound fold in one task (the 594 KB sf0.1 documents file is one
+    parquet split), which is a fixture artifact, not a plan property."""
     chars = F.array_sort(F.split(text, ""))
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),
