@@ -231,6 +231,12 @@ def pagerank(
         .distinct()
     )
     n = verts.count()
+    if n == 0:
+        # empty graph -> empty rank table (an empty event stream derives
+        # an empty transition graph; 1/N below would divide by zero)
+        return verts.select(
+            F.col("n").alias("node"), F.lit(0.0).alias("rank")
+        )
     outw = e.groupBy("u").agg(F.sum("w").alias("outw"))
     ep = persist_tracked(
         e.join(outw, "u").select(

@@ -117,3 +117,12 @@ def test_kmv_overlap_disjoint_sets(spark):
     r = sk.kmv_set_overlap(a, b, "v", k=64).collect()[0]
     assert r.est_intersection == pytest.approx(0.0)
     assert r.jaccard_est == pytest.approx(0.0)
+
+
+def test_pagerank_empty_graph(spark):
+    from amazon_security_lake_transformation_library_spark.operators import graph as g
+
+    edges = spark.createDataFrame([], "src string, dst string, w double")
+    out = g.pagerank(edges, iterations=3, weight_col="w")
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
