@@ -776,6 +776,15 @@ def _q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(docs, pairs)
 
 
+def _q_ngram_containment(spark, sf_dir):
+    """Directional n-gram containment on the LSH candidate pairs — the
+    asymmetric companion score to dedup_ngram_jaccard (catches short-doc-
+    quoted-in-long-doc wrappers that symmetric Jaccard misses)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    return dd.ngram_containment_pairs(docs, pairs)
+
+
 def _q_simhash(spark, sf_dir):
     return dd.simhash_dedup(_t(spark, sf_dir, "documents"))
 
@@ -1460,6 +1469,13 @@ def _q_tfidf_top_terms(spark, sf_dir):
     """Top-3 smoothed TF-IDF terms per document: explode -> (doc, term)
     hash agg, broadcast document-frequency join, WindowGroupLimit top-k."""
     return rep.tf_idf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _q_pmi_collocations(spark, sf_dir):
+    """Top-20 adjacent-word collocations by PMI (min pair count 5): one
+    token scan feeds bigram + unigram hash aggs, vocabulary-sized
+    broadcast joins, TakeOrderedAndProject top-k."""
+    return rep.pmi_collocations(_t(spark, sf_dir, "documents"), k=20, min_count=5)
 
 
 def _pii_raw_col() -> F.Column:
@@ -2888,6 +2904,7 @@ _GATE_FRONT = [
     "auc_value_events", "calibration_events",
     "rolling_slope_value", "quantile_bin_value", "ks_drift_value",
     "scd2_user_state", "snapshot_diff_events",
+    "ngram_containment_docs", "pmi_collocations_docs",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -2955,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_docs": _q_dedup_incremental,
         "semdedup_docs": _q_semdedup,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
         # similarity / ANN family
@@ -3128,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": _q_line_stats,
         "top_ngrams": _q_top_ngrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "pmi_collocations_docs": _q_pmi_collocations,
         "corpus_filter": _q_corpus_filter,
         "scrub_pii": _q_scrub_pii,
         "doc_lang_trigram": _q_doc_lang_trigram,
@@ -4983,6 +5002,31 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END, 4) AS jaccard
             FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
         """,
+        "ngram_containment_docs": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(ws) >= 3
+                       THEN list_transform(range(1, len(ws) - 1),
+                                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                       ELSE []::VARCHAR[] END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+            ), pairs AS ({_MINHASH_PAIRS}),
+            raw AS (
+              SELECT p.doc_a, p.doc_b,
+                     CASE WHEN len(a.sh) > 0
+                          THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)
+                          ELSE 0 END AS ca,
+                     CASE WHEN len(b.sh) > 0
+                          THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)
+                          ELSE 0 END AS cb
+              FROM pairs p JOIN sh a ON p.doc_a = a.doc_id
+                           JOIN sh b ON p.doc_b = b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(ca, 4) + 0.0 AS c_a_in_b,
+                   round(cb, 4) + 0.0 AS c_b_in_a,
+                   round(greatest(ca, cb), 4) + 0.0 AS containment
+            FROM raw
+        """,
         "ann_cosine_topk": f"""
             WITH e AS ({_EMB}),
             s AS (
@@ -5197,6 +5241,29 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY tfidf DESC, term) AS rk
               FROM scored
             ) WHERE rk <= 3
+        """,
+        "pmi_collocations_docs": """
+            WITH w AS (SELECT list_filter(string_split(text, ' '),
+                                          x -> length(x) > 0) AS ws
+                       FROM documents),
+            g AS (SELECT unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS gram
+                  FROM w WHERE len(ws) >= 2),
+            bi AS (SELECT split_part(gram, ' ', 1) AS w1,
+                          split_part(gram, ' ', 2) AS w2,
+                          count(*)::BIGINT AS c12
+                   FROM g GROUP BY 1, 2),
+            btot AS (SELECT sum(greatest(len(ws) - 1, 0))::DOUBLE AS B FROM w),
+            uni AS (SELECT unnest(ws) AS w, 1 AS one FROM w),
+            uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+            tot AS (SELECT sum(c)::DOUBLE AS T FROM uc)
+            SELECT w1, w2, c12 AS pair_count,
+                   round(ln(c12::DOUBLE * T * T / (B * u1.c * u2.c)), 4) + 0.0 AS pmi
+            FROM bi JOIN uc u1 ON bi.w1 = u1.w
+                    JOIN uc u2 ON bi.w2 = u2.w
+                    CROSS JOIN tot CROSS JOIN btot
+            WHERE c12 >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 20
         """,
         "scrub_pii": r"""
             WITH r AS (

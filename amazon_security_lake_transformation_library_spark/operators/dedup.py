@@ -416,3 +416,60 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= k)
         .distinct()
     )
+
+
+# -------------------------------------------------------- containment
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Directional n-gram *containment* for candidate (doc_a, doc_b) pairs:
+
+        c_a_in_b = |A ∩ B| / |A|      c_b_in_a = |A ∩ B| / |B|
+        containment = max(c_a_in_b, c_b_in_a)
+
+    Containment is the asymmetric companion to Jaccard (Broder's original
+    resemblance/containment pair): a short document fully quoted inside a
+    long one has Jaccard ≈ |A|/|B| (tiny) but containment ≈ 1.0 — the
+    signature of boilerplate wrappers, quote-inflated pages, and
+    prompt-template expansions that symmetric near-dup passes miss.
+
+    Same physical shape as :func:`ngram_jaccard_pairs` — shingles are
+    built ONLY for docs in a candidate pair (semi-join restriction), then
+    two joins pull the sets onto pair rows and the ratios are row-local.
+    At corpus scale the candidate set is LSH-restricted, never all-pairs.
+    Empty shingle sets (doc shorter than n tokens) score 0.0, not NULL,
+    so downstream ``>= threshold`` filters behave.
+    """
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    shingles = (
+        df.join(cand_ids, id_col, "semi")
+        .select(F.col(id_col), ngram_set(F.col(text_col), n).alias("sh"))
+    )
+    shingles = persist_tracked(shingles)
+    a = shingles.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingles.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    c_ab = F.when(F.size("sh_a") > 0, inter / F.size("sh_a")).otherwise(F.lit(0.0))
+    c_ba = F.when(F.size("sh_b") > 0, inter / F.size("sh_b")).otherwise(F.lit(0.0))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 4).alias("c_a_in_b"),
+            F.round(c_ba, 4).alias("c_b_in_a"),
+            F.round(F.greatest(c_ab, c_ba), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
+
 __all__ = [
     "ngram_array",
     "top_run_chars",
@@ -52,6 +54,7 @@ __all__ = [
     "top_ngrams",
     "tf_idf_top_terms",
     "corpus_filter",
+    "pmi_collocations",
 ]
 
 
@@ -368,4 +371,89 @@ def tf_idf_top_terms(
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .drop("rk")
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information:
+
+        pmi(w1, w2) = ln( p(w1,w2) / (p(w1) · p(w2)) )
+                    = ln( c12 · T · T / (B · c1 · c2) )
+
+    with c12 the bigram count over B total bigrams and c1/c2 unigram
+    counts over T total tokens. High-PMI pairs are multiword expressions
+    ("machine learning", "et al") — the classic corpus-linguistics signal
+    for tokenizer-merge candidates and boilerplate phrase mining.
+
+    Shape: one tokenized scan feeds BOTH tallies (bigrams via two shifted
+    slices zipped into structs, unigrams via a plain explode) — each is a
+    hash aggregate with map-side partial combine, so the two exchanges
+    carry per-partition distinct grams, not the token stream. The unigram
+    table is vocabulary-sized and broadcast onto the bigram table twice;
+    the totals are one-row aggregates cross-joined in (literal-sized).
+    ``min_count`` is applied BEFORE the joins — low-count bigrams are the
+    long tail of the vocabulary, and PMI is famously noisy on them, so
+    pruning early shrinks the join probe side by orders of magnitude.
+    Final top-k is TakeOrderedAndProject on (pmi desc, w1, w2) — k rows
+    to the driver, never a full sort. PMI is rounded to 4 decimals BEFORE
+    ranking so the k-th boundary is engine-stable for the oracle gate.
+    """
+    toks = df.select(
+        F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0).alias(
+            "__w"
+        )
+    )
+    m = F.greatest(F.size("__w") - F.lit(1), F.lit(0))
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("__w", 1, m),
+                    F.slice("__w", 2, m),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("g")
+        )
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    uni = (
+        toks.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = persist_tracked(uni)
+    tot = uni.agg(
+        F.sum("c").cast("double").alias("T")
+    )
+    # B is the PRE-prune bigram total (sum of per-row bigram counts straight
+    # off the token scan) so min_count pruning changes which pairs survive,
+    # never the PMI value of a surviving pair.
+    btot = toks.agg(F.sum(m).cast("double").alias("B"))
+    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")))
+    pmi = F.log(
+        F.col("c12").cast("double") * F.col("T") * F.col("T")
+        / (F.col("B") * F.col("c1") * F.col("c2"))
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").alias("pair_count"),
+            _r4(pmi).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
     )

@@ -263,3 +263,56 @@ def test_scrub_pii_shuffle_free(docs_df):
     plan = _plan(ts_ops.scrub_pii(docs_df))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------- collocations
+
+def test_pmi_collocations_exact_values(spark):
+    # corpus: T=7 tokens (a:3 b:3 c:1), B=5 bigrams,
+    # counts (a,b):3 (b,a):1 (b,c):1
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, "a b a b"), (1, "a b c")], columns=["doc_id", "text"])
+    )
+    out = (
+        rep.pmi_collocations(df, k=10, min_count=1)
+        .toPandas()
+        .set_index(["w1", "w2"])
+    )
+    assert round(math.log(3 * 49 / (5 * 3 * 3)), 4) == out.loc[("a", "b"), "pmi"]
+    assert round(math.log(1 * 49 / (5 * 3 * 3)), 4) == out.loc[("b", "a"), "pmi"]
+    assert round(math.log(1 * 49 / (5 * 3 * 1)), 4) == out.loc[("b", "c"), "pmi"]
+    # tie at the top: ("a","b") and ("b","c") share a PMI; (pmi desc, w1, w2)
+    # puts ("a","b") first
+    top = rep.pmi_collocations(df, k=1, min_count=1).toPandas()
+    assert (top.iloc[0]["w1"], top.iloc[0]["w2"]) == ("a", "b")
+
+
+def test_pmi_min_count_prunes_pairs_not_scores(spark):
+    # B and T are pre-prune totals: raising min_count drops rows but must
+    # NOT change the PMI of a surviving pair.
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, "a b a b"), (1, "a b c")], columns=["doc_id", "text"])
+    )
+    loose = (
+        rep.pmi_collocations(df, k=10, min_count=1)
+        .toPandas()
+        .set_index(["w1", "w2"])
+    )
+    strict = rep.pmi_collocations(df, k=10, min_count=2).toPandas()
+    assert len(strict) == 1
+    assert strict.iloc[0]["pair_count"] == 3
+    assert strict.iloc[0]["pmi"] == loose.loc[("a", "b"), "pmi"]
+
+
+def test_pmi_skips_empty_tokens_and_short_docs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "a  b"), (1, ""), (2, "solo")], columns=["doc_id", "text"]
+        )
+    )
+    out = rep.pmi_collocations(df, k=10, min_count=1).toPandas()
+    # double space must not create an empty token; "" and 1-token docs
+    # contribute no bigrams -> single (a,b) pair over T=3, B=1
+    assert len(out) == 1
+    assert (out.iloc[0]["w1"], out.iloc[0]["w2"]) == ("a", "b")
+    assert out.iloc[0]["pmi"] == round(math.log(1 * 9 / (1 * 1 * 1)), 4)

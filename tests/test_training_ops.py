@@ -753,3 +753,47 @@ def test_duplicate_ngram_spans_semantics(spark):
         n=4,
     )
     assert rescored.count() == 0
+
+
+def test_ngram_containment_asymmetric(spark):
+    # doc 10 (4 tokens, 2 shingles) is fully quoted inside doc 11
+    # (8 tokens, 6 shingles): containment flags it at 1.0 where Jaccard
+    # reads only 2/6.
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (10, "alpha beta gamma delta"),
+                (11, "alpha beta gamma delta epsilon zeta eta theta"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(10, 11)], columns=["doc_a", "doc_b"])
+    )
+    out = dd.ngram_containment_pairs(docs, pairs).toPandas().iloc[0]
+    assert out["c_a_in_b"] == 1.0
+    assert out["c_b_in_a"] == round(2 / 6, 4)
+    assert out["containment"] == 1.0
+    jac = dd.ngram_jaccard_pairs(docs, pairs).toPandas().iloc[0]
+    assert jac["jaccard"] == round(2 / 6, 4)
+
+
+def test_ngram_containment_empty_shingles_scores_zero(spark, docs_df):
+    # doc 5 has < 3 tokens -> empty shingle set; scores must be 0.0 (not
+    # NULL) so downstream >= threshold filters keep behaving.
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(5, 0), (0, 1)], columns=["doc_a", "doc_b"])
+    )
+    out = (
+        dd.ngram_containment_pairs(docs_df, pairs)
+        .toPandas()
+        .set_index(["doc_a", "doc_b"])
+    )
+    assert out.loc[(5, 0), "containment"] == 0.0
+    assert out.loc[(5, 0), "c_a_in_b"] == 0.0
+    # symmetric near-dups: both directions agree with Jaccard-style overlap
+    assert out.loc[(0, 1), "c_a_in_b"] == out.loc[(0, 1), "c_b_in_a"]
+    # threshold filter applies to the max of the two directions
+    thr = dd.ngram_containment_pairs(docs_df, pairs, threshold=0.5).toPandas()
+    assert set(zip(thr["doc_a"], thr["doc_b"])) == {(0, 1)}
