@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amazon_security_lake_transformation_library_spark.functions.timeops import eventday
+from amazon_security_lake_transformation_library_spark.operators import annotation as ann
 from amazon_security_lake_transformation_library_spark.operators import asof as asof_ops
 from amazon_security_lake_transformation_library_spark.operators import behavior as bhv
 from amazon_security_lake_transformation_library_spark.operators import chatprep as chp
@@ -2863,6 +2864,86 @@ def _q_snapshot_diff(spark, sf_dir):
     )
 
 
+def _ratings_fixture(spark, sf_dir):
+    """Deterministic annotation table derived from events: every block of
+    8 consecutive event_ids is one ITEM, the position in the block is the
+    RATER (so each (item, rater) cell holds exactly one rating), and the
+    event_type is the categorical label. Scales with the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.expr("event_id div 8").alias("item_id"),
+        (F.col("event_id") % 8).alias("rater_id"),
+        F.col("event_type").alias("label"),
+    )
+
+
+def _matches_fixture(spark, sf_dir):
+    """Deterministic pairwise-preference votes over 8 'models': contestants
+    come from two digit positions of event_id; the winner is biased by the
+    model index (+7 per index step on the value threshold) so the fitted
+    Bradley-Terry strengths are monotone in the index, not uniform."""
+    ev = _t(spark, sf_dir, "events")
+    ia = F.col("event_id") % 8
+    ib = F.expr("event_id div 8") % 8
+    win_a = (F.col("value") + F.lit(7.0) * ia - F.lit(7.0) * ib) >= 100.0
+    return (
+        ev.where(ia != ib)
+        .select(
+            F.when(win_a, ia).otherwise(ib).alias("winner"),
+            F.when(win_a, ib).otherwise(ia).alias("loser"),
+        )
+    )
+
+
+def _tree_fixture(spark, sf_dir):
+    """Deterministic forest over event_ids: blocks of 32 ids form one tree;
+    offset 0 is the root, every other node hash-picks a parent at a
+    strictly smaller offset in its block (so parent_id < node_id always)."""
+    ev = _t(spark, sf_dir, "events")
+    off = F.col("event_id") % 32
+    parent = (F.col("event_id") - off) + (
+        F.col("event_id") * F.lit(2654435761).cast("long")
+    ) % off
+    return ev.select(
+        F.col("event_id").alias("node_id"),
+        F.when(off == 0, F.lit(None).cast("long")).otherwise(parent).alias(
+            "parent_id"
+        ),
+    )
+
+
+def _q_cohen_kappa(spark, sf_dir):
+    """Pairwise inter-rater reliability (annotation.cohen_kappa_pairs):
+    item-keyed self-join bounded by the rater panel, then pair-keyed hash
+    aggregates — one row per rater pair with po/pe/kappa."""
+    return ann.cohen_kappa_pairs(_ratings_fixture(spark, sf_dir))
+
+
+def _q_fleiss_kappa(spark, sf_dir):
+    """Corpus-level multi-rater agreement (annotation.fleiss_kappa):
+    two hash aggregates + a global fold, no joins; single-row output."""
+    return ann.fleiss_kappa(_ratings_fixture(spark, sf_dir))
+
+
+def _q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry model strengths from pairwise votes
+    (annotation.bradley_terry): ONE distributed aggregate folds the vote
+    stream to the items^2 pair-count table, then 8 MM rounds in numpy on
+    the driver (item vocabulary = compared models, small by construction).
+    Oracle: the same 8 rounds unrolled as SQL CTEs."""
+    return ann.bradley_terry(_matches_fixture(spark, sf_dir), iters=8)
+
+
+def _q_conv_tree_paths(spark, sf_dir):
+    """Conversation-tree linearization (graph.tree_paths): pointer-DOUBLING
+    path assembly (log-depth rounds, localCheckpoint per round) + leaf
+    anti-join. Oracle: a recursive CTE walking one parent per step — a
+    different algorithm on a different engine."""
+    from amazon_security_lake_transformation_library_spark.operators import graph as g
+
+    return g.tree_paths(_tree_fixture(spark, sf_dir), leaves_only=True)
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -2905,6 +2986,8 @@ _GATE_FRONT = [
     "rolling_slope_value", "quantile_bin_value", "ks_drift_value",
     "scd2_user_state", "snapshot_diff_events",
     "ngram_containment_docs", "pmi_collocations_docs",
+    "cohen_kappa_raters", "fleiss_kappa_items",
+    "bradley_terry_models", "conv_tree_paths",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3033,6 +3116,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data-versioning surface (new r5): SCD2 dimension build + CDC diff
         "scd2_user_state": _q_scd2,
         "snapshot_diff_events": _q_snapshot_diff,
+        # annotation-QA / preference analytics (new r5)
+        "cohen_kappa_raters": _q_cohen_kappa,
+        "fleiss_kappa_items": _q_fleiss_kappa,
+        "bradley_terry_models": _q_bradley_terry,
+        "conv_tree_paths": _q_conv_tree_paths,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -3294,6 +3382,63 @@ _DECON_SQL = """
 """
 
 _EMB = "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+
+# annotation fixture: see _ratings_fixture (one rating per (item, rater) cell)
+_RATINGS_FIXTURE_SQL = (
+    "SELECT event_id // 8 AS item_id, event_id % 8 AS rater_id, "
+    "event_type AS label FROM events"
+)
+
+
+def _bt_oracle_sql(iters: int) -> str:
+    """Unrolled Bradley-Terry MM oracle: the same fixed-point iteration
+    annotation.bradley_terry runs in numpy, expressed as one CTE chain
+    per round (join strengths onto the pair-count table, re-estimate,
+    renormalize to mean 1) — a different execution substrate for the
+    identical arithmetic, which is exactly what the differential gate
+    wants for an iterative solver."""
+    parts = [
+        """
+            WITH matches AS MATERIALIZED (
+              SELECT CASE WHEN value + 7.0 * (event_id % 8)
+                                - 7.0 * ((event_id // 8) % 8) >= 100.0
+                          THEN event_id % 8 ELSE (event_id // 8) % 8
+                     END AS winner,
+                     CASE WHEN value + 7.0 * (event_id % 8)
+                                - 7.0 * ((event_id // 8) % 8) >= 100.0
+                          THEN (event_id // 8) % 8 ELSE event_id % 8
+                     END AS loser
+              FROM events WHERE (event_id % 8) <> ((event_id // 8) % 8)
+            ),
+            d AS MATERIALIZED (SELECT winner AS i, loser AS j, 1 AS w FROM matches
+                  UNION ALL SELECT loser, winner, 0 FROM matches),
+            pc AS MATERIALIZED (SELECT i, j, sum(w)::DOUBLE AS w_ij,
+                          count(*)::DOUBLE AS n_ij
+                   FROM d GROUP BY i, j),
+            wins AS MATERIALIZED (SELECT i AS item, sum(w_ij) AS wins, sum(n_ij) AS games
+                     FROM pc GROUP BY i),
+            s0 AS MATERIALIZED (SELECT item, 1.0 AS s FROM wins)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+            r{k} AS MATERIALIZED (
+              SELECT p.i AS item, w.wins / sum(p.n_ij / (a.s + b.s)) AS s_raw
+              FROM pc p JOIN s{k - 1} a ON p.i = a.item
+                        JOIN s{k - 1} b ON p.j = b.item
+                        JOIN wins w ON w.item = p.i
+              GROUP BY p.i, w.wins
+            ),
+            s{k} AS MATERIALIZED (SELECT item,
+                     s_raw / (SELECT avg(s_raw) FROM r{k}) AS s FROM r{k})"""
+        )
+    parts.append(
+        f"""
+            SELECT w.item, w.wins::BIGINT AS wins, w.games::BIGINT AS games,
+                   round(s.s, 4) + 0.0 AS strength
+            FROM wins w JOIN s{iters} s ON w.item = s.item"""
+    )
+    return "".join(parts)
 _DOT64 = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
 _NRM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
 
@@ -4518,6 +4663,95 @@ def oracle_sql() -> dict[str, str]:
                    net AS new_event_type,
                    round(nv, 4) + 0.0 AS new_value
             FROM j WHERE change_type IS NOT NULL
+        """,
+        "cohen_kappa_raters": f"""
+            WITH ratings AS ({_RATINGS_FIXTURE_SQL}),
+            j AS (
+              SELECT a.rater_id AS rater_a, b.rater_id AS rater_b,
+                     a.label AS la, b.label AS lb
+              FROM ratings a JOIN ratings b
+                ON a.item_id = b.item_id AND a.rater_id < b.rater_id
+            ),
+            obs AS (
+              SELECT rater_a, rater_b, count(*)::BIGINT AS n_items,
+                     sum(CASE WHEN la = lb THEN 1 ELSE 0 END)::DOUBLE AS agree
+              FROM j GROUP BY 1, 2
+            ),
+            ma AS (SELECT rater_a, rater_b, la AS l, count(*)::BIGINT AS ca
+                   FROM j GROUP BY 1, 2, 3),
+            mb AS (SELECT rater_a, rater_b, lb AS l, count(*)::BIGINT AS cb
+                   FROM j GROUP BY 1, 2, 3),
+            pp AS (
+              SELECT ma.rater_a, ma.rater_b, sum(ma.ca::DOUBLE * mb.cb) AS pp
+              FROM ma JOIN mb ON ma.rater_a = mb.rater_a
+                             AND ma.rater_b = mb.rater_b AND ma.l = mb.l
+              GROUP BY 1, 2
+            )
+            SELECT o.rater_a, o.rater_b, o.n_items,
+                   round(o.agree / o.n_items, 4) + 0.0 AS po,
+                   round(p.pp / (o.n_items::DOUBLE * o.n_items), 4) + 0.0 AS pe,
+                   round(CASE WHEN p.pp / (o.n_items::DOUBLE * o.n_items) < 1.0
+                         THEN (o.agree / o.n_items
+                               - p.pp / (o.n_items::DOUBLE * o.n_items))
+                              / (1.0 - p.pp / (o.n_items::DOUBLE * o.n_items))
+                         ELSE 1.0 END, 4) + 0.0 AS kappa
+            FROM obs o JOIN pp p
+              ON o.rater_a = p.rater_a AND o.rater_b = p.rater_b
+        """,
+        "fleiss_kappa_items": f"""
+            WITH ratings AS ({_RATINGS_FIXTURE_SQL}),
+            cnt AS (SELECT item_id, label, count(*)::BIGINT AS c
+                    FROM ratings GROUP BY 1, 2),
+            per_item AS (
+              SELECT item_id, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS ss
+              FROM cnt GROUP BY 1 HAVING sum(c) >= 2
+            ),
+            istats AS (
+              SELECT count(*)::BIGINT AS n_items, sum(n)::BIGINT AS n_ratings,
+                     avg((ss - n)::DOUBLE / (n::DOUBLE * (n - 1))) AS pbar
+              FROM per_item
+            ),
+            lbl AS (
+              SELECT sum(cl::DOUBLE * cl) AS sq, sum(cl)::DOUBLE AS tot FROM (
+                SELECT c2.label, sum(c2.c)::BIGINT AS cl
+                FROM cnt c2 JOIN per_item pi ON c2.item_id = pi.item_id
+                GROUP BY c2.label)
+            )
+            SELECT n_items, n_ratings,
+                   round(pbar, 4) + 0.0 AS p_bar,
+                   round(sq / (tot * tot), 4) + 0.0 AS p_e,
+                   round(CASE WHEN sq / (tot * tot) < 1.0
+                         THEN (pbar - sq / (tot * tot))
+                              / (1.0 - sq / (tot * tot))
+                         ELSE 1.0 END, 4) + 0.0 AS kappa
+            FROM istats CROSS JOIN lbl
+        """,
+        "bradley_terry_models": _bt_oracle_sql(8),
+        "conv_tree_paths": """
+            WITH RECURSIVE nodes AS (
+              SELECT event_id AS node_id,
+                     CASE WHEN event_id % 32 = 0 THEN NULL
+                          ELSE (event_id - event_id % 32)
+                               + (event_id * 2654435761) % (event_id % 32)
+                     END AS parent_id
+              FROM events
+            ),
+            walk AS (
+              SELECT node_id, parent_id AS anc,
+                     CAST(node_id AS VARCHAR) AS path, 0 AS depth
+              FROM nodes
+              UNION ALL
+              SELECT w.node_id, n.parent_id,
+                     CAST(n.node_id AS VARCHAR) || '/' || w.path, w.depth + 1
+              FROM walk w JOIN nodes n ON w.anc = n.node_id
+            )
+            SELECT d.node_id,
+                   CAST(split_part(d.path, '/', 1) AS BIGINT) AS root_id,
+                   d.depth, d.path
+            FROM (SELECT node_id, path, depth FROM walk WHERE anc IS NULL) d
+            JOIN (SELECT node_id FROM nodes WHERE node_id NOT IN
+                    (SELECT parent_id FROM nodes WHERE parent_id IS NOT NULL)
+                 ) l ON d.node_id = l.node_id
         """,
         "kfold_users_events": """
             SELECT event_id, user_id,

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..caching import persist_tracked
 
-__all__ = ["connected_components", "dedup_clusters", "pagerank"]
+__all__ = ["connected_components", "dedup_clusters", "pagerank", "tree_paths"]
 
 
 def connected_components(
@@ -311,3 +311,95 @@ def pagerank(
         for h in checkpoints:
             _release_local_checkpoint(h)
     return ranks.select(F.col("n").alias("node"), "rank")
+
+
+def tree_paths(
+    nodes: DataFrame,
+    id_col: str = "node_id",
+    parent_col: str = "parent_id",
+    max_iters: int = 25,
+    leaves_only: bool = False,
+) -> DataFrame:
+    """Root-to-node path linearization over a forest of parent pointers:
+    ``(node_id, root_id, depth, path)`` with ``path`` the '/'-joined id
+    chain from root down to the node.
+
+    Branching conversation trees (regenerated assistant replies, edited
+    user turns) store one parent pointer per turn; training needs each
+    LEAF expanded into its full linear transcript. That expansion is this
+    operator plus a per-path turn join; ``leaves_only=True`` restricts
+    the output to leaves (nodes never referenced as a parent) via an
+    anti-join.
+
+    Scale design: pointer DOUBLING, not step-by-step walking — the state
+    per node is (ptr = deepest known ancestor's parent, acc = id chain
+    strictly below ptr down to the node, root-to-leaf ordered). Each
+    round joins the state to itself on ``ptr``, prepending the
+    ancestor's chain and jumping the pointer, so a depth-D tree resolves
+    in ceil(log2(D)) + 1 rounds of join + concat over node-count-sized
+    tables. Every round localCheckpoints to stop the self-join doubling
+    the logical plan (same exponential-lineage reason documented on
+    :func:`connected_components`). Paths are materialized as id arrays —
+    memory per row is O(depth), the inherent output size.
+
+    Oracle shape: a recursive CTE walking one parent per step — a
+    different algorithm (linear walk) on a different engine.
+    """
+    import tempfile
+
+    from .similarity import _release_local_checkpoint
+
+    spark = nodes.sparkSession
+    root = tempfile.mkdtemp(prefix="spark_graft_tree_")
+    state = nodes.select(
+        F.col(id_col).alias("nid"),
+        F.col(parent_col).alias("ptr"),
+        F.array(F.col(id_col)).alias("acc"),
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iters):
+            if state.where(F.col("ptr").isNotNull()).isEmpty():
+                out = state.select(
+                    F.col("nid").alias(id_col),
+                    F.col("acc").getItem(0).alias("root_id"),
+                    (F.size("acc") - F.lit(1)).alias("depth"),
+                    F.concat_ws("/", F.col("acc").cast("array<string>")).alias(
+                        "path"
+                    ),
+                )
+                if leaves_only:
+                    parents = nodes.where(
+                        F.col(parent_col).isNotNull()
+                    ).select(F.col(parent_col).alias(id_col))
+                    out = out.join(parents, id_col, "anti")
+                # parquet round-trip so the returned frame outlives the
+                # released checkpoint blocks (same pattern as pagerank)
+                path = f"{root}/final"
+                out.write.mode("overwrite").parquet(path)
+                return spark.read.parquet(path)
+            anc = state.select(
+                F.col("nid").alias("__an"),
+                F.col("ptr").alias("__aptr"),
+                F.col("acc").alias("__aacc"),
+            )
+            nxt = (
+                state.join(anc, state.ptr == F.col("__an"), "left")
+                .select(
+                    "nid",
+                    F.when(F.col("__an").isNotNull(), F.col("__aptr"))
+                    .otherwise(F.lit(None))
+                    .alias("ptr"),
+                    F.when(
+                        F.col("__an").isNotNull(),
+                        F.concat(F.col("__aacc"), F.col("acc")),
+                    )
+                    .otherwise(F.col("acc"))
+                    .alias("acc"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            _release_local_checkpoint(state)
+            state = nxt
+    finally:
+        _release_local_checkpoint(state)
+    raise RuntimeError(f"tree_paths did not converge in {max_iters} rounds")
