@@ -2934,6 +2934,14 @@ def _q_bradley_terry(spark, sf_dir):
     return ann.bradley_terry(_matches_fixture(spark, sf_dir), iters=8)
 
 
+def _q_gold_labels(spark, sf_dir):
+    """Majority-vote gold-label aggregation with disagreement diagnostics
+    (annotation.majority_gold_labels): two map-side-combinable hash
+    aggregates; the argmax rides min(struct(-count, label)) so ties break
+    deterministically to the smallest label — no window pass."""
+    return ann.majority_gold_labels(_ratings_fixture(spark, sf_dir))
+
+
 def _q_conv_tree_paths(spark, sf_dir):
     """Conversation-tree linearization (graph.tree_paths): pointer-DOUBLING
     path assembly (log-depth rounds, localCheckpoint per round) + leaf
@@ -2987,7 +2995,7 @@ _GATE_FRONT = [
     "scd2_user_state", "snapshot_diff_events",
     "ngram_containment_docs", "pmi_collocations_docs",
     "cohen_kappa_raters", "fleiss_kappa_items",
-    "bradley_terry_models", "conv_tree_paths",
+    "bradley_terry_models", "conv_tree_paths", "gold_labels_items",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3121,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa_items": _q_fleiss_kappa,
         "bradley_terry_models": _q_bradley_terry,
         "conv_tree_paths": _q_conv_tree_paths,
+        "gold_labels_items": _q_gold_labels,
         "rolling_distinct_kmv_users": _q_rolling_distinct_kmv,
         # streaming operators under the batch-form differential gate (new r4)
         "dedup_stream_batch": _q_dedup_stream_batch,
@@ -4727,6 +4736,27 @@ def oracle_sql() -> dict[str, str]:
             FROM istats CROSS JOIN lbl
         """,
         "bradley_terry_models": _bt_oracle_sql(8),
+        "gold_labels_items": f"""
+            WITH ratings AS ({_RATINGS_FIXTURE_SQL}),
+            cnt AS (SELECT item_id, label, count(*)::BIGINT AS c
+                    FROM ratings GROUP BY 1, 2),
+            top AS (
+              SELECT item_id, label, c FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY item_id ORDER BY c DESC, label) AS rk
+                FROM cnt) WHERE rk = 1
+            ),
+            ag AS (
+              SELECT item_id, sum(c)::BIGINT AS n_votes,
+                     sum(c::DOUBLE * ln(c::DOUBLE)) AS clogc
+              FROM cnt GROUP BY 1
+            )
+            SELECT a.item_id, a.n_votes, t.label AS gold_label,
+                   round(t.c::DOUBLE / a.n_votes, 4) + 0.0 AS gold_frac,
+                   round(ln(a.n_votes::DOUBLE) - a.clogc / a.n_votes, 4)
+                     + 0.0 AS vote_entropy
+            FROM ag a JOIN top t ON a.item_id = t.item_id
+        """,
         "conv_tree_paths": """
             WITH RECURSIVE nodes AS (
               SELECT event_id AS node_id,

@@ -35,7 +35,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cohen_kappa_pairs", "fleiss_kappa", "bradley_terry"]
+__all__ = [
+    "cohen_kappa_pairs",
+    "fleiss_kappa",
+    "bradley_terry",
+    "majority_gold_labels",
+]
 
 
 def _r4(c: Column) -> Column:
@@ -247,3 +252,60 @@ def bradley_terry(
         }
     )
     return spark.createDataFrame(out)
+
+
+def majority_gold_labels(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    label_col: str = "label",
+    min_votes: int = 1,
+) -> DataFrame:
+    """Gold-label aggregation: per item, the majority-vote label plus the
+    disagreement diagnostics downstream filters key on.
+
+        gold_label   majority label; ties broken to the lexicographically
+                     smallest (deterministic under any partitioning)
+        gold_frac    votes for gold_label / total votes
+        vote_entropy Shannon entropy (nats) of the vote distribution —
+                     0 for unanimous items, ln(k) for k-way uniform splits
+
+    The standard step between rater-agreement QA (kappa families above)
+    and training: unanimous items become labels, high-entropy items go
+    back for re-annotation or get routed to adjudication.
+
+    Shape: one shuffle to (item, label) counts, then an item-keyed
+    aggregate where the argmax rides a single ``min(struct(-count,
+    label))`` — no window, no second pass over the votes. Both
+    aggregates combine map-side, so a billion votes reduce to an
+    items-sized table with two exchanges.
+    """
+    cnt = ratings.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    top = F.min(
+        F.struct((-F.col("__c")).alias("nc"), F.col(label_col).alias("l"))
+    )
+    n = F.sum("__c")
+    return (
+        cnt.groupBy(item_col)
+        .agg(
+            n.alias("n_votes"),
+            top.alias("__top"),
+            F.sum(
+                F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))
+            ).alias("__clogc"),
+        )
+        .where(F.col("n_votes") >= min_votes)
+        .select(
+            item_col,
+            "n_votes",
+            F.col("__top.l").alias("gold_label"),
+            _r4((-F.col("__top.nc")) / F.col("n_votes")).alias("gold_frac"),
+            # sum p ln(1/p) = ln(n) - (1/n) sum c ln(c): one pass, no
+            # per-label division before the fold
+            _r4(
+                F.log(F.col("n_votes").cast("double"))
+                - F.col("__clogc") / F.col("n_votes")
+            ).alias("vote_entropy"),
+        )
+    )

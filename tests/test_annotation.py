@@ -166,3 +166,34 @@ def test_tree_paths_nonconvergence_raises(spark):
     rows = [(0, None)] + [(i, i - 1) for i in range(1, 34)]
     with pytest.raises(RuntimeError):
         g.tree_paths(_forest(spark, rows), max_iters=2)
+
+
+# ------------------------------------------------------------- gold labels
+
+def test_majority_gold_labels_tiebreak_and_entropy(spark):
+    rows = [
+        (0, 0, "a"), (0, 1, "a"), (0, 2, "b"),          # majority a, 2/3
+        (1, 0, "x"), (1, 1, "y"),                        # tie -> smallest "x"
+        (2, 0, "z"),                                     # unanimous singleton
+    ]
+    out = (
+        ann.majority_gold_labels(_ratings(spark, rows))
+        .toPandas()
+        .set_index("item_id")
+    )
+    assert out.loc[0, "gold_label"] == "a"
+    assert out.loc[0, "gold_frac"] == round(2 / 3, 4)
+    assert out.loc[0, "vote_entropy"] == round(
+        math.log(3) - (2 * math.log(2)) / 3, 4
+    )
+    assert out.loc[1, "gold_label"] == "x"
+    assert out.loc[1, "gold_frac"] == 0.5
+    assert out.loc[1, "vote_entropy"] == round(math.log(2), 4)
+    assert out.loc[2, "gold_frac"] == 1.0
+    assert out.loc[2, "vote_entropy"] == 0.0
+
+
+def test_majority_gold_labels_min_votes(spark):
+    rows = [(0, 0, "a"), (0, 1, "a"), (1, 0, "b")]
+    out = ann.majority_gold_labels(_ratings(spark, rows), min_votes=2).toPandas()
+    assert set(out["item_id"]) == {0}
