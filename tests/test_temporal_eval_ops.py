@@ -179,6 +179,32 @@ def test_char_entropy_values(spark):
     assert got[4] is None
 
 
+def test_char_entropy_backends_agree(spark):
+    """Arrow batch-flattened backend == Catalyst lambda-fold backend,
+    bit-for-bit at 9 dp, across unicode, runs, NULL, empty, and a
+    long mixed doc (both are float64 on the same formula; only the
+    summation grouping differs)."""
+    texts = [
+        "aaaa", "abab", "abcd", "", None, "αβγδε αβγ", "日本語テキスト処理",
+        "the quick brown fox jumps over the lazy dog 0123456789" * 40,
+        "x", "  \t\n ", "mixed ASCII und Ümläute — plus €¥₹",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    rows = df.select(
+        "doc_id",
+        F.round(ts_ops.char_entropy(F.col("text")), 9).alias("h_sql"),
+        F.round(ts_ops.char_entropy_arrow(F.col("text")), 9).alias("h_arrow"),
+    ).collect()
+    for r in rows:
+        assert r["h_sql"] == r["h_arrow"], (r["doc_id"], r["h_sql"], r["h_arrow"])
+    # and the gate itself is backend-identical end-to-end
+    a = ts_ops.entropy_gate(df, backend="arrow").orderBy("doc_id").collect()
+    s = ts_ops.entropy_gate(df, backend="sql").orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in s]
+
+
 def test_entropy_gate_routes_rejects(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2],
