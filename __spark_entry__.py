@@ -39,6 +39,7 @@ from amazon_security_lake_transformation_library_spark.operators import scaling 
 from amazon_security_lake_transformation_library_spark.operators import sketch as sk
 from amazon_security_lake_transformation_library_spark.operators import similarity as sim
 from amazon_security_lake_transformation_library_spark.operators import textstats as ts_ops
+from amazon_security_lake_transformation_library_spark.operators import turnsim as tsim
 from amazon_security_lake_transformation_library_spark.operators.salted import time_chunk
 from amazon_security_lake_transformation_library_spark.synth import transcripts as synth
 
@@ -2360,6 +2361,54 @@ def _q_bm25_topk(spark, sf_dir):
     return ret.bm25_topk(_t(spark, sf_dir, "documents"), BM25_TERMS, k=20)
 
 
+RANKEVAL_RUN_K, RANKEVAL_K = 15, 10
+
+
+def _q_ranking_metrics(spark, sf_dir):
+    """Offline ranking evaluation (retrieval.ranking_metrics): a
+    deterministic pseudo-run (per-source rank by a Knuth-hash of doc_id,
+    top-15) evaluated against graded qrels (docs with n_chars % 7 == 0,
+    grade 1 + doc_id % 3) — per-query MRR, graded nDCG@10,
+    precision/recall@10. Run+qrels are retrieval-sized; the corpus
+    appears only in the two derivations (one window, one filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    score = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    w = Window.partitionBy("source").orderBy(score.asc(), F.col("doc_id"))
+    run = (
+        docs.select(
+            F.col("source").alias("query_id"),
+            "doc_id",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= RANKEVAL_RUN_K)
+    )
+    qrels = docs.filter(F.col("n_chars") % 7 == 0).select(
+        F.col("source").alias("query_id"),
+        "doc_id",
+        (1 + F.col("doc_id") % 3).cast("double").alias("rel"),
+    )
+    return ret.ranking_metrics(run, qrels, k=RANKEVAL_K)
+
+
+def _q_turn_self_similarity(spark, sf_dir):
+    """Assistant self-repetition diagnostics
+    (turnsim.consecutive_turn_similarity): per assistant turn, normalized
+    Levenshtein ratio (512-char cap, JVM builtin) + token-set Jaccard +
+    exact-repeat flag vs the previous assistant turn — ONE conv_id
+    window, all whole-stage-codegen expressions."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return tsim.consecutive_turn_similarity(t, role="assistant", max_chars=512)
+
+
+def _q_tool_loop_runs(spark, sf_dir):
+    """Agent-spin detection (turnsim.tool_loop_runs): gaps-and-islands
+    run-length encoding of consecutive same-tool invocations per
+    conversation, runs >= 2 — two stacked conv_id windows + one hash
+    agg, a single Exchange end-to-end."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    return tsim.tool_loop_runs(t, min_run=2)
+
+
 CMS_DEPTH, CMS_WIDTH = 4, 64
 
 
@@ -2996,6 +3045,7 @@ _GATE_FRONT = [
     "ngram_containment_docs", "pmi_collocations_docs",
     "cohen_kappa_raters", "fleiss_kappa_items",
     "bradley_terry_models", "conv_tree_paths", "gold_labels_items",
+    "ranking_metrics_docs", "turn_self_similarity", "tool_loop_runs",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3087,6 +3137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_events": _q_cohort_retention,
         "rolling_distinct_users": _q_rolling_distinct,
         "bm25_topk_docs": _q_bm25_topk,
+        "ranking_metrics_docs": _q_ranking_metrics,
+        "turn_self_similarity": _q_turn_self_similarity,
+        "tool_loop_runs": _q_tool_loop_runs,
         "knn_label_metrics": _q_knn_label_metrics,
         "cms_freq_users": _q_cms_freq,
         "key_skew_profile_events": _q_key_skew_profile,
@@ -4265,6 +4318,121 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "bm25_topk_docs": _BM25_SQL,
+        "ranking_metrics_docs": f"""
+            WITH run AS (
+              SELECT source AS query_id, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                     ) AS rank
+              FROM documents
+            ),
+            run_k AS (SELECT * FROM run WHERE rank <= {RANKEVAL_RUN_K}),
+            qrels AS (
+              SELECT source AS query_id, doc_id,
+                     (1 + doc_id % 3)::DOUBLE AS rel
+              FROM documents WHERE n_chars % 7 = 0
+            ),
+            hits AS (
+              SELECT r.query_id, r.rank, q.rel
+              FROM run_k r LEFT JOIN qrels q USING (query_id, doc_id)
+            ),
+            perq AS (
+              SELECT query_id,
+                     coalesce(1.0 / min(CASE WHEN rel IS NOT NULL
+                                             THEN rank END), 0.0) AS rr,
+                     sum(CASE WHEN rel IS NOT NULL AND rank <= {RANKEVAL_K}
+                              THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0)
+                              ELSE 0.0 END) AS dcg,
+                     sum(CASE WHEN rel IS NOT NULL AND rank <= {RANKEVAL_K}
+                              THEN 1 ELSE 0 END)::BIGINT AS hits_k
+              FROM hits GROUP BY query_id
+            ),
+            ideal AS (
+              SELECT query_id,
+                     sum(CASE WHEN i <= {RANKEVAL_K}
+                              THEN (pow(2.0, rel) - 1.0) / log2(i + 1.0)
+                              ELSE 0.0 END) AS idcg,
+                     count(*)::BIGINT AS n_rel
+              FROM (SELECT query_id, rel,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY rel DESC, doc_id) AS i
+                    FROM qrels)
+              GROUP BY query_id
+            )
+            SELECT i.query_id, i.n_rel,
+                   coalesce(p.hits_k, 0)::BIGINT AS hits_k,
+                   round(coalesce(p.rr, 0.0), 4) + 0.0 AS rr,
+                   round(CASE WHEN i.idcg > 0
+                              THEN coalesce(p.dcg, 0.0) / i.idcg
+                              ELSE 0.0 END, 4) + 0.0 AS ndcg_k,
+                   round(coalesce(p.hits_k, 0) / {RANKEVAL_K}.0, 4) + 0.0
+                     AS precision_k,
+                   round(coalesce(p.hits_k, 0) / i.n_rel::DOUBLE, 4) + 0.0
+                     AS recall_k
+            FROM ideal i LEFT JOIN perq p USING (query_id)
+        """,
+        "turn_self_similarity": f"""
+            WITH t AS (SELECT * FROM
+                       read_parquet('{_tr_dir()}/transcripts.parquet')),
+            a AS (
+              SELECT conv_id, turn_idx, text,
+                     lag(turn_idx) OVER w AS prev_idx,
+                     lag(text) OVER w AS prev_text
+              FROM t WHERE role = 'assistant'
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            p AS (
+              SELECT *,
+                     substr(text, 1, 512) AS cur_c,
+                     substr(prev_text, 1, 512) AS prev_c,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS ta,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(prev_text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS tb
+              FROM a WHERE prev_idx IS NOT NULL
+            )
+            SELECT conv_id, turn_idx, prev_idx AS prev_turn_idx,
+                   round(CASE WHEN greatest(length(cur_c), length(prev_c)) = 0
+                              THEN 1.0
+                              ELSE 1.0 - levenshtein(prev_c, cur_c)::DOUBLE
+                                   / greatest(length(cur_c), length(prev_c))
+                         END, 4) + 0.0 AS lev_ratio,
+                   round(CASE WHEN len(list_distinct(list_cat(ta, tb))) = 0
+                              THEN 1.0
+                              ELSE len(list_intersect(ta, tb))::DOUBLE
+                                   / len(list_distinct(list_cat(ta, tb)))
+                         END, 4) + 0.0 AS jaccard,
+                   text = prev_text AS exact_repeat
+            FROM p
+        """,
+        "tool_loop_runs": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, tool
+              FROM read_parquet('{_tr_dir()}/transcripts.parquet')
+              WHERE tool IS NOT NULL
+            ),
+            f AS (
+              SELECT *,
+                     CASE WHEN lag(tool) OVER w IS NULL
+                            OR tool <> lag(tool) OVER w
+                            OR turn_idx <> lag(turn_idx) OVER w + 1
+                          THEN 1 ELSE 0 END AS nw
+              FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            i AS (
+              SELECT *, sum(nw) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS run
+              FROM f
+            )
+            SELECT conv_id, tool, count(*)::BIGINT AS run_len,
+                   min(turn_idx) AS start_turn, max(turn_idx) AS end_turn
+            FROM i GROUP BY conv_id, run, tool
+            HAVING count(*) >= 2
+        """,
         "cms_freq_users": _CMS_SQL,
         "key_skew_profile_events": _KEY_SKEW_SQL,
         "mad_outliers_value": _MAD_SQL,

@@ -28,7 +28,14 @@ Design for scale
   The expensive part inherits cosine_topk's scale shape; everything
   after it is query-set-sized.
 
-Both are deterministic functions of the input set (scores are fixed
+* ``ranking_metrics`` — offline evaluation of ANY ranked run against a
+  relevance-judgment table (the TREC qrels shape): per-query MRR,
+  graded nDCG@k, precision/recall@k. The run and qrels tables are
+  retrieval-output-sized (|queries| × k and |judgments|), orders of
+  magnitude below the corpus, so the equi-joins and per-query windows
+  here are cheap by construction; the corpus never participates.
+
+All are deterministic functions of the input set (scores are fixed
 left-to-right double expressions, ties broken on ids), so the DuckDB
 differential oracle replays them in ANSI SQL.
 """
@@ -40,7 +47,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "knn_label_metrics"]
+__all__ = ["bm25_topk", "knn_label_metrics", "ranking_metrics"]
 
 _TOKEN_RE = "[^a-z0-9]+"
 
@@ -187,4 +194,117 @@ def knn_label_metrics(
             F.round(F.avg("_p"), 4).alias("p_at_k"),
             F.round(F.avg("_rr"), 4).alias("mrr"),
         )
+    )
+
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query ranking-quality metrics of a retrieval ``run`` against
+    graded relevance judgments ``qrels`` at cutoff ``k``.
+
+    ``run``: one row per (query, retrieved doc) with a 1-based
+    ``rank_col``. ``qrels``: one row per judged (query, doc) with an
+    integer/double grade ``rel_col`` (> 0 means relevant). Returns one
+    row per query that has at least one relevant judgment:
+
+    - ``rr`` — reciprocal rank of the first relevant retrieved doc at
+      ANY rank (the MRR convention), 0.0 when none retrieved;
+    - ``ndcg_k`` — graded nDCG@k with gain ``2^rel - 1`` and discount
+      ``log2(rank + 1)``; the ideal DCG takes the query's top-k grades
+      in descending order;
+    - ``precision_k`` = relevant-retrieved-in-top-k / k;
+    - ``recall_k`` = relevant-retrieved-in-top-k / n_rel.
+
+    Doubles are rounded to 4 decimals. Metrics over queries (the MRR /
+    mean-nDCG headline numbers) are one further tiny aggregate the
+    caller can take; returning per-query rows keeps the differential
+    surface wide.
+
+    Plan shape: LEFT join qrels onto the run rows on (query, doc) —
+    both tables are retrieval-sized, the corpus is never touched; ideal
+    DCG is one row_number window over qrels partitioned by query (the
+    per-query judgment list is small by construction — a query with
+    millions of judgments is a data bug, not a workload); one hash agg
+    per side, one final join on query. Everything is JVM expressions.
+    """
+    q, d, r = F.col(query_col), F.col(doc_col), F.col(rank_col)
+    gain = F.pow(F.lit(2.0), F.col(rel_col)) - 1.0
+
+    rel_only = qrels.filter(F.col(rel_col) > 0).select(
+        q.alias("_q"), d.alias("_d"), F.col(rel_col).alias("_rel")
+    )
+
+    # run rows annotated with their judgment (NULL grade = not judged /
+    # not relevant). Join keys are composite → one narrow shuffle of two
+    # retrieval-sized tables.
+    hits = run.select(q.alias("_q"), d.alias("_d"), r.alias("_rank")).join(
+        rel_only, ["_q", "_d"], "left"
+    )
+    per_q = hits.groupBy("_q").agg(
+        F.coalesce(
+            1.0 / F.min(F.when(F.col("_rel").isNotNull(), F.col("_rank"))),
+            F.lit(0.0),
+        ).alias("_rr"),
+        F.sum(
+            F.when(
+                F.col("_rel").isNotNull() & (F.col("_rank") <= k),
+                (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+                / F.log2(F.col("_rank") + 1.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("_dcg"),
+        F.sum(
+            (F.col("_rel").isNotNull() & (F.col("_rank") <= k)).cast("long")
+        ).alias("_hits_k"),
+    )
+
+    iw = Window.partitionBy("_q").orderBy(F.col("_rel").desc(), F.col("_d"))
+    ideal = (
+        rel_only.withColumn("_i", F.row_number().over(iw))
+        .groupBy("_q")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_i") <= k,
+                    (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+                    / F.log2(F.col("_i") + 1.0),
+                ).otherwise(F.lit(0.0))
+            ).alias("_idcg"),
+            F.count(F.lit(1)).alias("n_rel"),
+        )
+    )
+
+    return ideal.join(per_q, "_q", "left").select(
+        F.col("_q").alias(query_col),
+        "n_rel",
+        F.coalesce(F.col("_hits_k"), F.lit(0)).alias("hits_k"),
+        (F.round(F.coalesce(F.col("_rr"), F.lit(0.0)), 4) + 0.0).alias("rr"),
+        (
+            F.round(
+                F.when(
+                    F.col("_idcg") > 0,
+                    F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            )
+            + 0.0
+        ).alias("ndcg_k"),
+        (
+            F.round(F.coalesce(F.col("_hits_k"), F.lit(0)) / F.lit(float(k)), 4)
+            + 0.0
+        ).alias("precision_k"),
+        (
+            F.round(
+                F.coalesce(F.col("_hits_k"), F.lit(0))
+                / F.col("n_rel").cast("double"),
+                4,
+            )
+            + 0.0
+        ).alias("recall_k"),
     )
