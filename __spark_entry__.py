@@ -778,6 +778,17 @@ def _q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(docs, pairs)
 
 
+def _q_jaccard_exact(spark, sf_dir):
+    """EXACT threshold Jaccard self-join (dedup.jaccard_join_exact):
+    prefix-filtered candidate generation (rare-first canonical shingle
+    order) + exact verify — zero false negatives, never all-pairs. The
+    oracle IS the all-pairs brute force, so the gate proves the prefix
+    filter loses nothing at this scale."""
+    return dd.jaccard_join_exact(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
 def _q_ngram_containment(spark, sf_dir):
     """Directional n-gram containment on the LSH candidate pairs — the
     asymmetric companion score to dedup_ngram_jaccard (catches short-doc-
@@ -3046,6 +3057,7 @@ _GATE_FRONT = [
     "cohen_kappa_raters", "fleiss_kappa_items",
     "bradley_terry_models", "conv_tree_paths", "gold_labels_items",
     "ranking_metrics_docs", "turn_self_similarity", "tool_loop_runs",
+    "dedup_jaccard_exact",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3113,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_docs": _q_dedup_incremental,
         "semdedup_docs": _q_semdedup,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_jaccard_exact": _q_jaccard_exact,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -5433,6 +5446,27 @@ def oracle_sql() -> dict[str, str]:
                               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                          ELSE 0 END, 4) AS jaccard
             FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
+        """,
+        "dedup_jaccard_exact": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(ws) >= 3
+                       THEN list_transform(range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                       ELSE []::VARCHAR[] END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents)
+            ),
+            nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE
+                       / (len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh))) AS jac
+              FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, round(jac, 4) + 0.0 AS jaccard
+            FROM pairs WHERE jac >= 0.6
         """,
         "ngram_containment_docs": f"""
             WITH sh AS (

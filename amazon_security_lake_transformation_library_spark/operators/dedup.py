@@ -473,3 +473,104 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def jaccard_join_exact(
+    df: DataFrame,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT threshold Jaccard self-join via prefix filtering (the
+    PPJoin/AllPairs family) — every pair with shingle-set Jaccard
+    ``>= threshold``, no false negatives, never the quadratic all-pairs.
+
+    Complements the probabilistic MinHash+LSH path: LSH trades recall
+    for speed (a pair can miss every band); this operator is exact, at
+    the cost of a candidate set that grows as ``threshold`` drops.
+
+    Prefix-filter theorem: order every document's shingles by ONE global
+    canonical order (ascending corpus frequency, then lexicographic —
+    rarest first, which is what keeps candidate buckets small); two sets
+    with Jaccard >= t MUST share a shingle inside their first
+    ``|x| - ceil(t·|x|) + 1`` shingles under that shared order. So only
+    prefix shingles are exploded, candidates come from an equi-join on
+    the shingle, and the exact Jaccard is computed only on candidates.
+
+    Plan shape / 100 TB: (1) one corpus aggregate for shingle
+    frequencies (map-side partial); (2) explode+join to re-sort each
+    doc's shingles by (freq, shingle) — shuffles the shingle table once
+    on the shingle key, then once on the id; (3) prefix explode →
+    equi-join on shingle (bucket sizes bounded because prefixes hold the
+    RAREST shingles; a corpus-stopword shingle only enters a prefix of a
+    doc whose whole set is stopwords); (4) exact verify on the
+    candidate-restricted pair set. The ceil() guards subtract 1e-9
+    before rounding up so float noise can only ENLARGE the prefix /
+    candidate set (conservative), never shrink it — exactness is
+    preserved by the verify stage either way.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 4.
+    """
+    sh = df.select(
+        F.col(id_col), ngram_set(F.col(text_col), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sh = persist_tracked(sh)
+
+    freq = sh.select(F.explode("sh").alias("g")).groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ordered = (
+        sh.select(F.col(id_col), F.explode("sh").alias("g"))
+        .join(freq, "g")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("cnt", "g"))).alias("_sg"))
+        .select(
+            F.col(id_col),
+            F.transform("_sg", lambda s: s["g"]).alias("toks"),
+        )
+    )
+    sz = F.size("toks")
+    plen = (
+        sz - F.ceil(sz * F.lit(threshold) - F.lit(1e-9)) + 1
+    ).cast("int")
+    prefix = ordered.select(
+        F.col(id_col),
+        sz.alias("_sz"),
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("g"),
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("doc_a"), F.col("_sz").alias("_sza"), "g"
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("doc_b"), F.col("_sz").alias("_szb"), "g"
+    )
+    cand = (
+        pa.join(pb, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: jac <= min/max, so survivors need
+        # min >= ceil(t·max) (eps-conservative).
+        .filter(
+            F.least("_sza", "_szb")
+            >= F.ceil(
+                F.greatest("_sza", "_szb") * F.lit(threshold) - F.lit(1e-9)
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = (
+        F.size("_sha").cast("double") + F.size("_shb").cast("double") - inter
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_jac", inter / union)
+        .filter(F.col("_jac") >= threshold)
+        .select(
+            "doc_a", "doc_b", (F.round("_jac", 4) + 0.0).alias("jaccard")
+        )
+    )

@@ -797,3 +797,64 @@ def test_ngram_containment_empty_shingles_scores_zero(spark, docs_df):
     # threshold filter applies to the max of the two directions
     thr = dd.ngram_containment_pairs(docs_df, pairs, threshold=0.5).toPandas()
     assert set(zip(thr["doc_a"], thr["doc_b"])) == {(0, 1)}
+
+
+def _brute_jaccard_pairs(texts: dict, threshold: float, n: int = 3):
+    """Python brute force with the engine's shingle definition
+    (single-space split, distinct word n-grams)."""
+    def sh(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+    sets = {k: sh(v) for k, v in texts.items() if sh(v)}
+    out = {}
+    ks = sorted(sets)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                out[(a, b)] = round(inter / union, 4)
+    return out
+
+
+def test_jaccard_join_exact_matches_brute_force(spark):
+    # 40 docs from a tiny vocab (adversarial for prefix filtering: high
+    # shingle collision rates), plus planted exact + near duplicates.
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 18)))
+        for i in range(40)
+    }
+    texts[40] = texts[0]                       # exact dup
+    texts[41] = texts[1] + " omega"            # near dup
+    texts[42] = "xy"                           # < 3 tokens -> no shingles
+    expected = _brute_jaccard_pairs(texts, 0.6)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+        )
+    )
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): float(r["jaccard"])
+        for r in dd.jaccard_join_exact(df, threshold=0.6).collect()
+    }
+    assert got == expected          # exactness: no false negatives/positives
+    assert (0, 40) in got and got[(0, 40)] == 1.0
+
+
+def test_jaccard_join_exact_threshold_boundary(spark):
+    # sets {a b c, b c d} and {b c d, c d e}: 4 shingles... construct a
+    # pair with jaccard exactly 0.6: |i|=3, |u|=5.
+    # A has shingles {s1..s4}, B has {s2..s4, s5} -> i=3, u=5 = 0.6
+    a = "w1 w2 w3 w4 w5 w6"      # shingles: 4 consecutive trigrams
+    b = "w2 w3 w4 w5 w6 w7"      # shares 3, adds 1 -> i=3 u=5
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [a, b]})
+    )
+    out = dd.jaccard_join_exact(df, threshold=0.6).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 0.6
+    # one epsilon above the pair's jaccard -> excluded
+    assert dd.jaccard_join_exact(df, threshold=0.61).count() == 0
