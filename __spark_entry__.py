@@ -789,6 +789,60 @@ def _q_jaccard_exact(spark, sf_dir):
     )
 
 
+ZORDER_BITS, ZORDER_BUCKET_BITS = 8, 4
+
+
+def _q_zorder_events(spark, sf_dir):
+    """Z-order clustering keys over events (plans/layout.zorder_key):
+    Morton interleave of the 8-bit fixed-point ranks of (user_id, value)
+    — ONE scalar min/max aggregate broadcast back, then a constant-folded
+    JVM shift/and/or chain; z_bucket = top 4 bits (the "file" a
+    repartitionByRange layout would put the row in)."""
+    from amazon_security_lake_transformation_library_spark.plans import layout
+
+    ev = _t(spark, sf_dir, "events")
+    out = layout.zorder_key(ev, ["user_id", "value"], bits=ZORDER_BITS)
+    shift = 2 * ZORDER_BITS - ZORDER_BUCKET_BITS
+    return out.select(
+        "event_id",
+        "z_key",
+        F.shiftright("z_key", shift).alias("z_bucket"),
+    )
+
+
+def _zorder_sql() -> str:
+    """DuckDB replay of _q_zorder_events: identical double arithmetic for
+    the quantization, identical bit interleave (generated term list)."""
+    bits, n = ZORDER_BITS, 2
+    terms = " | ".join(
+        f"(((q_{i} >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i in range(n)
+    )
+    scale = float((1 << bits) - 1)
+    shift = n * bits - ZORDER_BUCKET_BITS
+    return f"""
+        WITH s AS (
+          SELECT min(user_id::DOUBLE) AS mn0, max(user_id::DOUBLE) AS mx0,
+                 min(value::DOUBLE) AS mn1, max(value::DOUBLE) AS mx1
+          FROM events
+        ),
+        q AS (
+          SELECT event_id,
+                 CASE WHEN mx0 > mn0 THEN
+                   floor((user_id::DOUBLE - mn0) / (mx0 - mn0) * {scale})::BIGINT
+                 ELSE 0 END AS q_0,
+                 CASE WHEN mx1 > mn1 THEN
+                   floor((value::DOUBLE - mn1) / (mx1 - mn1) * {scale})::BIGINT
+                 ELSE 0 END AS q_1
+          FROM events, s
+        )
+        SELECT event_id, ({terms}) AS z_key,
+               (({terms}) >> {shift}) AS z_bucket
+        FROM q
+    """
+
+
 def _q_ngram_containment(spark, sf_dir):
     """Directional n-gram containment on the LSH candidate pairs — the
     asymmetric companion score to dedup_ngram_jaccard (catches short-doc-
@@ -3057,7 +3111,7 @@ _GATE_FRONT = [
     "cohen_kappa_raters", "fleiss_kappa_items",
     "bradley_terry_models", "conv_tree_paths", "gold_labels_items",
     "ranking_metrics_docs", "turn_self_similarity", "tool_loop_runs",
-    "dedup_jaccard_exact",
+    "dedup_jaccard_exact", "zorder_events",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3126,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_docs": _q_semdedup,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_jaccard_exact": _q_jaccard_exact,
+        "zorder_events": _q_zorder_events,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -5447,6 +5502,7 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END, 4) AS jaccard
             FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
         """,
+        "zorder_events": _zorder_sql(),
         "dedup_jaccard_exact": """
             WITH sh AS (
               SELECT doc_id,
