@@ -2426,6 +2426,26 @@ def _q_bm25_topk(spark, sf_dir):
     return ret.bm25_topk(_t(spark, sf_dir, "documents"), BM25_TERMS, k=20)
 
 
+BM25_WORKLOAD = [
+    ("q_exec", "spark"), ("q_exec", "shuffle"), ("q_exec", "hash"),
+    ("q_win", "window"), ("q_win", "sort"), ("q_win", "frame"),
+    ("q_io", "scan"), ("q_io", "merge"), ("q_io", "stream"),
+]
+
+
+def _q_bm25_multi(spark, sf_dir):
+    """Batch BM25 for a 3-query workload (retrieval.bm25_topk_multi):
+    the posting-list formulation — ONE tokenize scan, workload-term
+    pruning map-side before the (doc, term) aggregate, broadcast
+    query/df/stats joins, top-k per query via the rank-limit window.
+    The per-query scale form bm25_topk's constant-term shape can't
+    serve without rescanning the corpus per query."""
+    wl = spark.createDataFrame(BM25_WORKLOAD, ["query_id", "term"])
+    return ret.bm25_topk_multi(
+        _t(spark, sf_dir, "documents"), wl, k=10
+    )
+
+
 RANKEVAL_RUN_K, RANKEVAL_K = 15, 10
 
 
@@ -3111,7 +3131,7 @@ _GATE_FRONT = [
     "cohen_kappa_raters", "fleiss_kappa_items",
     "bradley_terry_models", "conv_tree_paths", "gold_labels_items",
     "ranking_metrics_docs", "turn_self_similarity", "tool_loop_runs",
-    "dedup_jaccard_exact", "zorder_events",
+    "dedup_jaccard_exact", "zorder_events", "bm25_multi_docs",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3206,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": _q_rolling_distinct,
         "bm25_topk_docs": _q_bm25_topk,
         "ranking_metrics_docs": _q_ranking_metrics,
+        "bm25_multi_docs": _q_bm25_multi,
         "turn_self_similarity": _q_turn_self_similarity,
         "tool_loop_runs": _q_tool_loop_runs,
         "knn_label_metrics": _q_knn_label_metrics,
@@ -3625,6 +3646,53 @@ def _bm25_sql(terms, k=20, k1=1.2, b=0.75):
 
 
 _BM25_SQL = _bm25_sql(BM25_TERMS)
+
+
+def _bm25_multi_sql(workload, k=10, k1=1.2, b=0.75):
+    """Posting-list BM25 oracle for the multi-query batch form: same
+    tokenizer and RSJ idf as _bm25_sql, but built exactly the way
+    retrieval.bm25_topk_multi builds it — workload-term-pruned postings,
+    per-term df over the pruned postings, per-(query, doc) sum, rank on
+    the ROUNDED score with doc-id tiebreak."""
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    values = ", ".join(f"('{q}', '{t}')" for q, t in workload)
+    return f"""
+            WITH tk AS (
+              SELECT doc_id, {toks} AS tk FROM documents
+            ),
+            dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM tk),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            wl(query_id, term) AS (VALUES {values}),
+            post AS (
+              SELECT p.doc_id, p.term, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(tk) AS term FROM tk) p
+              WHERE p.term IN (SELECT DISTINCT term FROM wl)
+              GROUP BY 1, 2
+            ),
+            dft AS (
+              SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1
+            ),
+            sc AS (
+              SELECT w.query_id, p.doc_id,
+                     round(sum(
+                       ln(1.0 + (n - f.df + 0.5) / (f.df + 0.5))
+                       * p.tf * {k1 + 1.0!r}
+                       / (p.tf + {k1!r}
+                          * ({1.0 - b!r} + {b!r} * d.dl / avgdl))
+                     ), 4) AS score
+              FROM wl w
+              JOIN post p USING (term)
+              JOIN dft f USING (term)
+              JOIN dl d ON d.doc_id = p.doc_id, st
+              GROUP BY 1, 2
+            )
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank,
+                   doc_id, score + 0.0 AS score
+            FROM sc WHERE score > 0
+            QUALIFY rank <= {k}
+        """
 
 
 def _cms_sql(depth=4, width=64):
@@ -4386,6 +4454,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "bm25_topk_docs": _BM25_SQL,
+        "bm25_multi_docs": _bm25_multi_sql(BM25_WORKLOAD),
         "ranking_metrics_docs": f"""
             WITH run AS (
               SELECT source AS query_id, doc_id,

@@ -47,7 +47,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "knn_label_metrics", "ranking_metrics"]
+__all__ = [
+    "bm25_topk",
+    "bm25_topk_multi",
+    "knn_label_metrics",
+    "ranking_metrics",
+]
 
 _TOKEN_RE = "[^a-z0-9]+"
 
@@ -307,4 +312,110 @@ def ranking_metrics(
             )
             + 0.0
         ).alias("recall_k"),
+    )
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Top-k documents by BM25 for MANY queries at once — the
+    posting-list formulation.
+
+    :func:`bm25_topk` exploits a single constant term set (in-row tf,
+    one scalar stat aggregate, no explode). With a query WORKLOAD
+    (``queries``: one row per (query_id, term)) that shape would rescan
+    the corpus per query; the batch form instead builds the classic
+    posting list once and joins the whole workload against it:
+
+    1. one tokenize scan → per-doc length + exploded postings
+       ``(doc_id, term, tf)`` (one shuffle keyed by (doc, term), then
+       term-keyed df counts — both map-side combinable);
+    2. corpus stats (N, avgdl) in a broadcast scalar aggregate;
+    3. score = postings ⋈ broadcast(queries) ⋈ df(term) ⋈ dl(doc) —
+       the term join PRUNES the posting list to workload terms before
+       anything wide happens, so the scored table is
+       |workload terms × matching docs|, not the corpus;
+    4. per-(query, doc) sum, then top-k per query via a rank window on
+       the ROUNDED (4 dp) score with doc-id tiebreak — rank-limit
+       pushdown (WindowGroupLimit) keeps the shuffle at
+       O(queries × k'), and ordering on the rounded score makes the
+       ranking insensitive to float summation order across engines.
+
+    Returns (query_id, rank, doc_id, score); zero-score docs excluded.
+    Same non-negative RSJ idf as :func:`bm25_topk`.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        _tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        "_toks",
+        F.size("_toks").cast("double").alias("_dl"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    q = queries.select(F.col(query_id_col), F.col(term_col)).distinct()
+    qterms = q.select(term_col).distinct()
+    # Workload-term pruning BEFORE the posting aggregate: the exploded
+    # stream drops every non-workload term map-side (broadcast semi
+    # join), so the (doc, term) shuffle carries only |workload terms ×
+    # matching docs| rows — never the corpus vocabulary.
+    post = (
+        toks.select(
+            F.col(id_col), "_dl", F.explode("_toks").alias(term_col)
+        )
+        .join(F.broadcast(qterms), term_col, "left_semi")
+        .groupBy(id_col, term_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_tf"),
+            F.first("_dl").alias("_dl"),
+        )
+    )
+    # df over workload terms only -> |workload terms| rows, broadcast-safe.
+    dft = post.groupBy(term_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    term_score = (
+        idf
+        * F.col("_tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("_tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+        )
+    )
+    scored = (
+        post.join(F.broadcast(q), term_col)
+        .join(F.broadcast(dft), term_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(term_score).alias("_score"))
+        .select(
+            query_id_col,
+            id_col,
+            F.round("_score", 4).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
     )

@@ -114,3 +114,59 @@ def test_knn_label_metrics_no_same_label_neighbor(spark):
     out = {r.label: r for r in ret.knn_label_metrics(emb, [0], k=2).collect()}
     assert out[0].p_at_k == pytest.approx(0.0)
     assert out[0].mrr == pytest.approx(0.0)
+
+
+# ------------------------------------------------- multi-query posting path
+
+def test_bm25_multi_matches_single_query_form(spark):
+    """The posting-list batch formulation and the constant-term in-row
+    formulation are different plans over the same math — per query term
+    set they must produce identical rounded scores and ranks."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    for terms in (["spark"], ["window", "merge"], TERMS):
+        qid = "+".join(terms)
+        wl = spark.createDataFrame(
+            [(qid, t) for t in terms], ["query_id", "term"]
+        )
+        single = {
+            r["doc_id"]: (r["rank"], r["score"])
+            for r in ret.bm25_topk(docs, terms, k=10).collect()
+        }
+        multi = {
+            r["doc_id"]: (r["rank"], r["score"])
+            for r in ret.bm25_topk_multi(docs, wl, k=10).collect()
+        }
+        assert multi == single, terms
+
+
+def test_bm25_multi_queries_are_independent(spark):
+    """Adding a second query to the workload must not change the first
+    query's rows (df/N/avgdl are corpus stats, not workload stats)."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    one = spark.createDataFrame(
+        [("a", "spark"), ("a", "merge")], ["query_id", "term"]
+    )
+    two = spark.createDataFrame(
+        [("a", "spark"), ("a", "merge"), ("b", "window")],
+        ["query_id", "term"],
+    )
+    r1 = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in ret.bm25_topk_multi(docs, one, k=10).collect()
+    }
+    r2 = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in ret.bm25_topk_multi(docs, two, k=10).collect()
+        if r["query_id"] == "a"
+    }
+    assert r1 == r2
+
+
+def test_bm25_multi_k_cap_and_zero_exclusion(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    wl = spark.createDataFrame([("q", "spark")], ["query_id", "term"])
+    out = ret.bm25_topk_multi(docs, wl, k=2).collect()
+    assert len(out) == 2 and [r["rank"] for r in out] != []
+    # doc 4 has no query term anywhere -> absent even with huge k
+    all_rows = ret.bm25_topk_multi(docs, wl, k=100).collect()
+    assert 4 not in {r["doc_id"] for r in all_rows}
