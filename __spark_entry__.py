@@ -1634,6 +1634,21 @@ def _q_dataset_split(spark, sf_dir):
     return dso.split_assign(ev, "user_id").select("event_id", "user_id", "split")
 
 
+def _q_split_by_cluster(spark, sf_dir):
+    """Near-dup-atomic split (datasetops.split_by_cluster): cluster map =
+    min doc_id per md5(first-8-words prefix) — 24 docs cluster at sf0.01
+    — then the md5-threshold split hashed on the CLUSTER id, so no near-
+    dup pair ever straddles train/test. One fingerprint agg + one id join
+    + the zero-shuffle split projection."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "))
+    keyed = docs.select("doc_id", fp.alias("_fp"))
+    canon = keyed.groupBy("_fp").agg(F.min("doc_id").alias("cluster_id"))
+    cluster_map = keyed.join(canon, "_fp").select("doc_id", "cluster_id")
+    out = dso.split_by_cluster(docs, cluster_map)
+    return out.select("doc_id", "cluster_id", "split")
+
+
 def _q_split_temporal(spark, sf_dir):
     """Temporal split with a purge/embargo strip
     (datasetops.split_temporal_embargo): train strictly before
@@ -3132,6 +3147,7 @@ _GATE_FRONT = [
     "bradley_terry_models", "conv_tree_paths", "gold_labels_items",
     "ranking_metrics_docs", "turn_self_similarity", "tool_loop_runs",
     "dedup_jaccard_exact", "zorder_events", "bm25_multi_docs",
+    "split_by_cluster_docs",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3180,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dataset assembly: splits / mixtures / packing / chunking /
         # decontamination / exact quantiles
         "dataset_split_events": _q_dataset_split,
+        "split_by_cluster_docs": _q_split_by_cluster,
         "split_temporal_events": _q_split_temporal,
         "sample_stratified_docs": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
@@ -5891,6 +5908,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5('split-v1' || user_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
                         ELSE 'test' END AS split
             FROM events
+        """,
+        "split_by_cluster_docs": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                       list_slice(string_split(text, ' '), 1, 8), ' '))
+                       AS fp
+              FROM documents
+            ),
+            cm AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY fp) AS cluster_id
+              FROM k
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN substr(md5('split-v1' || cluster_id::VARCHAR),
+                                    1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5('split-v1' || cluster_id::VARCHAR),
+                                    1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM cm
         """,
         "split_temporal_events": """
             SELECT event_id,

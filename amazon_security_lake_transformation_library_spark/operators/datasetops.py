@@ -568,3 +568,46 @@ def length_bucket_batches(
             ).cast("long").alias("batch_id"),
         )
     )
+
+
+def split_by_cluster(
+    docs: DataFrame,
+    cluster_map: DataFrame,
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Near-duplicate-atomic dataset split: hash at the DEDUP-CLUSTER
+    granularity so no two near-duplicates ever straddle train/test.
+
+    :func:`split_assign` prevents leakage through a SHARED KEY (user,
+    conversation); this prevents the subtler leakage dedup exposes —
+    after MinHash/LSH + cluster resolution (dedup.py, graph.py), two
+    near-identical documents with different ids are still two rows, and
+    an id-hashed split puts ~2·p·(1-p) of every dup pair across the
+    boundary, quietly leaking test content into train. Hashing the
+    cluster id instead makes the split atomic over near-dup groups.
+
+    ``cluster_map`` is (id_col, cluster_col) — e.g. graph.py's
+    connected-component labels or any fingerprint-canonical table. Docs
+    absent from the map are singleton clusters (their own id). Returns
+    ``docs`` + (cluster_col, out_col).
+
+    Scale shape: one equi-join on the id (broadcast when the cluster map
+    is small — it is pair-graph-derived, orders below the corpus) + the
+    same zero-shuffle md5-threshold projection as split_assign.
+    """
+    cm = cluster_map.select(
+        F.col(id_col), F.col(cluster_col).alias("_cl")
+    )
+    j = docs.join(cm, id_col, "left").withColumn(
+        "_split_key",
+        F.coalesce(F.col("_cl").cast("string"), F.col(id_col).cast("string")),
+    )
+    out = split_assign(j, "_split_key", fractions, salt, out_col)
+    return out.withColumn(
+        cluster_col,
+        F.coalesce(F.col("_cl"), F.col(id_col)),
+    ).drop("_cl", "_split_key")

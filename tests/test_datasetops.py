@@ -403,3 +403,49 @@ def test_positive_pairs_adjacency_and_overlap(spark):
         # stride < size -> adjacent chunks share overlapping tokens
         shared = set(r["anchor_text"].split()) & set(r["positive_text"].split())
         assert len(shared) == 64 - 48
+
+
+def test_split_by_cluster_is_cluster_atomic(spark):
+    # 100 docs; docs 2k and 2k+1 are near-dup pairs sharing cluster 2k.
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100), "text": ["t"] * 100})
+    )
+    cmap = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(100), "cluster_id": [i - i % 2 for i in range(100)]}
+        )
+    )
+    out = D.split_by_cluster(docs, cmap).toPandas()
+    assert len(out) == 100
+    by_cluster = out.groupby("cluster_id")["split"].nunique()
+    assert (by_cluster == 1).all()          # no pair straddles a boundary
+    # and the label equals split_assign hashed on the cluster id
+    ref = D.split_assign(
+        cmap.select(F.col("cluster_id").cast("string").alias("k")), "k"
+    ).toPandas().drop_duplicates()
+    ref_map = dict(zip(ref["k"], ref["split"]))
+    for _, r in out.iterrows():
+        assert r["split"] == ref_map[str(r["cluster_id"])]
+
+
+def test_split_by_cluster_singletons_fall_back_to_own_id(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    )
+    # only doc 1 is in the map
+    cmap = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "cluster_id": [99]})
+    )
+    out = {r["doc_id"]: r for r in D.split_by_cluster(docs, cmap).collect()}
+    assert out[1]["cluster_id"] == 99
+    assert out[2]["cluster_id"] == 2 and out[3]["cluster_id"] == 3
+    own = {
+        r["doc_id"]: r["split"]
+        for r in D.split_assign(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [2, 3], "text": ["b", "c"]})
+            ),
+            "doc_id",
+        ).collect()
+    }
+    assert out[2]["split"] == own[2] and out[3]["split"] == own[3]
