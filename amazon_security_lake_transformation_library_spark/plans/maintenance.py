@@ -134,12 +134,25 @@ def compact(
     snapshot_id: str,
     target_bytes_per_file: int = 128 * 1024 * 1024,
     sort_cols: tuple[str, ...] = (),
+    zorder_cols: tuple[str, ...] = (),
+    zorder_bits: int = 8,
 ) -> dict:
     """Bin-pack one committed snapshot's files to ~``target_bytes_per_file``.
 
     Pass the snapshot's original ``sort_cols`` when it was committed with
     a sorted layout (the rewrite otherwise keeps rows but not intra-file
     order, and a bucket-sorted as-of layout would lose its free Sort).
+
+    ``zorder_cols`` additionally CLUSTERS the rewrite on the Morton key
+    of those columns (plans/layout.py) — the OPTIMIZE ZORDER form of
+    compaction: each output file covers a tight Z-range, so min/max file
+    stats prune selective filters on ANY of the clustered columns.
+    Unpartitioned snapshots range-partition globally on the key;
+    hive-partitioned snapshots cluster WITHIN each partition (the bin
+    key becomes the Z-range slice instead of a hash — same per-partition
+    bin counts, so hot partitions still split and pruning by partition
+    is untouched). The key column is dropped before write; explicit
+    ``sort_cols`` then apply as secondary sort after the Z key.
 
     Returns a stats dict (files/bytes before and after). Raises KeyError
     for an unknown snapshot and RuntimeError if the rewritten row count
@@ -172,6 +185,17 @@ def compact(
     try:
         df = spark.read.parquet(snap_dir)  # inner partition dirs discovered
         n_files = max(1, round(before_bytes / target_bytes_per_file))
+        eff_sort = sort_cols
+        if zorder_cols:
+            from .layout import zorder_key
+
+            bad = set(zorder_cols) & set(parts)
+            if bad:
+                raise ValueError(
+                    f"zorder_cols overlap partition columns: {sorted(bad)}"
+                )
+            df = zorder_key(df, list(zorder_cols), bits=zorder_bits)
+            eff_sort = ("z_key", *sort_cols)
         if parts:
             # pack WITHIN partitions only (packing across would undo scan
             # pruning), sizing bins from EACH partition's actual on-disk
@@ -208,7 +232,18 @@ def compact(
                 )
             )
             shuffle_keys = [F.col(c) for c in parts]
-            if data_cols:
+            if zorder_cols:
+                # Z-range slice within the partition: bin i holds keys in
+                # [i·2^tb/n, (i+1)·2^tb/n) — contiguous Z ranges per file,
+                # same per-partition bin counts as the hash form.
+                tb = zorder_bits * len(zorder_cols)
+                shuffle_keys.append(
+                    F.shiftright(
+                        F.col("z_key") * F.col("__n_bins").cast("bigint"),
+                        tb,
+                    )
+                )
+            elif data_cols:
                 shuffle_keys.append(
                     F.pmod(
                         F.xxhash64(*[F.col(c) for c in data_cols]),
@@ -217,13 +252,18 @@ def compact(
                 )
             out = joined.repartition(max(total_bins, len(bins_rows)), *shuffle_keys)
             out = out.drop("__n_bins")
-            if sort_cols:
-                out = out.sortWithinPartitions(*sort_cols)
+            if eff_sort:
+                out = out.sortWithinPartitions(*eff_sort)
+            out = out.drop("z_key")
             out.write.partitionBy(*parts).parquet(stage)
         else:
-            out = df.repartition(n_files)
-            if sort_cols:
-                out = out.sortWithinPartitions(*sort_cols)
+            if zorder_cols:
+                out = df.repartitionByRange(n_files, F.col("z_key"))
+            else:
+                out = df.repartition(n_files)
+            if eff_sort:
+                out = out.sortWithinPartitions(*eff_sort)
+            out = out.drop("z_key")
             out.write.parquet(stage)
     finally:
         spark.conf.set(infer_key, infer_prev)

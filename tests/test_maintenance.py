@@ -292,3 +292,86 @@ def test_commit_rejects_mismatched_partition_spec(spark, tmp_path):
     s1 = mx.compact(w, spark, "s1")
     assert s1["files_after"] == 2          # one per grp partition
     assert w.read(spark).count() == 100
+
+
+def test_compact_zorder_clusters_files(spark, tmp_path):
+    """OPTIMIZE ZORDER form: rows and lineage unchanged (the compact
+    contract), output files cover tight Z-ranges — per-file spans on
+    BOTH clustered dims are ~1/k of the full range, vs full-range spans
+    under arrival order."""
+    w = SnapshotWriter(str(tmp_path / "tblz"))
+    # 64x64 grid arriving in row-major order, fragmented into 16 files
+    df = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            F.col("id").alias("v"),
+        )
+        .repartition(16)
+    )
+    assert w.commit(df, "s1")
+    before = spark.read.parquet(w.data_path).orderBy("v").collect()
+
+    stats = mx.compact(
+        w, spark, "s1",
+        target_bytes_per_file=os.path.getsize(
+            next(iter(mx._parquet_files(mx._snapshot_dir(w, "s1"))))
+        ),  # ~16 output files -> ~16x16 Z tiles
+        zorder_cols=("x", "y"), zorder_bits=6,
+    )
+    assert stats["files_after"] >= 8
+    after = spark.read.parquet(w.data_path)
+    assert after.orderBy("v").collect() == before        # content identical
+    assert "z_key" not in after.columns                  # key not persisted
+    assert w.read_at(spark, "s1").count() == 64 * 64
+
+    # per-FILE span check via input_file_name
+    spans = (
+        after.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    # z-clustered files are (mostly) tiles: both dims well under the
+    # full 63 span. repartitionByRange SAMPLES its boundaries, so a
+    # minority of files may straddle a top-level quadrant cut — require
+    # >= 3/4 of files tight on BOTH dims (arrival order gives sx == 63
+    # on EVERY row-major slice, so this cleanly separates the layouts).
+    tight = sum(1 for r in spans if r["sx"] <= 32 and r["sy"] <= 32)
+    assert tight >= (3 * len(spans)) // 4, [
+        (r["sx"], r["sy"]) for r in spans
+    ]
+
+
+def test_compact_zorder_partitioned_within_partitions(spark, tmp_path):
+    w = SnapshotWriter(str(tmp_path / "tblzp"))
+    df = (
+        spark.range(8_000)
+        .select(
+            (F.col("id") % 2).cast("string").alias("grp"),
+            (F.col("id") % 100).alias("x"),
+            ((F.col("id") * 7) % 100).alias("y"),
+            F.col("id").alias("v"),
+        )
+        .repartition(8)
+    )
+    assert w.commit(df, "s1", partition_cols=("grp",))
+    before = spark.read.parquet(w.data_path).orderBy("v").collect()
+    mx.compact(w, spark, "s1", zorder_cols=("x", "y"))
+    after = spark.read.parquet(w.data_path)
+    assert after.orderBy("v").collect() == before
+    # hive partition dirs survive (pruning untouched)
+    snap = mx._snapshot_dir(w, "s1")
+    assert sorted(
+        d for d in os.listdir(snap) if d.startswith("grp=")
+    ) == ["grp=0", "grp=1"]
+
+
+def test_compact_zorder_rejects_partition_column(spark, tmp_path):
+    w = _writer_with(spark, tmp_path, partition_cols=("grp",))
+    with pytest.raises(ValueError):
+        mx.compact(w, spark, "s1", zorder_cols=("grp", "v"))
