@@ -810,6 +810,26 @@ def _q_zorder_events(spark, sf_dir):
     )
 
 
+def _q_zorder_spans(spark, sf_dir):
+    """Layout-quality diagnostic (plans/layout.bucket_spans): bucket rows
+    by the top 4 Z-key bits (the "file" a range re-layout would cut) and
+    report per-bucket row counts + per-dimension min/max spans — ONE
+    16-group hash aggregate over the zorder_key projection."""
+    from amazon_security_lake_transformation_library_spark.plans import layout
+
+    ev = _t(spark, sf_dir, "events")
+    z = layout.zorder_key(ev, ["user_id", "value"], bits=ZORDER_BITS)
+    return layout.bucket_spans(
+        z, ["user_id", "value"], bits=ZORDER_BITS,
+        bucket_bits=ZORDER_BUCKET_BITS,
+    ).select(
+        "z_bucket", "n_rows",
+        "min_user_id", "max_user_id",
+        (F.round("min_value", 4) + 0.0).alias("min_value"),
+        (F.round("max_value", 4) + 0.0).alias("max_value"),
+    )
+
+
 def _zorder_sql() -> str:
     """DuckDB replay of _q_zorder_events: identical double arithmetic for
     the quantization, identical bit interleave (generated term list)."""
@@ -840,6 +860,42 @@ def _zorder_sql() -> str:
         SELECT event_id, ({terms}) AS z_key,
                (({terms}) >> {shift}) AS z_bucket
         FROM q
+    """
+
+
+def _zorder_spans_sql() -> str:
+    """DuckDB replay of _q_zorder_spans: the _zorder_sql construction
+    aggregated to per-bucket counts + dimension spans."""
+    bits, n = ZORDER_BITS, 2
+    terms = " | ".join(
+        f"(((q_{i} >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i in range(n)
+    )
+    scale = float((1 << bits) - 1)
+    shift = n * bits - ZORDER_BUCKET_BITS
+    return f"""
+        WITH s AS (
+          SELECT min(user_id::DOUBLE) AS mn0, max(user_id::DOUBLE) AS mx0,
+                 min(value::DOUBLE) AS mn1, max(value::DOUBLE) AS mx1
+          FROM events
+        ),
+        q AS (
+          SELECT user_id, value,
+                 CASE WHEN mx0 > mn0 THEN
+                   floor((user_id::DOUBLE - mn0) / (mx0 - mn0) * {scale})::BIGINT
+                 ELSE 0 END AS q_0,
+                 CASE WHEN mx1 > mn1 THEN
+                   floor((value::DOUBLE - mn1) / (mx1 - mn1) * {scale})::BIGINT
+                 ELSE 0 END AS q_1
+          FROM events, s
+        )
+        SELECT (({terms}) >> {shift}) AS z_bucket,
+               count(*)::BIGINT AS n_rows,
+               min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+               round(min(value), 4) + 0.0 AS min_value,
+               round(max(value), 4) + 0.0 AS max_value
+        FROM q GROUP BY 1
     """
 
 
@@ -3147,7 +3203,7 @@ _GATE_FRONT = [
     "bradley_terry_models", "conv_tree_paths", "gold_labels_items",
     "ranking_metrics_docs", "turn_self_similarity", "tool_loop_runs",
     "dedup_jaccard_exact", "zorder_events", "bm25_multi_docs",
-    "split_by_cluster_docs",
+    "split_by_cluster_docs", "zorder_spans_events",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3218,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_jaccard_exact": _q_jaccard_exact,
         "zorder_events": _q_zorder_events,
+        "zorder_spans_events": _q_zorder_spans,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -5589,6 +5646,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
         """,
         "zorder_events": _zorder_sql(),
+        "zorder_spans_events": _zorder_spans_sql(),
         "dedup_jaccard_exact": """
             WITH sh AS (
               SELECT doc_id,
