@@ -62,6 +62,7 @@ class SnapshotWriter:
         bucket_col: str | None = None,
         n_buckets: int = 0,
         sort_cols: Sequence[str] = (),
+        allow_spec_evolution: bool = False,
     ) -> bool:
         """Write one snapshot. Returns False (no-op) if already committed.
 
@@ -70,18 +71,34 @@ class SnapshotWriter:
         the conv_id-bucketed, (ts, turn_idx)-sorted layout the as-of join's
         merge phase wants, and single-writer-per-partition determinism for
         the text byte-equality invariant (SURVEY.md §7.4 risk 4).
+
+        ``allow_spec_evolution=True`` permits a partition spec that
+        differs from earlier snapshots' — Iceberg partition evolution:
+        the NEW spec applies to new data only, old snapshots keep their
+        directory layout, and ``read()``/``read_at()`` serve both
+        (grouping snapshots by spec and unioning the grouped scans;
+        partition pruning still applies within each spec's group).
+        Without the flag a mismatched spec is rejected BEFORE writing,
+        as before — accidental evolution is a bug, deliberate evolution
+        is an opt-in.
         """
         spark = df.sparkSession
         if snapshot_id in self.committed_snapshots(spark):
             return False
-        # One partition spec per table (like Iceberg's spec, and forced by
-        # the Hive directory layout: one data root cannot mix partition
-        # depths — discovery of the whole root breaks, after the data was
-        # already written). Reject a mismatched spec BEFORE writing.
+        # One partition spec per table unless evolution is opted into:
+        # the Hive directory layout cannot mix partition depths under one
+        # discovery root, so evolved tables are read per-snapshot-group
+        # (see _read_snapshots). Reject a mismatched spec BEFORE writing.
         existing = self._table_partition_cols()
-        if existing is not None and list(partition_cols) != existing:
+        if (
+            existing is not None
+            and list(partition_cols) != existing
+            and not allow_spec_evolution
+        ):
             raise ValueError(
                 f"table partition spec is {existing}; got {list(partition_cols)}"
+                " (pass allow_spec_evolution=True for Iceberg-style"
+                " partition evolution)"
             )
 
         out = df.withColumn(SNAPSHOT_COL, F.lit(snapshot_id))
@@ -106,9 +123,18 @@ class SnapshotWriter:
         # empty micro-batch slices routinely — e.g. a dedup batch with no
         # candidates).
         os.makedirs(self.data_path, exist_ok=True)
-        written = spark.read.schema(out.schema).parquet(self.data_path).filter(
-            F.col(SNAPSHOT_COL) == snapshot_id
-        )
+        # Read back ONLY this snapshot's subtree (basePath keeps the
+        # partition columns): listing-level pruning, and whole-root
+        # discovery would break once partition specs have evolved.
+        snap_dir = os.path.join(self.data_path, f"{SNAPSHOT_COL}={snapshot_id}")
+        if os.path.isdir(snap_dir):
+            written = (
+                spark.read.schema(out.schema)
+                .option("basePath", self.data_path)
+                .parquet(snap_dir)
+            )
+        else:  # zero-row snapshot: no files, no directory
+            written = spark.createDataFrame([], out.schema)
         group = [SNAPSHOT_COL, *partition_cols] if partition_cols else [SNAPSHOT_COL]
         stats = written.groupBy(*group).agg(F.count(F.lit(1)).alias("row_count"))
         stats = stats.withColumn("write_latency_sec", F.lit(float(latency)))
@@ -221,19 +247,70 @@ class SnapshotWriter:
             if not os.path.exists(snap_dir):
                 os.rename(os.path.join(trash_root, sid), snap_dir)
 
+    def _snapshot_partition_cols(self, snapshot_id: str) -> tuple[str, ...]:
+        """One snapshot's partition spec, from its directory subtree —
+        the per-snapshot source of truth partition evolution needs (and
+        backward-compatible: tables written before evolution existed
+        derive the same answer from their layout)."""
+        d = os.path.join(self.data_path, f"{SNAPSHOT_COL}={snapshot_id}")
+        cols: list[str] = []
+        while os.path.isdir(d):
+            subdirs = [e for e in os.listdir(d)
+                       if "=" in e and os.path.isdir(os.path.join(d, e))]
+            if not subdirs:
+                break
+            cols.append(subdirs[0].split("=", 1)[0])
+            d = os.path.join(d, subdirs[0])
+        return tuple(cols)
+
+    def _read_snapshots(self, spark: SparkSession, ids, schema) -> DataFrame:
+        """Scan exactly the given committed snapshots, grouping them by
+        partition spec: each group is one listing-pruned multi-directory
+        scan (partition pruning intact within the group); groups with
+        different specs union by name. With one spec — every table that
+        never evolved — this is a single scan, the pre-evolution plan."""
+        # zero-row snapshots committed no files and have no directory —
+        # they are manifest-only and contribute nothing to a scan
+        ids = sorted(
+            s for s in ids
+            if os.path.isdir(os.path.join(self.data_path, f"{SNAPSHOT_COL}={s}"))
+        )
+        if not ids:
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            return spark.read.parquet(self.data_path).filter(F.lit(False))
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for sid in ids:
+            groups.setdefault(self._snapshot_partition_cols(sid), []).append(sid)
+        frames = []
+        for _spec, sids in sorted(groups.items()):
+            reader = (
+                spark.read.schema(schema) if schema is not None else spark.read
+            )
+            frames.append(
+                reader.option("basePath", self.data_path).parquet(
+                    *[
+                        os.path.join(self.data_path, f"{SNAPSHOT_COL}={s}")
+                        for s in sids
+                    ]
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Read only manifested snapshots (half-written data is invisible —
         snapshot isolation for readers). Schema comes from the schema log
         (latest commit wins): columns added by later snapshots null-fill
-        older files, with no mergeSchema footer sweep."""
+        older files, with no mergeSchema footer sweep. Snapshots written
+        under DIFFERENT partition specs (partition evolution) are scanned
+        per spec group and unioned by name."""
         self._restore_trashed_snapshots()
         schema = self._schema_asof(spark)
-        reader = spark.read.schema(schema) if schema is not None else spark.read
-        df = reader.parquet(self.data_path)
         committed = self.committed_snapshots(spark)
-        if not committed:
-            return df.filter(F.lit(False))
-        return df.filter(F.col(SNAPSHOT_COL).isin(*[F.lit(s) for s in committed]))
+        return self._read_snapshots(spark, committed, schema)
 
     def snapshots(self, spark: SparkSession) -> DataFrame | None:
         """Snapshot log: (snapshot_id, committed_at_unix, n_rows) — the
@@ -265,10 +342,7 @@ class SnapshotWriter:
         # time travel reads the schema AS OF that snapshot: a column added
         # later does not exist in the past (Iceberg VERSION AS OF)
         schema = self._schema_asof(spark, cutoff=cutoff)
-        reader = spark.read.schema(schema) if schema is not None else spark.read
-        return reader.parquet(self.data_path).filter(
-            F.col(SNAPSHOT_COL).isin(*[F.lit(s) for s in visible])
-        )
+        return self._read_snapshots(spark, visible, schema)
 
 
 def plan_increment(
