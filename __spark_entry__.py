@@ -3157,6 +3157,163 @@ def _q_conv_tree_paths(spark, sf_dir):
     return g.tree_paths(_tree_fixture(spark, sf_dir), leaves_only=True)
 
 
+def _q_interval_overlap(spark, sf_dir):
+    """General many-to-many interval-overlap join (intervals.overlap_join):
+    per-user browse sessions (view/click) × conversion sessions
+    (purchase/error), epoch-binned equi-join with the first-common-bin
+    dedup rule — no cartesian product, no post-join distinct. Oracle:
+    DuckDB's native range join over the same gaps-and-islands sessions."""
+    from amazon_security_lake_transformation_library_spark.operators import intervals as ivx
+
+    ev = _t(spark, sf_dir, "events")
+
+    def side(types, pfx):
+        # 6 h gap (not GAP_S): the sparse per-user event stream needs the
+        # longer rule to produce multi-event sessions that actually overlap
+        s = feat.sessionize(
+            ev.where(F.col("event_type").isin(*types)),
+            entity="user_id", ts_col="ts", gap_seconds=21600,
+            order=("ts", "event_id"),
+        )
+        return ivx.sessions_to_intervals(s, entity="user_id").select(
+            "user_id",
+            F.col("session_id").alias(f"{pfx}_session"),
+            F.col("start_ts").alias(f"{pfx}_start"),
+            F.col("end_ts").alias(f"{pfx}_end"),
+        )
+
+    a, b = side(("view", "click"), "a"), side(("purchase", "error"), "b")
+    out = ivx.overlap_join(a, b, "a_start", "a_end", "b_start", "b_end",
+                           bin_seconds=3600, keys=["user_id"])
+    return out.select(
+        "user_id", "a_session", "b_session",
+        F.unix_micros(F.col("a_start").cast("timestamp")).alias("a_start_us"),
+        F.unix_micros(F.col("a_end").cast("timestamp")).alias("a_end_us"),
+        F.unix_micros(F.col("b_start").cast("timestamp")).alias("b_start_us"),
+        F.unix_micros(F.col("b_end").cast("timestamp")).alias("b_end_us"),
+    )
+
+
+def _q_embedding_covariance(spark, sf_dir):
+    """Distributed d×d covariance (embedx.covariance): per-Arrow-batch
+    partial Gram matrices (one BLAS matmul each) folded by ONE hash
+    aggregate over d²·n_batches rows — shuffled volume scales with
+    partition count, not row count (the RowMatrix.computeGramian shape).
+    Upper triangle only (symmetric)."""
+    from amazon_security_lake_transformation_library_spark.operators import embedx as ebx
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ebx.covariance(emb)
+    return out.where(F.col("i") <= F.col("j")).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        (F.round("cov", 4) + F.lit(0.0)).alias("cov"),
+    )
+
+
+def _q_embedding_pca(spark, sf_dir):
+    """PCA projection onto the top-4 components (embedx.pca_components +
+    pca_project): the covariance collect is d²-bounded (justified-collect
+    class, like k-means centroids); the projection is one JVM zip_with/
+    aggregate fold per component against broadcast literal arrays — zero
+    Python in the row path. No SQL oracle (eigendecomposition is not
+    ANSI-SQL-expressible) — correctness is pinned by
+    tests/test_r5b_ops.py against numpy (allclose, orthonormality,
+    variance ordering, partitioning independence)."""
+    from amazon_security_lake_transformation_library_spark.operators import embedx as ebx
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mu, comps, _ = ebx.pca_components(emb, p=4)
+    out = ebx.pca_project(emb, mu, comps)
+    return out.select(
+        "vec_id",
+        *[(F.round(f"pc{k}", 4) + F.lit(0.0)).alias(f"pc{k}")
+          for k in (1, 2, 3, 4)],
+    )
+
+
+def _q_semantic_decontaminate(spark, sf_dir):
+    """Semantic (embedding-space) decontamination
+    (datasetops.semantic_decontaminate): broadcast the small eval set,
+    stream the train corpus through JVM cosine folds, left_anti on the
+    tiny matched-id set — the paraphrase-robust companion to the 8-gram
+    decontaminate. Threshold compare on the 4-decimal-rounded cosine
+    (engine-independent, same contract as dedup_embedding_cosine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 41 == 0)
+    tr = emb.where(F.col("vec_id") % 41 != 0)
+    out = dso.semantic_decontaminate(tr, ev, threshold=0.35)
+    return out.select("vec_id", F.col("label").cast("long").alias("label"))
+
+
+def _q_role_transitions(spark, sf_dir):
+    """First-order Markov role-transition matrix over the transcripts
+    fixture (behavior.transition_matrix): one conv-keyed lead window +
+    a states²-sized aggregate; the conditional denominator window runs on
+    that tiny table only."""
+    t, _ = _flagship_inputs(spark, sf_dir)
+    out = bhv.transition_matrix(t, entity="conv_id", order=("turn_idx",),
+                                state_col="role")
+    return out.select(
+        "state_from", "state_to", F.col("n").cast("long").alias("n"),
+        (F.round("p", 4) + F.lit(0.0)).alias("p"),
+    )
+
+
+def _q_select_budget(spark, sf_dir):
+    """Budget-capped greedy corpus selection (curation.select_until_budget):
+    score-histogram routing replaces the single-partition global-cumsum
+    window — per-bucket aggregate (bounded table), running total + cut
+    bucket on the bounded table, whole buckets via broadcast threshold,
+    exact per-row window only inside the one cut bucket. Costs are
+    integer-valued doubles, so every partial sum is exact and the result
+    is partitioning-independent; the oracle runs the textbook global
+    window."""
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    scored = docs.select(
+        "doc_id",
+        (F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+         / F.length("text")).alias("score"),
+        F.col("n_chars").cast("double").alias("cost"),
+    )
+    total = scored.agg(F.sum("cost")).collect()[0][0]  # one scalar, bounded
+    out = cur.select_until_budget(scored, "score", "cost",
+                                  budget=0.3 * total, n_buckets=100_000)
+    return out.select(
+        "doc_id",
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+        F.col("cost").cast("long").alias("cost"),
+    )
+
+
+def _q_epoch_shard(spark, sf_dir):
+    """Deterministic epoch shuffle + sharding (datasetops.epoch_shuffle):
+    md5 sort key + independent-nibble shard, zero global window — epoch
+    N+1 is the same projection with a new seed, never a stored
+    permutation."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dso.epoch_shuffle(docs.select("doc_id"), seed="epoch1",
+                            n_shards=16)
+    return out.select("doc_id", "sort_key", "shard")
+
+
+def _q_linear_score(spark, sf_dir):
+    """fastText-style linear quality-classifier inference
+    (vectorize.linear_score): the model is a dim-row broadcast table;
+    inference = hashed-feature stream ⋈ broadcast weights + one id-keyed
+    fold-back aggregate. Weights come from the reproducible generator so
+    the oracle rebuilds the identical model in SQL."""
+    from amazon_security_lake_transformation_library_spark.operators import vectorize as vz
+
+    ev = _t(spark, sf_dir, "events")
+    w = vz.deterministic_weights(spark, dim=64)
+    out = vz.linear_score(ev, ["event_type", "user_id"], w, dim=64,
+                          bias=0.25)
+    return out.select(
+        "event_id", (F.round("score", 4) + F.lit(0.0)).alias("score")
+    )
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -3204,6 +3361,10 @@ _GATE_FRONT = [
     "ranking_metrics_docs", "turn_self_similarity", "tool_loop_runs",
     "dedup_jaccard_exact", "zorder_events", "bm25_multi_docs",
     "split_by_cluster_docs", "zorder_spans_events",
+    "interval_overlap_sessions", "embedding_covariance",
+    "embedding_pca_project", "decontaminate_semantic",
+    "role_transitions", "select_budget_docs", "epoch_shard_docs",
+    "quality_linear_score",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3275,6 +3436,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_exact": _q_jaccard_exact,
         "zorder_events": _q_zorder_events,
         "zorder_spans_events": _q_zorder_spans,
+        # r5 second wave: interval algebra, embedding matrix analytics,
+        # semantic decontamination, transition profiles, budgeted
+        # selection, epoch sharding, classifier inference
+        "interval_overlap_sessions": _q_interval_overlap,
+        "embedding_covariance": _q_embedding_covariance,
+        "embedding_pca_project": _q_embedding_pca,
+        "decontaminate_semantic": _q_semantic_decontaminate,
+        "role_transitions": _q_role_transitions,
+        "select_budget_docs": _q_select_budget,
+        "epoch_shard_docs": _q_epoch_shard,
+        "quality_linear_score": _q_linear_score,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -6735,6 +6907,140 @@ def oracle_sql() -> dict[str, str]:
                          4) + 0.0 AS psi
             FROM grid g LEFT JOIN base USING (bin) LEFT JOIN oth USING (split, bin)
             GROUP BY 1
+        """,
+        # --- r5 second wave ---
+        "interval_overlap_sessions": """
+            WITH af AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                               OR (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0 > 21600.0
+                          THEN 1 ELSE 0 END AS flag
+              FROM events WHERE event_type IN ('view', 'click')
+            ),
+            a AS (
+              SELECT user_id, ts,
+                     (sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS a_session
+              FROM af
+            ),
+            ai AS (SELECT user_id, a_session, min(ts) AS a_start, max(ts) AS a_end
+                   FROM a GROUP BY 1, 2),
+            bf AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                               OR (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0 > 21600.0
+                          THEN 1 ELSE 0 END AS flag
+              FROM events WHERE event_type IN ('purchase', 'error')
+            ),
+            b AS (
+              SELECT user_id, ts,
+                     (sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS b_session
+              FROM bf
+            ),
+            bi AS (SELECT user_id, b_session, min(ts) AS b_start, max(ts) AS b_end
+                   FROM b GROUP BY 1, 2)
+            SELECT ai.user_id, a_session, b_session,
+                   epoch_us(a_start) AS a_start_us, epoch_us(a_end) AS a_end_us,
+                   epoch_us(b_start) AS b_start_us, epoch_us(b_end) AS b_end_us
+            FROM ai JOIN bi ON ai.user_id = bi.user_id
+                           AND a_start <= b_end AND b_start <= a_end
+        """,
+        "embedding_covariance": """
+            WITH x AS (
+              SELECT vec_id,
+                     unnest(embedding::DOUBLE[]) AS v,
+                     unnest(range(0, len(embedding))) AS i
+              FROM embeddings
+            )
+            SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+                   round((sum(a.v * b.v) - count(*) * avg(a.v) * avg(b.v))
+                         / (count(*) - 1), 4) + 0.0 AS cov
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+        """,
+        "decontaminate_semantic": f"""
+            WITH e AS ({_EMB}),
+            hits AS (
+              SELECT DISTINCT t.vec_id
+              FROM e t JOIN e q
+                ON t.vec_id % 41 <> 0 AND q.vec_id % 41 = 0
+               AND {_cos('t.v', 'q.v')} >= 0.35
+            )
+            SELECT t.vec_id, t.label::BIGINT AS label
+            FROM e t
+            WHERE t.vec_id % 41 <> 0
+              AND t.vec_id NOT IN (SELECT vec_id FROM hits)
+        """,
+        "role_transitions": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_tr_dir()}/transcripts.parquet')),
+            pairs AS (
+              SELECT role AS state_from,
+                     lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS state_to
+              FROM t
+            ),
+            c AS (SELECT state_from, state_to, count(*)::BIGINT AS n
+                  FROM pairs WHERE state_to IS NOT NULL GROUP BY 1, 2)
+            SELECT state_from, state_to, n,
+                   round(n / sum(n) OVER (PARTITION BY state_from), 4) + 0.0 AS p
+            FROM c
+        """,
+        "select_budget_docs": """
+            WITH s AS (
+              SELECT doc_id,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                       / length(text) AS score,
+                     n_chars::DOUBLE AS cost
+              FROM documents WHERE length(text) > 0
+            ),
+            b AS (SELECT 0.3 * sum(cost) AS budget FROM s),
+            r AS (
+              SELECT doc_id, score, cost,
+                     sum(cost) OVER (ORDER BY score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM s
+            )
+            SELECT doc_id, round(score, 4) + 0.0 AS score, cost::BIGINT AS cost
+            FROM r, b WHERE r.cum <= b.budget
+        """,
+        "epoch_shard_docs": """
+            SELECT doc_id,
+                   substr(md5('epoch1:' || doc_id::VARCHAR), 1, 16) AS sort_key,
+                   ('0x' || substr(md5('epoch1:' || doc_id::VARCHAR), 17, 8))::BIGINT
+                     % 16 AS shard
+            FROM documents
+        """,
+        "quality_linear_score": """
+            WITH w AS (
+              SELECT i::BIGINT AS idx,
+                     (('0x' || substr(md5('w-v1:' || i::VARCHAR), 1, 8))::BIGINT
+                      / 4294967296.0) * 2 - 1 AS w
+              FROM (SELECT unnest(range(0, 64)) AS i)
+            ),
+            f AS (
+              SELECT event_id,
+                     ('0x' || substr(md5('fh-v1' || 'event_type' || '='
+                                         || event_type), 1, 8))::BIGINT % 64 AS idx,
+                     CASE WHEN substr(md5('fh-v1' || 'event_type' || '='
+                                          || event_type), 9, 1) < '8'
+                          THEN 1 ELSE -1 END AS sign
+              FROM events WHERE event_type IS NOT NULL
+              UNION ALL
+              SELECT event_id,
+                     ('0x' || substr(md5('fh-v1' || 'user_id' || '='
+                                         || user_id::VARCHAR), 1, 8))::BIGINT % 64 AS idx,
+                     CASE WHEN substr(md5('fh-v1' || 'user_id' || '='
+                                          || user_id::VARCHAR), 9, 1) < '8'
+                          THEN 1 ELSE -1 END AS sign
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            c AS (SELECT event_id, sum(sign * w.w) AS dot
+                  FROM f JOIN w USING (idx) GROUP BY 1)
+            SELECT e.event_id,
+                   round(1.0 / (1.0 + exp(-(0.25 + coalesce(c.dot, 0.0)))), 4)
+                     + 0.0 AS score
+            FROM (SELECT DISTINCT event_id FROM events) e
+            LEFT JOIN c USING (event_id)
         """,
     })
 

@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 from ..functions.timeops import epoch_seconds
 
 __all__ = ["funnel_conversion", "funnel_counts", "cohort_retention",
-           "rolling_distinct", "rolling_distinct_kmv"]
+           "rolling_distinct", "rolling_distinct_kmv", "transition_matrix"]
 
 
 def funnel_conversion(
@@ -340,3 +340,41 @@ def rolling_distinct_kmv(
         obs = syn.select(F.col("_b").alias("bucket")).distinct()
         out = out.join(obs, "bucket", "left_semi")
     return out
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity: str | Sequence[str] = "conv_id",
+    order: Sequence[str] = ("turn_idx",),
+    state_col: str = "role",
+) -> DataFrame:
+    """First-order Markov transition matrix over a per-entity ordered
+    state sequence: ``(state_from, state_to, n, p)`` where ``p`` is the
+    conditional probability P(next = to | cur = from). The agent-transcript
+    use: role / tool transition profiles (e.g. assistant→tool→tool loops)
+    as corpus-level diagnostics next to the per-conversation loop detector
+    (turnsim.py).
+
+    Shape: ONE entity-keyed window (lead — the same exchange+sort every
+    turn feature shares), then a hash aggregate to the |states|²-sized
+    count table; the row-conditional denominator is a window over that
+    tiny table (states², not rows — the documented bounded-window class).
+    Deterministic: counts are exact, p = n/row_total in double.
+    """
+    keys = [entity] if isinstance(entity, str) else list(entity)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("state_from"),
+            F.lead(state_col).over(w).alias("state_to"),
+        )
+        .where(F.col("state_to").isNotNull())
+    )
+    counts = pairs.groupBy("state_from", "state_to").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_w = Window.partitionBy("state_from")
+    return counts.select(
+        "state_from", "state_to", "n",
+        (F.col("n") / F.sum("n").over(row_w)).alias("p"),
+    )

@@ -639,3 +639,76 @@ def ks_drift(
              + F.lit(0.0)).alias("ks")
         )
     )
+
+
+def select_until_budget(
+    df: DataFrame,
+    score_col: str = "score",
+    cost_col: str = "cost",
+    budget: float = 1_000_000.0,
+    id_col: str = "doc_id",
+    n_buckets: int = 100_000,
+) -> DataFrame:
+    """Budget-capped greedy selection: take rows in ``(score DESC,
+    id ASC)`` order while the running ``cost`` total stays <= ``budget``
+    — "best documents until the token budget is spent", the final gate of
+    every curated-corpus build.
+
+    The textbook form is a cumulative sum over the GLOBAL order — a
+    single-partition window, the canonical scale anti-pattern. Exact and
+    distributed instead via score-histogram routing:
+
+    1. quantize score to ``n_buckets`` fixed buckets (one projection);
+    2. aggregate per-bucket (count, cost sum) — a bounded table
+       (<= n_buckets rows regardless of corpus size);
+    3. running total over the DESC-ordered bucket table finds the CUT
+       bucket (the first whose cumulative cost exceeds the budget) — a
+       window over the bounded table (the documented sketch-sized-window
+       class);
+    4. buckets strictly above the cut are taken whole (broadcast-joined
+       threshold filter, zero shuffle of the corpus); the cut bucket
+       alone gets the exact per-row cumulative window, partitioned BY the
+       bucket — one partition holding only near-tie rows.
+
+    Exactness: floor is monotone, ties in quantized score share a bucket,
+    and within the cut bucket the exact (score DESC, id) order is used —
+    so the selected set is IDENTICAL to the global-window formulation
+    (the DuckDB oracle runs that one). Scores must lie in [0, 1]
+    (quantization domain); rescale first otherwise. NULL scores are
+    excluded from selection (filter them beforehand to surface them —
+    same contract as curriculum_buckets' NULL handling).
+    """
+    b = F.floor(F.col(score_col) * F.lit(float(n_buckets))).cast("long")
+    src = df.select(
+        F.col(id_col), F.col(score_col), F.col(cost_col), b.alias("_b")
+    )
+    hist = src.groupBy("_b").agg(F.sum(cost_col).alias("_c"))
+    wcum = Window.orderBy(F.col("_b").desc())  # bounded: <= n_buckets rows
+    hist = hist.select(
+        "_b", (F.sum("_c").over(wcum)).alias("_cum"), "_c"
+    )
+    # cut bucket = first (highest-score-first) bucket whose cumulative
+    # total exceeds the budget; everything above it fits entirely
+    cut = hist.where(F.col("_cum") > F.lit(float(budget))).select(
+        F.max("_b").alias("_cut_b"),
+        # cost already spent by buckets ABOVE the cut — taken from the cut
+        # bucket's own row (max_by on _b), not an independent max: _cum
+        # grows as _b descends, so max(_cum - _c) would read the BOTTOM
+        # bucket's prefix
+        F.max_by(F.col("_cum") - F.col("_c"), F.col("_b")).alias("_spent"),
+    )
+    full = src.join(
+        F.broadcast(cut),
+        src["_b"] > F.coalesce(F.col("_cut_b"), F.lit(-(1 << 62))),
+        "inner",
+    ).select(id_col, score_col, cost_col)
+    wb = Window.partitionBy("_b").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    partial = (
+        src.join(F.broadcast(cut), src["_b"] == F.col("_cut_b"), "inner")
+        .withColumn("_rowcum", F.sum(cost_col).over(wb) + F.col("_spent"))
+        .where(F.col("_rowcum") <= F.lit(float(budget)))
+        .select(id_col, score_col, cost_col)
+    )
+    return full.unionByName(partial)

@@ -51,6 +51,8 @@ __all__ = [
     "decontaminate",
     "bloom_bitmap",
     "decontaminate_bloom",
+    "semantic_decontaminate",
+    "epoch_shuffle",
 ]
 
 
@@ -611,3 +613,66 @@ def split_by_cluster(
         cluster_col,
         F.coalesce(F.col("_cl"), F.col(id_col)),
     ).drop("_cl", "_split_key")
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop train rows whose embedding has cosine >= ``threshold`` to ANY
+    eval embedding — the *semantic* companion to the n-gram
+    :func:`decontaminate` (catches paraphrased benchmark leakage that
+    exact 8-gram fingerprints miss; cf. the GPT-3/PaLM decontamination
+    appendices which pair both).
+
+    Scale shape: eval sets are small relative to the corpus (thousands of
+    benchmark rows vs billions of docs), so the eval side is BROADCAST
+    and the train corpus streams through one JVM-fold cosine per eval row
+    (n·m dot products, embarrassingly parallel, zero shuffle). Matched
+    ids reduce to a tiny distinct set; the final pass is one left_anti
+    join against it. The cosine is rounded to 4 decimals BEFORE the
+    threshold compare so the decision is partitioning- and
+    engine-independent (same contract as dedup_embedding_cosine).
+    """
+    from .similarity import _as_double, cosine
+
+    ev = F.broadcast(
+        eval_df.select(_as_double(F.col(vec_col)).alias("_ev"))
+    )
+    hits = (
+        train.select(id_col, _as_double(F.col(vec_col)).alias("_tv"))
+        .crossJoin(ev)
+        .where(F.round(cosine(F.col("_tv"), F.col("_ev")), 4)
+               >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(hits, id_col, "left_anti")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: str = "epoch0",
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding: every row
+    gets a pseudorandom ``sort_key`` (md5 of seed||id — reproducible on
+    any engine, any partitioning) and a balanced ``shard`` drawn from an
+    INDEPENDENT nibble range of the same digest (so shard and order don't
+    correlate). No global row_number — a single-partition window is the
+    anti-pattern at corpus scale; consumers write with
+    ``repartition(shard).sortWithinPartitions(sort_key)``, which is a
+    plain hash exchange + local sort, and epoch N+1 is the same plan with
+    a new seed, never a stored permutation.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    return df.select(
+        "*",
+        F.substring(h, 1, 16).alias("sort_key"),
+        (F.conv(F.substring(h, 17, 8), 16, 10).cast("long")
+         % F.lit(n_shards)).alias("shard"),
+    )

@@ -38,6 +38,8 @@ __all__ = [
     "hash_features_vec",
     "build_vocab",
     "encode_multihot",
+    "linear_score",
+    "deterministic_weights",
 ]
 
 
@@ -185,3 +187,53 @@ def encode_multihot(
         F.sum(F.when(F.col("vocab_idx").isNull(), 1).otherwise(0))
         .cast("long").alias("n_oov"),
     )
+
+
+def linear_score(
+    df: DataFrame,
+    cols: Sequence[str],
+    weights: DataFrame,
+    dim: int = 64,
+    salt: str = "fh-v1",
+    id_col: str = "event_id",
+    bias: float = 0.0,
+    out_col: str = "score",
+) -> DataFrame:
+    """Linear-classifier inference over hashing-trick features — the
+    fastText-style quality-classifier scoring pass every corpus curation
+    pipeline runs (e.g. the GPT-3 WebText quality filter): ``score =
+    sigmoid(bias + Σ sign(f)·w[idx(f)])`` for each row's hashed features.
+
+    Scale shape: the model IS a ``dim``-row table (idx → w) — broadcast;
+    inference is the exploded hashed-feature stream (one projection)
+    joined to the broadcast weight table and folded back with one
+    id-keyed hash aggregate. No Python in the row path, no weight
+    array on the driver; swapping models = swapping a tiny table.
+    Rows with no non-null features score sigmoid(bias) via the left
+    join + zero-coalesce on the id spine.
+    """
+    feats = hash_feature_rows(df, id_col, cols, dim=dim, salt=salt)
+    w = F.broadcast(weights.select(
+        F.col("idx").alias("_widx"), F.col("w").alias("_w")))
+    contrib = (
+        feats.join(w, feats["idx"] == F.col("_widx"), "inner")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("sign") * F.col("_w")).alias("_dot"))
+    )
+    spine = df.select(id_col).distinct()
+    z = F.lit(float(bias)) + F.coalesce(F.col("_dot"), F.lit(0.0))
+    return (
+        spine.join(contrib, id_col, "left")
+        .select(id_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col))
+    )
+
+
+def deterministic_weights(spark, dim: int = 64, salt: str = "w-v1") -> DataFrame:
+    """A reproducible stand-in weight table (idx, w) with w in [-1, 1):
+    w = (first-8-hex of md5(salt||idx) / 2^32) * 2 - 1. Real pipelines
+    load trained weights; this generator exists so tests and the DuckDB
+    differential oracle can rebuild the identical model anywhere."""
+    idx = spark.range(dim).select(F.col("id").cast("long").alias("idx"))
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("idx").cast("string")))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(float(1 << 32))
+    return idx.select("idx", (u * F.lit(2.0) - F.lit(1.0)).alias("w"))

@@ -1,0 +1,263 @@
+"""Round-5 second-wave operators: interval overlap join, embedding
+covariance/PCA, semantic decontamination, epoch shuffle, transition
+matrix, budget-capped selection, linear classifier scoring.
+
+Every test checks the distributed operator against an independent
+formulation (numpy / pandas / brute-force DataFrame) on the same rows.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from amazon_security_lake_transformation_library_spark.operators import behavior as bh
+from amazon_security_lake_transformation_library_spark.operators import curation as cu
+from amazon_security_lake_transformation_library_spark.operators import datasetops as ds
+from amazon_security_lake_transformation_library_spark.operators import embedx as ex
+from amazon_security_lake_transformation_library_spark.operators import intervals as iv
+from amazon_security_lake_transformation_library_spark.operators import vectorize as vz
+
+
+# ---------------------------------------------------------------- intervals
+
+def _mk_intervals(spark, seed, n, name):
+    rng = np.random.default_rng(seed)
+    start = rng.integers(0, 100_000, n).astype("float64")
+    length = rng.exponential(3000.0, n)
+    pdf = pd.DataFrame({
+        f"{name}_id": np.arange(n),
+        f"{name}_start": pd.to_datetime(start, unit="s"),
+        f"{name}_end": pd.to_datetime(start + length, unit="s"),
+        "key": rng.integers(0, 5, n),
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def _brute_pairs(lp, rp, keyed):
+    out = set()
+    for _, l in lp.iterrows():
+        for _, r in rp.iterrows():
+            if keyed and l["key"] != r["key"]:
+                continue
+            if l["l_start"] <= r["r_end"] and r["r_start"] <= l["l_end"]:
+                out.add((int(l["l_id"]), int(r["r_id"])))
+    return out
+
+
+@pytest.mark.parametrize("bin_seconds", [60, 3600, 86_400])
+def test_overlap_join_matches_bruteforce(spark, bin_seconds):
+    left, lp = _mk_intervals(spark, 1, 60, "l")
+    right, rp = _mk_intervals(spark, 2, 50, "r")
+    right = right.drop("key")
+    got = iv.overlap_join(
+        left, right, "l_start", "l_end", "r_start", "r_end",
+        bin_seconds=bin_seconds,
+    ).select("l_id", "r_id").collect()
+    got_pairs = {(r["l_id"], r["r_id"]) for r in got}
+    assert len(got) == len(got_pairs), "first-common-bin rule must dedup"
+    assert got_pairs == _brute_pairs(lp, rp.drop(columns=["key"]).assign(key=0), keyed=False)
+
+
+def test_overlap_join_keyed_and_anti(spark):
+    left, lp = _mk_intervals(spark, 3, 80, "l")
+    right, rp = _mk_intervals(spark, 4, 40, "r")
+    got = iv.overlap_join(
+        left, right, "l_start", "l_end", "r_start", "r_end",
+        bin_seconds=1800, keys=["key"],
+    ).select("l_id", "r_id").collect()
+    got_pairs = {(r["l_id"], r["r_id"]) for r in got}
+    expect = _brute_pairs(lp, rp, keyed=True)
+    assert got_pairs == expect
+
+    anti = iv.overlap_join(
+        left, right, "l_start", "l_end", "r_start", "r_end",
+        bin_seconds=1800, keys=["key"], anti=True,
+    ).select("l_id").collect()
+    matched_left = {a for a, _ in expect}
+    assert {r["l_id"] for r in anti} == set(lp["l_id"]) - matched_left
+
+
+def test_sessions_to_intervals(spark):
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "session_id": [0, 0, 1, 0],
+        "ts": pd.to_datetime([10, 20, 5000, 7], unit="s"),
+    })
+    out = iv.sessions_to_intervals(spark.createDataFrame(pdf)).collect()
+    by = {(r["user_id"], r["session_id"]): r for r in out}
+    assert by[(1, 0)]["n_rows"] == 2
+    assert by[(1, 0)]["start_ts"] == pd.Timestamp(10, unit="s")
+    assert by[(1, 0)]["end_ts"] == pd.Timestamp(20, unit="s")
+    assert by[(2, 0)]["n_rows"] == 1
+
+
+# ------------------------------------------------------------------ embedx
+
+def _emb_df(spark, n=300, d=8, seed=7):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d)) @ np.diag(np.linspace(3, 0.3, d))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n),
+        "embedding": [row.astype("float32").tolist() for row in X],
+    })
+    return spark.createDataFrame(pdf), X.astype("float32").astype("float64")
+
+
+def test_covariance_matches_numpy(spark):
+    df, X = _emb_df(spark)
+    rows = ex.covariance(df).collect()
+    C = np.zeros((8, 8))
+    for r in rows:
+        C[r["i"], r["j"]] = r["cov"]
+    np.testing.assert_allclose(C, np.cov(X, rowvar=False), rtol=1e-9, atol=1e-12)
+
+
+def test_pca_components_invariants_and_determinism(spark):
+    df, X = _emb_df(spark)
+    mu, comps, eig = ex.pca_components(df, p=4)
+    np.testing.assert_allclose(mu, X.mean(axis=0), rtol=1e-9, atol=1e-12)
+    # orthonormal rows, descending variance, positive max-abs element
+    np.testing.assert_allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    assert np.all(np.diff(eig) <= 1e-12)
+    for k in range(4):
+        assert comps[k, np.argmax(np.abs(comps[k]))] > 0
+    # partitioning independence (partial-sum order changes)
+    mu2, comps2, eig2 = ex.pca_components(df.repartition(7), p=4)
+    np.testing.assert_allclose(comps, comps2, atol=1e-7)
+    np.testing.assert_allclose(eig, eig2, rtol=1e-9)
+
+
+def test_pca_project_matches_numpy(spark):
+    df, X = _emb_df(spark)
+    mu, comps, _ = ex.pca_components(df, p=3)
+    out = ex.pca_project(df, mu, comps).orderBy("vec_id").collect()
+    got = np.array([[r["pc1"], r["pc2"], r["pc3"]] for r in out])
+    expect = (X - mu) @ comps.T
+    np.testing.assert_allclose(got, expect, atol=1e-9)
+    # eigvals == variance of the projected coordinates
+    _, _, eig = ex.pca_components(df, p=3)
+    np.testing.assert_allclose(got.var(axis=0, ddof=1), eig, rtol=1e-6)
+
+
+# -------------------------------------------------- semantic decontamination
+
+def test_semantic_decontaminate_matches_bruteforce(spark):
+    df, X = _emb_df(spark, n=120, d=8, seed=11)
+    ev = df.where(F.col("vec_id") % 13 == 0)
+    tr = df.where(F.col("vec_id") % 13 != 0)
+    out = ds.semantic_decontaminate(tr, ev, threshold=0.5)
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+
+    evX = X[::13]
+    norms = np.linalg.norm(X, axis=1)
+    expect = set()
+    for i in range(len(X)):
+        if i % 13 == 0:
+            continue
+        cos = evX @ X[i] / (np.linalg.norm(evX, axis=1) * norms[i])
+        if not np.any(np.round(cos, 4) >= 0.5):
+            expect.add(i)
+    assert kept == expect
+
+
+# -------------------------------------------------------------- epoch shuffle
+
+def test_epoch_shuffle_deterministic_balanced(spark):
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = ds.epoch_shuffle(docs, seed="e1", n_shards=16).collect()
+    b = ds.epoch_shuffle(docs.repartition(5), seed="e1", n_shards=16).collect()
+    assert sorted((r["doc_id"], r["sort_key"], r["shard"]) for r in a) == \
+           sorted((r["doc_id"], r["sort_key"], r["shard"]) for r in b)
+    keys = [r["sort_key"] for r in a]
+    assert len(set(keys)) == len(keys)
+    counts = pd.Series([r["shard"] for r in a]).value_counts()
+    assert len(counts) == 16 and counts.min() > 2000 / 16 * 0.5
+    # a different seed produces a different order
+    c = ds.epoch_shuffle(docs, seed="e2", n_shards=16).collect()
+    assert {r["doc_id"]: r["sort_key"] for r in c} != {
+        r["doc_id"]: r["sort_key"] for r in a}
+
+
+# ---------------------------------------------------------- transition matrix
+
+def test_transition_matrix_matches_pandas(spark, transcripts_pdf):
+    df = spark.createDataFrame(transcripts_pdf)
+    out = bh.transition_matrix(df, entity="conv_id",
+                               order=("turn_idx",), state_col="role")
+    got = {(r["state_from"], r["state_to"]): (r["n"], r["p"])
+           for r in out.collect()}
+
+    pdf = transcripts_pdf.sort_values(["conv_id", "turn_idx"])
+    nxt = pdf.groupby("conv_id")["role"].shift(-1)
+    pairs = pd.DataFrame({"f": pdf["role"], "t": nxt}).dropna()
+    counts = pairs.value_counts()
+    totals = pairs.groupby("f").size()
+    assert set(got) == set(counts.index)
+    for (f, t), n in counts.items():
+        gn, gp = got[(f, t)]
+        assert gn == n
+        assert math.isclose(gp, n / totals[f], rel_tol=1e-12)
+
+
+# ------------------------------------------------------- budget selection
+
+@pytest.mark.parametrize("budget", [0.0, 137.0, 5_000.0, 1e12])
+def test_select_until_budget_matches_global_window(spark, budget):
+    rng = np.random.default_rng(5)
+    n = 3000
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n),
+        # coarse grid => quantization ties across many docs
+        "score": np.round(rng.uniform(0, 1, n), 3),
+        "cost": rng.integers(1, 40, n).astype("float64"),
+    })
+    df = spark.createDataFrame(pdf)
+    got = cu.select_until_budget(df, "score", "cost", budget,
+                                 n_buckets=1000)
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ref = (
+        df.withColumn("_c", F.sum("cost").over(w))
+        .where(F.col("_c") <= F.lit(budget))
+    )
+    ref_ids = {r["doc_id"] for r in ref.select("doc_id").collect()}
+    assert got_ids == ref_ids
+
+
+# ------------------------------------------------------------ linear score
+
+def test_linear_score_matches_numpy(spark):
+    n = 400
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "event_type": [["click", "view", None, "buy"][i % 4] for i in range(n)],
+        "user_id": (np.arange(n) % 37).astype("int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    wtab = vz.deterministic_weights(spark, dim=32)
+    out = vz.linear_score(df, ["event_type", "user_id"], wtab,
+                          dim=32, bias=0.25)
+    got = {r["event_id"]: r["score"] for r in out.collect()}
+    assert len(got) == n
+
+    wmap = {r["idx"]: r["w"] for r in wtab.collect()}
+    import hashlib
+
+    def hidx(col, val):
+        h = hashlib.md5(f"fh-v1{col}={val}".encode()).hexdigest()
+        return int(h[:8], 16) % 32, (1 if h[8] < "8" else -1)
+
+    for i in range(0, n, 17):
+        z = 0.25
+        for col, val in (("event_type", pdf["event_type"][i]),
+                         ("user_id", str(pdf["user_id"][i]))):
+            if val is None:
+                continue
+            idx, sign = hidx(col, val)
+            z += sign * wmap[idx]
+        assert math.isclose(got[i], 1 / (1 + math.exp(-z)), rel_tol=1e-12)
