@@ -431,3 +431,58 @@ def test_rolling_distinct_entity_partitioned_window(spark):
     # explode is the bounded per-island sequence, not a join enumeration
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan
+
+
+def test_overlap_join_no_cartesian_binned_equijoin(spark):
+    """The interval-overlap join must plan as a binned EQUI-join (hash or
+    sort-merge on __bin [+ keys]) with the overlap test as a residual
+    filter — never BroadcastNestedLoop/Cartesian — and must not add a
+    post-join Exchange for dedup (first-common-bin is a filter)."""
+    plan = _plan(entrymod.queries()["interval_overlap_sessions"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan)
+    # no distinct/agg AFTER the join: the dedup is the first-bin predicate
+    join_pos = min(p for p in (plan.find("SortMergeJoin"),
+                               plan.find("ShuffledHashJoin"),
+                               plan.find("BroadcastHashJoin")) if p >= 0)
+    assert "HashAggregate" not in plan[:join_pos]
+
+
+def test_select_budget_no_global_single_partition_window_on_corpus(spark):
+    """Budget selection must not sort the corpus into one partition: the
+    only SinglePartition exchange feeds the <=n_buckets histogram table;
+    the corpus-side plan is hash-partitioned (bucket agg + broadcast
+    threshold joins + the cut-bucket-partitioned window)."""
+    plan = _plan(entrymod.queries()["select_budget_docs"](spark, SF_DIR))
+    # the corpus window is partitioned by the cut bucket, never empty
+    assert "Window [" in plan
+    for ln in plan.splitlines():
+        if "Window [" in ln and "_rowcum" in ln:
+            assert "partitionBy" not in ln or "_b" in ln
+    # broadcast the 1-row cut descriptor to the corpus side
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_semantic_decontaminate_broadcasts_eval(spark):
+    """The eval side must broadcast (corpus streams once, zero shuffle on
+    the probe side until the tiny distinct)."""
+    plan = _plan(entrymod.queries()["decontaminate_semantic"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # crossJoin of broadcast eval
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_zero_exchange(spark):
+    """Epoch shuffle is a pure projection — no Exchange anywhere."""
+    plan = _plan(entrymod.queries()["epoch_shard_docs"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_covariance_single_fold_aggregate(spark):
+    """The Gram fold-back is ONE hash aggregate pair (partial+final) over
+    the (i, j) triples; no window, no join on the row-count path until the
+    tiny d^2-sized assembly joins (which must all be broadcast)."""
+    plan = _plan(entrymod.queries()["embedding_covariance"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
