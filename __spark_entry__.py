@@ -3314,6 +3314,32 @@ def _q_linear_score(spark, sf_dir):
     )
 
 
+def _q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (graph.triangle_count) over a
+    deterministic chain+skip+hub graph on the documents ids (each
+    10-block's hub gets degree ~13 — the orientation must never
+    enumerate wedges from it). Degree-ordered orientation (Suri &
+    Vassilvitskii): wedge table bounded O(m^1.5), three equi-joins.
+    Oracle: the canonical 3-way self-join — a different algorithm with
+    no orientation at all."""
+    from amazon_security_lake_transformation_library_spark.operators import graph as g
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    cand = (
+        ids.select(F.col("doc_id").alias("s"),
+                   (F.col("doc_id") + 1).alias("t"))
+        .unionAll(ids.select(F.col("doc_id").alias("s"),
+                             (F.col("doc_id") + 2).alias("t")))
+        .unionAll(ids.select(
+            F.col("doc_id").alias("s"),
+            (F.col("doc_id") - F.col("doc_id") % 10).alias("t")))
+    )
+    edges = cand.join(ids.select(F.col("doc_id").alias("t")), "t", "semi")
+    out = g.triangle_count(edges, "s", "t")
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("n_triangles").cast("long").alias("n_triangles"))
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -3364,7 +3390,7 @@ _GATE_FRONT = [
     "interval_overlap_sessions", "embedding_covariance",
     "embedding_pca_project", "decontaminate_semantic",
     "role_transitions", "select_budget_docs", "epoch_shard_docs",
-    "quality_linear_score",
+    "quality_linear_score", "triangle_counts_docs",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3447,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_budget_docs": _q_select_budget,
         "epoch_shard_docs": _q_epoch_shard,
         "quality_linear_score": _q_linear_score,
+        "triangle_counts_docs": _q_triangle_counts,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -7009,6 +7036,28 @@ def oracle_sql() -> dict[str, str]:
                    ('0x' || substr(md5('epoch1:' || doc_id::VARCHAR), 17, 8))::BIGINT
                      % 16 AS shard
             FROM documents
+        """,
+        "triangle_counts_docs": """
+            WITH ids AS (SELECT doc_id FROM documents),
+            raw AS (
+              SELECT doc_id AS s, doc_id + 1 AS t FROM ids
+              UNION ALL SELECT doc_id, doc_id + 2 FROM ids
+              UNION ALL SELECT doc_id, doc_id - doc_id % 10 FROM ids
+            ),
+            e0 AS (SELECT s, t FROM raw WHERE t IN (SELECT doc_id FROM ids)),
+            can AS (
+              SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+              FROM e0 WHERE s <> t
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM can e1
+              JOIN can e2 ON e2.a = e1.b
+              JOIN can e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT node::BIGINT AS node, count(*)::BIGINT AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+            GROUP BY 1
         """,
         "quality_linear_score": """
             WITH w AS (

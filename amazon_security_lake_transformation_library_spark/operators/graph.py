@@ -403,3 +403,67 @@ def tree_paths(
     finally:
         _release_local_checkpoint(state)
     raise RuntimeError(f"tree_paths did not converge in {max_iters} rounds")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph:
+    ``(node, n_triangles)`` for every node in at least one triangle.
+
+    Scale design — degree-ordered orientation (the MapReduce triangle
+    algorithm of Suri & Vassilvitskii, WWW'11): orient every canonical
+    edge from its lower-``(degree, id)`` endpoint to the higher one, so
+    each triangle is enumerated from exactly ONE wedge and — the part
+    that matters at 100 TB — every node's out-degree is bounded by
+    O(sqrt(m)), which caps the wedge table at O(m^1.5) instead of the
+    Σdeg² a hub explodes under the naive formulation. Three equi-joins
+    total: degree attach (×2, both sides of the edge), wedge self-join on
+    the low endpoint, and the closing-edge semi-match; all hash
+    partitionable, no per-node state.
+
+    Determinism: counts are exact set functions of the edge set
+    (self-loops dropped, parallel/reverse duplicates collapsed by the
+    least/greatest canonicalization + distinct).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    # orient low (deg, id) -> high (deg, id); carry the head's rank key so
+    # wedges can be emitted in canonical order without re-joining degrees
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    o2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])  # (u, x, y) is one triangle
+    return (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -261,3 +261,59 @@ def test_linear_score_matches_numpy(spark):
             idx, sign = hidx(col, val)
             z += sign * wmap[idx]
         assert math.isclose(got[i], 1 / (1 + math.exp(-z)), rel_tol=1e-12)
+
+
+# ---------------------------------------------------------- triangle count
+
+def test_triangle_count_matches_bruteforce(spark):
+    from amazon_security_lake_transformation_library_spark.operators import graph as g
+    from itertools import combinations
+
+    rng = np.random.default_rng(9)
+    n = 60
+    raw = {(int(a), int(b)) for a, b in rng.integers(0, n, (260, 2))}
+    # add noise: reversed duplicates and self loops must be ignored
+    edges = list(raw) + [(b, a) for a, b in list(raw)[:40]] + [(3, 3), (7, 7)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: r["n_triangles"]
+           for r in g.triangle_count(df).collect()}
+
+    adj = {}
+    for a, b in raw:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    expect = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                expect[v] = expect.get(v, 0) + 1
+    assert got == expect
+
+
+def test_triangle_count_hub_structure(spark):
+    """Chain + skip + hub edges: known closed form — and the hub's high
+    degree exercises the orientation (wedges never enumerated from it)."""
+    from amazon_security_lake_transformation_library_spark.operators import graph as g
+
+    n = 30
+    rows = []
+    for u in range(n):
+        if u + 1 < n:
+            rows.append((u, u + 1))
+        if u + 2 < n:
+            rows.append((u, u + 2))
+        rows.append((u, u - u % 10))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+    got = g.triangle_count(df)
+    total = got.agg(F.sum("n_triangles")).collect()[0][0]
+    # each triangle counted once per member node
+    from itertools import combinations
+    adj = {}
+    for a, b in rows:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    brute = sum(1 for x, y, z in combinations(sorted(adj), 3)
+                if y in adj[x] and z in adj[x] and z in adj[y])
+    assert total == 3 * brute and brute > 0
