@@ -3340,6 +3340,37 @@ def _q_triangle_counts(spark, sf_dir):
                       F.col("n_triangles").cast("long").alias("n_triangles"))
 
 
+def _q_twa_value(spark, sf_dir):
+    """Per-user time-weighted average (behavior.time_weighted_avg): the
+    TWAP/sensor mean for irregular sampling — one lead window (event_id
+    tiebreak for equal-ts rows, so the step function is deterministic)
+    + one hash aggregate; durations are exact microsecond longs."""
+    ev = _t(spark, sf_dir, "events")
+    out = bhv.time_weighted_avg(ev, entity="user_id", ts_col="ts",
+                                value_col="value", order=("event_id",))
+    return out.select(
+        "user_id", F.col("n_obs").cast("long").alias("n_obs"),
+        (F.round("twa", 4) + F.lit(0.0)).alias("twa"),
+    )
+
+
+def _q_assoc_rules(spark, sf_dir):
+    """Pairwise association rules over per-user event-type baskets
+    (behavior.association_rules): dedup first, so the self-join is
+    bounded by the per-entity item vocabulary, never the event count;
+    item counts broadcast back onto the pair table."""
+    ev = _t(spark, sf_dir, "events")
+    out = bhv.association_rules(ev, entity="user_id",
+                                item_col="event_type")
+    return out.select(
+        "antecedent", "consequent",
+        F.col("n_both").cast("long").alias("n_both"),
+        (F.round("support", 4) + F.lit(0.0)).alias("support"),
+        (F.round("confidence", 4) + F.lit(0.0)).alias("confidence"),
+        (F.round("lift", 4) + F.lit(0.0)).alias("lift"),
+    )
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -3391,6 +3422,7 @@ _GATE_FRONT = [
     "embedding_pca_project", "decontaminate_semantic",
     "role_transitions", "select_budget_docs", "epoch_shard_docs",
     "quality_linear_score", "triangle_counts_docs",
+    "twa_value_by_user", "assoc_rules_events",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3474,6 +3506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shard_docs": _q_epoch_shard,
         "quality_linear_score": _q_linear_score,
         "triangle_counts_docs": _q_triangle_counts,
+        "twa_value_by_user": _q_twa_value,
+        "assoc_rules_events": _q_assoc_rules,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -7036,6 +7070,42 @@ def oracle_sql() -> dict[str, str]:
                    ('0x' || substr(md5('epoch1:' || doc_id::VARCHAR), 17, 8))::BIGINT
                      % 16 AS shard
             FROM documents
+        """,
+        "twa_value_by_user": """
+            WITH r AS (
+              SELECT user_id, value,
+                     epoch_us(ts) AS t,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) - epoch_us(ts) AS dur
+              FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n_obs,
+                   round(CASE WHEN max(t) > min(t)
+                              THEN sum(value * dur) / (max(t) - min(t))
+                              ELSE min(value) END, 4) + 0.0 AS twa
+            FROM r GROUP BY 1
+        """,
+        "assoc_rules_events": """
+            WITH base AS (
+              SELECT DISTINCT user_id AS e, event_type AS i
+              FROM events WHERE event_type IS NOT NULL
+            ),
+            tot AS (SELECT count(DISTINCT e)::DOUBLE AS t FROM base),
+            itemn AS (SELECT i, count(*)::BIGINT AS n FROM base GROUP BY 1),
+            pr AS (
+              SELECT a.i AS antecedent, b.i AS consequent,
+                     count(*)::BIGINT AS n_both
+              FROM base a JOIN base b ON a.e = b.e AND a.i <> b.i
+              GROUP BY 1, 2
+            )
+            SELECT antecedent, consequent, n_both,
+                   round(n_both / t, 4) + 0.0 AS support,
+                   round(n_both / na.n, 4) + 0.0 AS confidence,
+                   round(n_both * t / (na.n * nc.n), 4) + 0.0 AS lift
+            FROM pr
+            CROSS JOIN tot
+            JOIN itemn na ON na.i = pr.antecedent
+            JOIN itemn nc ON nc.i = pr.consequent
         """,
         "triangle_counts_docs": """
             WITH ids AS (SELECT doc_id FROM documents),

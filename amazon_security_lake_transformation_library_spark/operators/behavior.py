@@ -62,7 +62,8 @@ from pyspark.sql import functions as F
 from ..functions.timeops import epoch_seconds
 
 __all__ = ["funnel_conversion", "funnel_counts", "cohort_retention",
-           "rolling_distinct", "rolling_distinct_kmv", "transition_matrix"]
+           "rolling_distinct", "rolling_distinct_kmv", "transition_matrix",
+           "time_weighted_avg", "association_rules"]
 
 
 def funnel_conversion(
@@ -378,3 +379,94 @@ def transition_matrix(
         "state_from", "state_to", "n",
         (F.col("n") / F.sum("n").over(row_w)).alias("p"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    entity: str | Sequence[str] = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order: Sequence[str] = (),
+) -> DataFrame:
+    """Per-entity time-weighted average of a step function (the TWAP /
+    sensor-mean form): each observation holds until the next one, so
+    ``twa = Σ value_i · (t_{i+1} − t_i) / (t_last − t_first)`` — the
+    right mean for irregularly-sampled series where the plain AVG
+    over-weights bursts.
+
+    Shape: one entity-keyed lead window (the shared feature-block
+    exchange) + one hash aggregate; entities with a single observation
+    (zero span) fall back to that value. Durations in microseconds
+    (exact longs — the fold is partial-sum-exact and
+    partitioning-independent); the final divide is one double op.
+    """
+    keys = [entity] if isinstance(entity, str) else list(entity)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    nxt = F.lead(us).over(w)
+    rows = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        us.alias("_t"),
+        (nxt - us).alias("_dur"),
+    )
+    return rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.when(
+            F.max("_t") > F.min("_t"),
+            F.sum(F.col("_v") * F.col("_dur"))
+            / (F.max("_t") - F.min("_t")).cast("double"),
+        ).otherwise(F.min("_v"))).alias("twa"),
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    entity: str = "user_id",
+    item_col: str = "event_type",
+    min_support: float = 0.0,
+) -> DataFrame:
+    """Pairwise association rules over per-entity item sets:
+    ``(antecedent, consequent, n_both, support, confidence, lift)`` for
+    every ordered item pair — the market-basket diagnostic (which event
+    types predict which) on transcript/event corpora.
+
+    Shape: one distinct (entity, item) projection, one item-keyed count
+    (|items|-sized), and ONE self-equi-join on entity restricted to
+    distinct pairs — the join output is Σ_e |items_e|², bounded by the
+    per-entity item vocabulary (never the event count; dedup first).
+    All counts exact; support/confidence/lift are single double divides
+    of exact longs, engine-independent.
+    """
+    base = df.select(F.col(entity).alias("_e"),
+                     F.col(item_col).alias("_i")).where(
+        F.col(item_col).isNotNull()).distinct()
+    n_entities = base.select("_e").distinct().count()  # one scalar, bounded
+    item_n = base.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+    a = base.select("_e", F.col("_i").alias("antecedent"))
+    b = base.select("_e", F.col("_i").alias("consequent"))
+    both = (
+        a.join(b, "_e")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = item_n.select(F.col("_i").alias("antecedent"),
+                       F.col("_n").alias("_na"))
+    nc = item_n.select(F.col("_i").alias("consequent"),
+                       F.col("_n").alias("_nc"))
+    tot = float(n_entities)
+    out = (
+        both.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nc), "consequent")
+        .select(
+            "antecedent", "consequent", "n_both",
+            (F.col("n_both") / F.lit(tot)).alias("support"),
+            (F.col("n_both") / F.col("_na").cast("double")).alias("confidence"),
+            (F.col("n_both") * F.lit(tot)
+             / (F.col("_na") * F.col("_nc")).cast("double")).alias("lift"),
+        )
+    )
+    if min_support > 0.0:
+        out = out.where(F.col("support") >= F.lit(min_support))
+    return out

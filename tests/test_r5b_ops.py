@@ -317,3 +317,77 @@ def test_triangle_count_hub_structure(spark):
     brute = sum(1 for x, y, z in combinations(sorted(adj), 3)
                 if y in adj[x] and z in adj[x] and z in adj[y])
     assert total == 3 * brute and brute > 0
+
+
+# -------------------------------------------------- TWA + association rules
+
+def test_time_weighted_avg_matches_numpy(spark):
+    rng = np.random.default_rng(21)
+    n = 500
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 1_000_000, n) * 1000, unit="us"
+        ).astype("datetime64[us]"),
+        "value": np.round(rng.normal(10, 3, n), 3),
+        "event_id": np.arange(n),
+    })
+    got = {r["user_id"]: (r["n_obs"], r["twa"]) for r in
+           bh.time_weighted_avg(
+               spark.createDataFrame(pdf), entity="user_id",
+               order=("event_id",)).collect()}
+    for uid, grp in pdf.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("int64").to_numpy()
+        v = g["value"].to_numpy()
+        if t[-1] > t[0]:
+            expect = float(np.sum(v[:-1] * np.diff(t)) / (t[-1] - t[0]))
+        else:
+            expect = float(v.min())
+        n_obs, twa = got[uid]
+        assert n_obs == len(g)
+        assert math.isclose(twa, expect, rel_tol=1e-9)
+
+
+def test_time_weighted_avg_single_row_and_ties(spark):
+    pdf = pd.DataFrame({
+        "user_id": [1, 2, 2],
+        "ts": pd.to_datetime([5, 9, 9], unit="s").astype("datetime64[us]"),
+        "value": [7.0, 3.0, 11.0],
+        "event_id": [0, 1, 2],
+    })
+    got = {r["user_id"]: r["twa"] for r in bh.time_weighted_avg(
+        spark.createDataFrame(pdf), entity="user_id",
+        order=("event_id",)).collect()}
+    assert got[1] == 7.0        # single observation -> its value
+    assert got[2] == 3.0        # zero span -> min value fallback
+
+
+def test_association_rules_matches_pandas(spark):
+    rng = np.random.default_rng(33)
+    n = 800
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "event_type": rng.choice(list("abcde"), n),
+    })
+    out = bh.association_rules(
+        spark.createDataFrame(pdf), entity="user_id",
+        item_col="event_type")
+    got = {(r["antecedent"], r["consequent"]):
+           (r["n_both"], r["support"], r["confidence"], r["lift"])
+           for r in out.collect()}
+
+    baskets = pdf.drop_duplicates()
+    tot = baskets["user_id"].nunique()
+    item_n = baskets.groupby("event_type")["user_id"].nunique()
+    m = baskets.merge(baskets, on="user_id")
+    m = m[m["event_type_x"] != m["event_type_y"]]
+    cnt = m.groupby(["event_type_x", "event_type_y"]).size()
+    assert set(got) == set(cnt.index)
+    for (x, y), nb in cnt.items():
+        gn, gs, gc, gl = got[(x, y)]
+        assert gn == nb
+        assert math.isclose(gs, nb / tot, rel_tol=1e-12)
+        assert math.isclose(gc, nb / item_n[x], rel_tol=1e-12)
+        assert math.isclose(gl, nb * tot / (item_n[x] * item_n[y]),
+                            rel_tol=1e-12)
