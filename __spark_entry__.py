@@ -3371,6 +3371,88 @@ def _q_assoc_rules(spark, sf_dir):
     )
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """REAL image resize (multimodal.resize_nearest): synthesize a
+    horizontal-gradient GRAY 24-bit BMP per document (pixel value
+    (doc_id + 17x) % 256 — gray makes the integer ITU-R luma equal the
+    pixel value exactly), decode + nearest-neighbor resample to 8×8 +
+    re-encode inside one mapInPandas pass. The gradient makes the
+    resized mean luma a closed form of doc_id alone, so the oracle
+    recomputes it with no decoder."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from amazon_security_lake_transformation_library_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                d = int(doc_id)
+                w, h = 8 + d % 8, 8 + (d * 3) % 8
+                col = ((d + 17 * np.arange(w)) % 256).astype(np.uint8)
+                px = np.repeat(col[None, :, None], 3, axis=2)
+                px = np.repeat(px, h, axis=0)
+                payloads.append(bytearray(mm.encode_bmp(px)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = mm.resize_nearest(blobs, out_w=8, out_h=8)
+    return out.select(
+        "doc_id",
+        F.col("out_w").cast("long").alias("out_w"),
+        F.col("out_h").cast("long").alias("out_h"),
+        (F.round("mean_luma", 4) + F.lit(0.0)).alias("mean_luma"),
+    )
+
+
+def _q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode (multimodal.decode_audio): synthesize a
+    RIFF/WAVE PCM16 sawtooth clip per document (sample i =
+    (((doc_id·31 + i·k) % 256) − 128)·256, k and length functions of
+    doc_id), then parse the container back with the struct chunk walk
+    and compute RMS + strict zero-crossing counts vectorized. Integer
+    samples keep RMS engine-exact; the oracle rebuilds the identical
+    samples from doc_id in SQL."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from amazon_security_lake_transformation_library_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                d = int(doc_id)
+                n, k = 64 + d % 64, 1 + d % 5
+                i = np.arange(n, dtype=np.int64)
+                s = ((((d * 31) + i * k) % 256) - 128) * 256
+                payloads.append(bytearray(
+                    mm.encode_wav_pcm16(s.astype("<i2"), 8000)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = mm.decode_audio(blobs)
+    return out.select(
+        "doc_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        (F.round("rms", 4) + F.lit(0.0)).alias("rms"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+    )
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -3423,6 +3505,7 @@ _GATE_FRONT = [
     "role_transitions", "select_budget_docs", "epoch_shard_docs",
     "quality_linear_score", "triangle_counts_docs",
     "twa_value_by_user", "assoc_rules_events",
+    "multimodal_resize_image", "multimodal_audio_features",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3508,6 +3591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts_docs": _q_triangle_counts,
         "twa_value_by_user": _q_twa_value,
         "assoc_rules_events": _q_assoc_rules,
+        "multimodal_resize_image": _q_multimodal_resize,
+        "multimodal_audio_features": _q_multimodal_audio,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -7070,6 +7155,38 @@ def oracle_sql() -> dict[str, str]:
                    ('0x' || substr(md5('epoch1:' || doc_id::VARCHAR), 17, 8))::BIGINT
                      % 16 AS shard
             FROM documents
+        """,
+        "multimodal_resize_image": """
+            WITH g AS (
+              SELECT doc_id, unnest(range(0, 8)) AS xo FROM documents
+            )
+            SELECT doc_id, 8::BIGINT AS out_w, 8::BIGINT AS out_h,
+                   round(avg(((doc_id + 17 * ((xo * (8 + doc_id % 8)) // 8))
+                              % 256)::DOUBLE), 4) + 0.0 AS mean_luma
+            FROM g GROUP BY 1
+        """,
+        "multimodal_audio_features": """
+            WITH p AS (
+              SELECT doc_id, 64 + doc_id % 64 AS n, 1 + doc_id % 5 AS k
+              FROM documents
+            ),
+            s AS (SELECT doc_id, n, k, unnest(range(0, n)) AS i FROM p),
+            sv AS (
+              SELECT doc_id, n, i,
+                     ((((doc_id * 31 + i * k) % 256) - 128) * 256)::DOUBLE AS v
+              FROM s
+            ),
+            z AS (
+              SELECT doc_id, n, v,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM sv
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_samples,
+                   8000::BIGINT AS sample_rate, 1::BIGINT AS n_channels,
+                   round(sqrt(avg(v * v)), 4) + 0.0 AS rms,
+                   count(*) FILTER (WHERE v * pv < 0)::BIGINT
+                     AS zero_crossings
+            FROM z GROUP BY 1
         """,
         "twa_value_by_user": """
             WITH r AS (

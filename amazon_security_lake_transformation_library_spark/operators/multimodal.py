@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -286,3 +287,143 @@ def decode_image(
             )
 
     return df.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_nearest(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image resize (nearest-neighbor) as a true binary→binary transform:
+    decode with the pure-numpy BMP/PPM backend, resample with integer
+    index math (``src = floor(dst·in/out)`` — deterministic, no
+    interpolation arithmetic to drift across platforms), re-encode BMP,
+    and report the resized mean luma. The thumbnail/normalization pass of
+    an image-corpus pipeline; Arrow-batched mapInPandas, one vectorized
+    fancy-index per image, no Python pixel loops."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _, rgb = _decode_rgb_numpy(bytes(payload))
+                xi = (np.arange(out_w) * w) // out_w
+                yi = (np.arange(out_h) * h) // out_h
+                resized = rgb[np.ix_(yi, xi)]
+                rows.append((int(doc_id), out_w, out_h,
+                             _luma_mean(resized),
+                             bytearray(encode_bmp(resized))))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_w", "out_h", "mean_luma", "payload"],
+            )
+
+    return df.mapInPandas(work, schema=RESIZED_SCHEMA)
+
+
+# ----------------------------------------------------------------- audio
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE PCM16 mono encoder (numpy int16 array) —
+    fixture/synthesis helper so the audio decode path has real container
+    bytes in codec-less environments."""
+    import struct
+
+    a = np.asarray(samples, dtype="<i2")
+    data = a.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _parse_wav(payload: bytes):
+    """Real RIFF chunk walk (no audio libs): locate 'fmt ' and 'data',
+    reject non-PCM; returns (rate, channels, int16 sample array)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, data
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio decode → typed features, dropping the binary column: REAL
+    RIFF/WAVE PCM16 parsing (struct chunk walk + one ``np.frombuffer``
+    — no codec libs), then the two standard gate signals computed
+    vectorized per clip:
+
+    * ``rms`` — root-mean-square amplitude (exact: int16² sums stay far
+      inside float64's integer range, so the value is partitioning- and
+      engine-reproducible)
+    * ``zero_crossings`` — count of strict sign flips
+      (``s_i·s_{i-1} < 0``; zeros break runs) — the classic
+      silence/noisiness discriminator.
+
+    Multichannel data is interleaved per the WAV spec; features here are
+    computed over the interleaved stream (mono fixtures in tests — the
+    channel de-interleave is a reshape away when needed)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, channels, s = _parse_wav(bytes(payload))
+                sf = s.astype(np.float64)
+                rms = float(np.sqrt(np.mean(sf * sf))) if len(s) else 0.0
+                zc = int(np.sum(sf[1:] * sf[:-1] < 0)) if len(s) > 1 else 0
+                rows.append((int(doc_id), len(s), rate, channels, rms, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate",
+                         "n_channels", "rms", "zero_crossings"],
+            )
+
+    return df.mapInPandas(work, schema=AUDIO_FEATURES_SCHEMA)

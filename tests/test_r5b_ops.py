@@ -391,3 +391,66 @@ def test_association_rules_matches_pandas(spark):
         assert math.isclose(gc, nb / item_n[x], rel_tol=1e-12)
         assert math.isclose(gl, nb * tot / (item_n[x] * item_n[y]),
                             rel_tol=1e-12)
+
+
+# ----------------------------------------------------- multimodal r5b ops
+
+def test_resize_nearest_matches_numpy(spark):
+    from amazon_security_lake_transformation_library_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(41)
+    rows = []
+    expected = {}
+    for i in range(6):
+        h, w = int(rng.integers(5, 20)), int(rng.integers(5, 20))
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        rows.append((i, bytearray(mm.encode_bmp(px))))
+        xi = (np.arange(9) * w) // 9
+        yi = (np.arange(7) * h) // 7
+        resized = px[np.ix_(yi, xi)]
+        a = resized.astype(np.uint32)
+        l8 = (a[..., 0] * 19595 + a[..., 1] * 38470 + a[..., 2] * 7471
+              + 32768) >> 16
+        expected[i] = (float(l8.mean()), resized)
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = mm.resize_nearest(df, out_w=9, out_h=7).collect()
+    assert len(out) == 6
+    for r in out:
+        exp_luma, exp_px = expected[r["doc_id"]]
+        assert r["out_w"] == 9 and r["out_h"] == 7
+        assert math.isclose(r["mean_luma"], exp_luma, rel_tol=1e-12)
+        # re-encoded payload round-trips to the resized pixels
+        _, _, _, back = mm._decode_rgb_numpy(bytes(r["payload"]))
+        assert np.array_equal(back, exp_px)
+
+
+def test_decode_audio_wav_roundtrip_and_features(spark):
+    from amazon_security_lake_transformation_library_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(42)
+    rows, expected = [], {}
+    for i in range(8):
+        n = int(rng.integers(10, 300))
+        s = rng.integers(-32768, 32768, n).astype("int16")
+        rows.append((i, bytearray(mm.encode_wav_pcm16(s, 16000))))
+        sf = s.astype(np.float64)
+        expected[i] = (n, float(np.sqrt(np.mean(sf * sf))),
+                       int(np.sum(sf[1:] * sf[:-1] < 0)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = mm.decode_audio(df).collect()
+    for r in out:
+        n, rms, zc = expected[r["doc_id"]]
+        assert r["n_samples"] == n
+        assert r["sample_rate"] == 16000 and r["n_channels"] == 1
+        assert math.isclose(r["rms"], rms, rel_tol=1e-12)
+        assert r["zero_crossings"] == zc
+
+
+def test_parse_wav_rejects_garbage():
+    from amazon_security_lake_transformation_library_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError):
+        mm._parse_wav(b"not a wav file at all")
+    with pytest.raises(ValueError):
+        # RIFF/WAVE but no chunks
+        mm._parse_wav(b"RIFF\x04\x00\x00\x00WAVE")
