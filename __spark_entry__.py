@@ -3203,7 +3203,10 @@ def _q_embedding_covariance(spark, sf_dir):
     from amazon_security_lake_transformation_library_spark.operators import embedx as ebx
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = ebx.covariance(emb)
+    # dim=64 is the embeddings table's schema contract (TESTDATA.md);
+    # passing it keeps the plan action-free and the empty-input path
+    # well-defined (no rows -> empty covariance, no inference probe)
+    out = ebx.covariance(emb, dim=64)
     return out.where(F.col("i") <= F.col("j")).select(
         F.col("i").cast("long").alias("i"),
         F.col("j").cast("long").alias("j"),
@@ -3223,7 +3226,10 @@ def _q_embedding_pca(spark, sf_dir):
     from amazon_security_lake_transformation_library_spark.operators import embedx as ebx
 
     emb = _t(spark, sf_dir, "embeddings")
-    mu, comps, _ = ebx.pca_components(emb, p=4)
+    if not emb.head(1):  # no corpus -> no components to fit; empty result
+        return spark.createDataFrame(
+            [], "vec_id long, pc1 double, pc2 double, pc3 double, pc4 double")
+    mu, comps, _ = ebx.pca_components(emb, p=4, dim=64)
     out = ebx.pca_project(emb, mu, comps)
     return out.select(
         "vec_id",
@@ -3276,7 +3282,8 @@ def _q_select_budget(spark, sf_dir):
          / F.length("text")).alias("score"),
         F.col("n_chars").cast("double").alias("cost"),
     )
-    total = scored.agg(F.sum("cost")).collect()[0][0]  # one scalar, bounded
+    # one scalar, bounded; empty corpus -> 0 budget -> empty selection
+    total = scored.agg(F.sum("cost")).collect()[0][0] or 0.0
     out = cur.select_until_budget(scored, "score", "cost",
                                   budget=0.3 * total, n_buckets=100_000)
     return out.select(

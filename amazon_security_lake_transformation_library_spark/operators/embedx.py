@@ -122,6 +122,10 @@ def pca_components(
     embedding dimension, not the corpus — the justified-collect class)."""
     d = dim if dim is not None else _dim_of(df, vec_col)
     rows = gram_partials(df, vec_col, d).collect()
+    if not rows:
+        raise ValueError("pca_components: no rows to fit (callers should "
+                         "guard empty corpora — there is no covariance to "
+                         "decompose)")
     n = 0.0
     s = np.zeros(d)
     G = np.zeros((d, d))
