@@ -3460,6 +3460,86 @@ def _q_multimodal_audio(spark, sf_dir):
     )
 
 
+def _q_kcore(spark, sf_dir):
+    """4-core membership (graph.kcore, iterative peel with checkpointed
+    edge shrink) over a deterministic block-structured graph: per-100
+    core cliques (degree 19 — stable), fringe-1 nodes anchored to 2 core
+    nodes but held at degree 4 by fringe-2 arrivals, fringe-2 at degree
+    2 — so the peel cascades EXACTLY two rounds at any corpus size.
+    Oracle: the same peel unrolled as 4 chained degree/filter CTE rounds
+    (2 peels + fixpoint verify + margin)."""
+    from amazon_security_lake_transformation_library_spark.operators import graph as g
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    core = ids.where(F.col("doc_id") % 10 < 2)
+    ca = core.select(F.col("doc_id").alias("s"),
+                     (F.col("doc_id") - F.col("doc_id") % 100).alias("_g"))
+    cb = core.select(F.col("doc_id").alias("t"),
+                     (F.col("doc_id") - F.col("doc_id") % 100).alias("_g2"))
+    clique = ca.join(
+        cb, (F.col("_g") == F.col("_g2")) & (F.col("s") < F.col("t"))
+    ).select("s", "t")
+    c = F.col("doc_id") % 10
+    f1 = ids.where((c >= 2) & (c < 6))
+    f2 = ids.where(c >= 6)
+    edges = (
+        clique
+        .unionAll(f1.select(F.col("doc_id").alias("s"),
+                            (F.col("doc_id") - c).alias("t")))
+        .unionAll(f1.select(F.col("doc_id").alias("s"),
+                            (F.col("doc_id") - c + 1).alias("t")))
+        .unionAll(f2.select(F.col("doc_id").alias("s"),
+                            (F.col("doc_id") - c + 2).alias("t")))
+        .unionAll(f2.select(F.col("doc_id").alias("s"),
+                            (F.col("doc_id") - c + 3).alias("t")))
+    )
+    out = g.kcore(edges, k=4, src="s", dst="t")
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("core_deg").cast("long").alias("core_deg"))
+
+
+def _kcore_oracle_sql(rounds: int = 4, k: int = 4) -> str:
+    """The identical peel unrolled as chained CTEs (the Bradley-Terry /
+    pagerank unroll pattern): round i computes degrees of e{i-1} and
+    keeps edges whose BOTH endpoints are strong. The fixture converges
+    in 2 rounds at any N (simulated); ``rounds=4`` leaves margin and a
+    fixpoint-verification round."""
+    parts = ["""
+        ids AS (SELECT doc_id FROM documents),
+        core AS (SELECT doc_id FROM ids WHERE doc_id % 10 < 2),
+        raw AS (
+          SELECT a.doc_id AS s, b.doc_id AS t FROM core a JOIN core b
+            ON a.doc_id - a.doc_id % 100 = b.doc_id - b.doc_id % 100
+           AND a.doc_id < b.doc_id
+          UNION ALL SELECT doc_id, doc_id - doc_id % 10 FROM ids
+            WHERE doc_id % 10 BETWEEN 2 AND 5
+          UNION ALL SELECT doc_id, doc_id - doc_id % 10 + 1 FROM ids
+            WHERE doc_id % 10 BETWEEN 2 AND 5
+          UNION ALL SELECT doc_id, doc_id - doc_id % 10 + 2 FROM ids
+            WHERE doc_id % 10 >= 6
+          UNION ALL SELECT doc_id, doc_id - doc_id % 10 + 3 FROM ids
+            WHERE doc_id % 10 >= 6
+        ),
+        e0 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+               FROM raw WHERE s <> t)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        d{i} AS (SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1}
+          ) GROUP BY 1),
+        e{i} AS (SELECT a, b FROM e{i - 1}
+                 WHERE a IN (SELECT n FROM d{i} WHERE d >= {k})
+                   AND b IN (SELECT n FROM d{i} WHERE d >= {k}))""")
+    final = rounds
+    return (
+        "WITH " + ",".join(parts) + f"""
+        SELECT node::BIGINT AS node, count(*)::BIGINT AS core_deg
+        FROM (SELECT a AS node FROM e{final}
+              UNION ALL SELECT b FROM e{final})
+        GROUP BY 1"""
+    )
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -3513,6 +3593,7 @@ _GATE_FRONT = [
     "quality_linear_score", "triangle_counts_docs",
     "twa_value_by_user", "assoc_rules_events",
     "multimodal_resize_image", "multimodal_audio_features",
+    "kcore_docs",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3600,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules_events": _q_assoc_rules,
         "multimodal_resize_image": _q_multimodal_resize,
         "multimodal_audio_features": _q_multimodal_audio,
+        "kcore_docs": _q_kcore,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -7163,6 +7245,7 @@ def oracle_sql() -> dict[str, str]:
                      % 16 AS shard
             FROM documents
         """,
+        "kcore_docs": _kcore_oracle_sql(rounds=4, k=4),
         "multimodal_resize_image": """
             WITH g AS (
               SELECT doc_id, unnest(range(0, 8)) AS xo FROM documents

@@ -454,3 +454,46 @@ def test_parse_wav_rejects_garbage():
     with pytest.raises(ValueError):
         # RIFF/WAVE but no chunks
         mm._parse_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+# --------------------------------------------------------------- k-core
+
+def _peel_brute(edges, k):
+    E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg = {}
+        for a, b in E:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        weak = {n for n, d in deg.items() if d < k}
+        if not weak:
+            out = {}
+            for a, b in E:
+                out[a] = out.get(a, 0) + 1
+                out[b] = out.get(b, 0) + 1
+            return out
+        E = {(a, b) for a, b in E if a not in weak and b not in weak}
+        if not E:
+            return {}
+
+
+@pytest.mark.parametrize("k", [2, 3, 5])
+def test_kcore_matches_bruteforce(spark, k, tmp_path):
+    from amazon_security_lake_transformation_library_spark.operators import graph as g
+
+    rng = np.random.default_rng(55)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, (150, 2))]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: r["core_deg"]
+           for r in g.kcore(df, k, work_dir=str(tmp_path / f"k{k}")).collect()}
+    assert got == _peel_brute(edges, k)
+
+
+def test_kcore_all_peeled_returns_empty(spark, tmp_path):
+    from amazon_security_lake_transformation_library_spark.operators import graph as g
+
+    # a path graph has no 3-core
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    out = g.kcore(df, 3, work_dir=str(tmp_path / "p")).collect()
+    assert out == []
