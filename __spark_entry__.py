@@ -3540,6 +3540,32 @@ def _kcore_oracle_sql(rounds: int = 4, k: int = 4) -> str:
     )
 
 
+def _q_dq_checks(spark, sf_dir):
+    """Declarative data-quality gate (profiling.check_constraints): all
+    four row-level checks fold into ONE conditional-aggregate scan of
+    orders; uniqueness is one count/count-distinct aggregate; the FK
+    check is one distinct-projected left-anti join against customer
+    (AQE-broadcast at dim size). A 50-check suite would still cost one
+    scan + one agg per unique + one anti per fk."""
+    from amazon_security_lake_transformation_library_spark.operators import profiling as pr
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    checks = [
+        {"name": "orderkey_unique", "kind": "unique", "cols": ["o_orderkey"]},
+        {"name": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+        {"name": "status_accepted", "kind": "accepted_values",
+         "col": "o_orderstatus", "values": ["O", "F"]},
+        {"name": "totalprice_range", "kind": "range",
+         "col": "o_totalprice", "lo": 0.0, "hi": 400_000.0},
+        {"name": "priority_regex", "kind": "regex",
+         "col": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"name": "custkey_fk", "kind": "fk", "col": "o_custkey",
+         "ref_df": cust, "ref_col": "c_custkey"},
+    ]
+    return pr.check_constraints(orders, checks)
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -3593,7 +3619,7 @@ _GATE_FRONT = [
     "quality_linear_score", "triangle_counts_docs",
     "twa_value_by_user", "assoc_rules_events",
     "multimodal_resize_image", "multimodal_audio_features",
-    "kcore_docs",
+    "kcore_docs", "dq_checks_orders",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3682,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_image": _q_multimodal_resize,
         "multimodal_audio_features": _q_multimodal_audio,
         "kcore_docs": _q_kcore,
+        "dq_checks_orders": _q_dq_checks,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -7246,6 +7273,53 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "kcore_docs": _kcore_oracle_sql(rounds=4, k=4),
+        "dq_checks_orders": """
+            SELECT 'orderkey_unique' AS name, 'unique' AS kind,
+                   (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_violations,
+                   count(*) = count(DISTINCT o_orderkey) AS passed
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_not_null', 'not_null',
+                   count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT,
+                   count(*) FILTER (WHERE o_custkey IS NULL) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'status_accepted', 'accepted_values',
+                   count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                                      AND o_orderstatus NOT IN ('O', 'F'))::BIGINT,
+                   count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                                      AND o_orderstatus NOT IN ('O', 'F')) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'totalprice_range', 'range',
+                   count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                                      AND (o_totalprice < 0.0
+                                           OR o_totalprice > 400000.0))::BIGINT,
+                   count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                                      AND (o_totalprice < 0.0
+                                           OR o_totalprice > 400000.0)) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'priority_regex', 'regex',
+                   count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                                      AND NOT regexp_matches(o_orderpriority,
+                                                             '^[1-5]-'))::BIGINT,
+                   count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                                      AND NOT regexp_matches(o_orderpriority,
+                                                             '^[1-5]-')) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_fk', 'fk',
+                   count(*) FILTER (WHERE o_custkey IS NOT NULL
+                                      AND o_custkey NOT IN
+                                          (SELECT c_custkey FROM customer
+                                           WHERE c_custkey IS NOT NULL))::BIGINT,
+                   count(*) FILTER (WHERE o_custkey IS NOT NULL
+                                      AND o_custkey NOT IN
+                                          (SELECT c_custkey FROM customer
+                                           WHERE c_custkey IS NOT NULL)) = 0
+            FROM orders
+        """,
         "multimodal_resize_image": """
             WITH g AS (
               SELECT doc_id, unnest(range(0, 8)) AS xo FROM documents

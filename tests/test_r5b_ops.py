@@ -497,3 +497,52 @@ def test_kcore_all_peeled_returns_empty(spark, tmp_path):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
     out = g.kcore(df, 3, work_dir=str(tmp_path / "p")).collect()
     assert out == []
+
+
+# ------------------------------------------------------- data-quality gate
+
+def test_check_constraints_counts_violations(spark):
+    from amazon_security_lake_transformation_library_spark.operators import profiling as pr
+
+    pdf = pd.DataFrame({
+        "id": [1, 2, 2, 3, None, 5],          # dup 2, null key
+        "status": ["A", "B", "Z", None, "A", "Q"],   # Z, Q outside
+        "price": [10.0, -5.0, 50.0, 2000.0, None, 30.0],  # -5, 2000 out
+        "code": ["1-x", "9-y", None, "2-z", "bad", "3-a"],  # 9-y, bad
+        "ref": [10, 11, 99, None, 10, 98],    # 99, 98 missing
+    })
+    df = spark.createDataFrame(pdf)
+    ref = spark.createDataFrame(pd.DataFrame({"k": [10, 11, 12]}))
+    out = pr.check_constraints(df, [
+        {"name": "u", "kind": "unique", "cols": ["id"]},
+        {"name": "nn", "kind": "not_null", "col": "id"},
+        {"name": "av", "kind": "accepted_values", "col": "status",
+         "values": ["A", "B"]},
+        {"name": "rg", "kind": "range", "col": "price", "lo": 0.0,
+         "hi": 100.0},
+        {"name": "rx", "kind": "regex", "col": "code",
+         "pattern": "^[1-5]-"},
+        {"name": "fk", "kind": "fk", "col": "ref", "ref_df": ref,
+         "ref_col": "k"},
+    ]).collect()
+    by = {r["name"]: (r["n_violations"], r["passed"]) for r in out}
+    assert by["u"] == (2, False)    # one dup + one NULL key
+    assert by["nn"] == (1, False)
+    assert by["av"] == (2, False)
+    assert by["rg"] == (2, False)
+    assert by["rx"] == (2, False)
+    assert by["fk"] == (2, False)
+    # order preserved as declared
+    assert [r["name"] for r in out] == ["u", "nn", "av", "rg", "rx", "fk"]
+
+
+def test_check_constraints_all_pass_and_unknown_kind(spark):
+    from amazon_security_lake_transformation_library_spark.operators import profiling as pr
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3]}))
+    out = pr.check_constraints(df, [
+        {"name": "ok", "kind": "not_null", "col": "x"},
+    ]).collect()
+    assert out[0]["passed"] is True and out[0]["n_violations"] == 0
+    with pytest.raises(ValueError):
+        pr.check_constraints(df, [{"name": "b", "kind": "nope", "col": "x"}])
