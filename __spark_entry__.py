@@ -3566,6 +3566,62 @@ def _q_dq_checks(spark, sf_dir):
     return pr.check_constraints(orders, checks)
 
 
+def _q_srp_topk(spark, sf_dir):
+    """LSH-bucketed cosine top-k (similarity.srp_topk): signed-random-
+    projection buckets from md5-derived Rademacher hyperplanes (no
+    training pass — the zero-shot companion to IVF), multi-probe 1-bit
+    flips, exact-cosine verify on candidates only. Oracle: the SAME
+    md5-derived planes embedded as SQL list literals — the model is
+    reproducible on any engine by construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.srp_topk(emb, QUERY_VEC_IDS, k=5, n_band_bits=8)
+    return _norm_zero(
+        out.withColumn("rank", F.col("rank").cast("long")), "cos_sim")
+
+
+def _srp_oracle_sql(k: int = 5, bits: int = 8, dim: int = 64) -> str:
+    from amazon_security_lake_transformation_library_spark.operators.similarity import srp_planes
+
+    P = srp_planes(bits, dim)
+    vals = ", ".join(
+        "({}, [{}])".format(j, ", ".join(
+            f"{x:.1f}" for x in P[j]))
+        for j in range(bits)
+    )
+    flips = ", ".join(f"xor(bucket, {1 << j})" for j in range(bits))
+    return f"""
+        WITH e AS ({_EMB}),
+        pl(j, p) AS (VALUES {vals}),
+        sig AS (
+          SELECT e.vec_id,
+                 sum(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+                          THEN (1 << pl.j) ELSE 0 END)::BIGINT AS bucket
+          FROM e CROSS JOIN pl GROUP BY e.vec_id
+        ),
+        q AS (SELECT vec_id AS query_id, bucket FROM sig
+              WHERE vec_id IN {_QUERY_IDS_SQL}),
+        pr AS (SELECT query_id, unnest([bucket, {flips}]) AS bucket FROM q),
+        cand AS (
+          SELECT pr.query_id, s.vec_id AS neighbor_id
+          FROM pr JOIN sig s ON s.bucket = pr.bucket
+          WHERE s.vec_id <> pr.query_id
+        ),
+        sc AS (
+          SELECT c.query_id, c.neighbor_id,
+                 {_cos('eq.v', 'ev.v')} AS cos_sim
+          FROM cand c
+          JOIN e eq ON eq.vec_id = c.query_id
+          JOIN e ev ON ev.vec_id = c.neighbor_id
+        ),
+        r AS (SELECT query_id, neighbor_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM sc)
+        SELECT query_id, rank::BIGINT AS rank, neighbor_id, cos_sim
+        FROM r WHERE rank <= {k}
+    """
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -3619,7 +3675,7 @@ _GATE_FRONT = [
     "quality_linear_score", "triangle_counts_docs",
     "twa_value_by_user", "assoc_rules_events",
     "multimodal_resize_image", "multimodal_audio_features",
-    "kcore_docs", "dq_checks_orders",
+    "kcore_docs", "dq_checks_orders", "ann_srp_topk",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3709,6 +3765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": _q_multimodal_audio,
         "kcore_docs": _q_kcore,
         "dq_checks_orders": _q_dq_checks,
+        "ann_srp_topk": _q_srp_topk,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -7273,6 +7330,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "kcore_docs": _kcore_oracle_sql(rounds=4, k=4),
+        "ann_srp_topk": _srp_oracle_sql(k=5, bits=8),
         "dq_checks_orders": """
             SELECT 'orderkey_unique' AS name, 'unique' AS kind,
                    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_violations,

@@ -456,3 +456,98 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def srp_planes(n_planes: int, dim: int, seed: str = "srp-v1"):
+    """Deterministic Rademacher (±1) hyperplanes for signed-random-
+    projection LSH, derived from md5 so any engine (and the DuckDB
+    differential oracle) can rebuild the identical model. Returns a
+    numpy ``(n_planes, dim)`` float array."""
+    import hashlib
+
+    import numpy as np
+
+    P = np.empty((n_planes, dim), dtype=np.float64)
+    for j in range(n_planes):
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+            P[j, i] = 1.0 if int(h[0], 16) < 8 else -1.0
+    return P
+
+
+def _srp_bucket(vec: Column, planes) -> Column:
+    """LSH bucket id: bit j = sign(v·plane_j), packed little-endian.
+    One JVM zip_with/aggregate fold per plane against a broadcast
+    literal array — the cosine_topk plan shape, zero Python."""
+    bucket = F.lit(0)
+    for j in range(planes.shape[0]):
+        comp = F.array(*[F.lit(float(x)) for x in planes[j]])
+        d = F.aggregate(F.zip_with(vec, comp, lambda x, c: x * c),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def srp_topk(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_band_bits: int = 8,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "srp-v1",
+) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k — the hyperplane-hashing
+    companion to :func:`ivf_topk` (no training pass at all, unlike IVF's
+    centroids): corpus vectors hash to a ``n_band_bits``-bit signed-
+    random-projection bucket; each query probes its own bucket plus (with
+    ``multiprobe``) every 1-bit flip — the standard multi-probe trade
+    that recovers most of the recall lost to hard bucket boundaries at
+    (1 + bits) probes instead of 2^bits.
+
+    Scale shape: the bucket is a pure projection (p JVM folds); the
+    candidate join is a plain equi-join on the bucket id (each corpus
+    vector lands in exactly ONE bucket, so multi-probe cannot duplicate
+    candidates); the exact-cosine verify runs on candidates only; the
+    final top-k is the same query-partitioned window as cosine_topk.
+    Expected candidate fraction per probe ≈ 2^-bits of the corpus.
+    """
+    dim_row = df.select(F.size(vec_col).alias("d")).head(1)
+    if not dim_row:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long, cos_sim double")
+    planes = srp_planes(n_band_bits, int(dim_row[0]["d"]), seed)
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", _srp_bucket(F.col("v"), planes))
+    queries = df.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q"),
+    ).withColumn("qbucket", _srp_bucket(F.col("q"), planes))
+    if multiprobe:
+        probe = F.explode(F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << j))
+              for j in range(n_band_bits)],
+        )).alias("bucket")
+    else:
+        probe = F.col("qbucket").alias("bucket")
+    probes = F.broadcast(queries.select("query_id", "q", probe))
+
+    scored = probes.join(corpus, "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("q"), F.col("v")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

@@ -546,3 +546,62 @@ def test_check_constraints_all_pass_and_unknown_kind(spark):
     assert out[0]["passed"] is True and out[0]["n_violations"] == 0
     with pytest.raises(ValueError):
         pr.check_constraints(df, [{"name": "b", "kind": "nope", "col": "x"}])
+
+
+# ------------------------------------------------------------- SRP-LSH ANN
+
+def test_srp_topk_planted_clusters_high_recall(spark):
+    """On clustered data (tight planted near-duplicate groups) the
+    hyperplane-LSH angle collision probability (1 - theta/pi)^bits is
+    near 1, so SRP must recover the exact top-k almost perfectly; on
+    isotropic noise it legitimately cannot (documented trade). Also pins
+    multi-probe >= single-probe recall."""
+    from amazon_security_lake_transformation_library_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(77)
+    base = rng.normal(size=(12, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(240):
+        v = base[i % 12] + rng.normal(scale=0.01, size=32)  # pair angle ~5 deg
+        rows.append((i, v.astype("float32").tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 1, 2, 3]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in sim.cosine_topk(df, qids, k=5).collect()}
+    rec = {}
+    for mp in (False, True):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in sim.srp_topk(df, qids, k=5, n_band_bits=8,
+                                     multiprobe=mp).collect()}
+        rec[mp] = len(got & exact) / len(exact)
+    assert rec[True] >= rec[False]
+    # pair angle ~5 deg => per-bit agreement ~0.97, so P(<=1 flip of 8
+    # bits) ~ 0.97^8 + 8*0.97^7*0.03 ~ 0.98 — floor set with margin
+    assert rec[True] >= 0.85, rec
+
+
+def test_srp_bucket_is_pure_function_of_vector(spark):
+    from amazon_security_lake_transformation_library_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(78)
+    rows = [(i, rng.normal(size=16).astype("float32").tolist())
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = sim.srp_planes(6, 16)
+    a = {r["vec_id"]: r["b"] for r in df.select(
+        "vec_id", sim._srp_bucket(
+            df["embedding"].cast("array<double>"), planes).alias("b")
+    ).collect()}
+    b = {r["vec_id"]: r["b"] for r in df.repartition(7).select(
+        "vec_id", sim._srp_bucket(
+            df["embedding"].cast("array<double>"), planes).alias("b")
+    ).collect()}
+    assert a == b
+    assert all(0 <= v < 64 for v in a.values())
+    # numpy replay of the same planes agrees
+    import numpy as np2
+    for vid, vec in rows[:10]:
+        dots = planes @ np2.array(vec, dtype="float64")
+        expect = sum((1 << j) for j in range(6) if dots[j] >= 0)
+        assert a[vid] == expect
