@@ -3622,6 +3622,29 @@ def _srp_oracle_sql(k: int = 5, bits: int = 8, dim: int = 64) -> str:
     """
 
 
+def _q_collapse_bursts(spark, sf_dir):
+    """Burst collapse (features.collapse_bursts): keep the head row of
+    every rapid-fire run per user — the fuzzy-timestamp dedup for retry
+    storms / at-least-once redelivery; one lag window + filter."""
+    ev = _t(spark, sf_dir, "events")
+    out = feat.collapse_bursts(ev, entity="user_id", ts_col="ts",
+                               gap_seconds=3600.0, order=("event_id",))
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("burst_id").cast("long").alias("burst_id"),
+    )
+
+
+def _q_bootstrap_docs(spark, sf_dir):
+    """Deterministic bootstrap resample (datasetops.bootstrap_sample):
+    draw j -> md5(seed||j) % N — with-replacement sampling that is a
+    pure function of (seed, j), reproducible on any engine/partitioning
+    (rand()-based sampling is not); one equi-join, AQE-broadcast draws."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return dso.bootstrap_sample(docs, n_draws=1000, seed="boot-v1")
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -3676,6 +3699,7 @@ _GATE_FRONT = [
     "twa_value_by_user", "assoc_rules_events",
     "multimodal_resize_image", "multimodal_audio_features",
     "kcore_docs", "dq_checks_orders", "ann_srp_topk",
+    "collapse_bursts_events", "bootstrap_sample_docs",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3766,6 +3790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_docs": _q_kcore,
         "dq_checks_orders": _q_dq_checks,
         "ann_srp_topk": _q_srp_topk,
+        "collapse_bursts_events": _q_collapse_bursts,
+        "bootstrap_sample_docs": _q_bootstrap_docs,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -7331,6 +7357,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_docs": _kcore_oracle_sql(rounds=4, k=4),
         "ann_srp_topk": _srp_oracle_sql(k=5, bits=8),
+        "collapse_bursts_events": """
+            WITH r AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts))
+                                  OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                                  >= 3600000000
+                          THEN 1 ELSE 0 END AS head
+              FROM events
+            ),
+            b AS (
+              SELECT event_id, user_id, ts, head,
+                     sum(head) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - 1 AS burst_id
+              FROM r
+            )
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   burst_id::BIGINT AS burst_id
+            FROM b WHERE head = 1
+        """,
+        "bootstrap_sample_docs": """
+            WITH n AS (SELECT count(*) AS c FROM documents),
+            d AS (
+              SELECT i AS draw_id,
+                     ('0x' || substr(md5('boot-v1:' || i::VARCHAR), 1, 15))
+                       ::BIGINT % (SELECT c FROM n) AS doc_id
+              FROM (SELECT unnest(range(0, 1000)) AS i)
+            )
+            SELECT draw_id, d.doc_id, lang, source
+            FROM d JOIN documents USING (doc_id)
+        """,
         "dq_checks_orders": """
             SELECT 'orderkey_unique' AS name, 'unique' AS kind,
                    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_violations,

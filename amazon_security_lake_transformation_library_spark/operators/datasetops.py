@@ -53,6 +53,7 @@ __all__ = [
     "decontaminate_bloom",
     "semantic_decontaminate",
     "epoch_shuffle",
+    "bootstrap_sample",
 ]
 
 
@@ -676,3 +677,35 @@ def epoch_shuffle(
         (F.conv(F.substring(h, 17, 8), 16, 10).cast("long")
          % F.lit(n_shards)).alias("shard"),
     )
+
+
+def bootstrap_sample(
+    df: DataFrame,
+    n_draws: int,
+    seed: str = "boot-v1",
+    id_col: str = "doc_id",
+    n_ids: int | None = None,
+) -> DataFrame:
+    """Deterministic bootstrap (sampling WITH replacement): draw j maps
+    to id ``md5(seed || j) % n_ids`` — a pure function of (seed, j), so
+    the resample is reproducible on any engine and any partitioning
+    (unlike rand()-based sampling). Returns one row per draw:
+    ``draw_id`` + the sampled row's columns; duplicate draws appear as
+    separate rows (the whole point of bootstrap).
+
+    Shape: one ``spark.range(n_draws)`` projection joined to the corpus
+    on the id — a plain equi-join that AQE broadcasts when the draw
+    table is small, hash-partitions otherwise. Requires dense ids
+    ``0..n_ids-1`` (the house testdata contract); pass ``n_ids``
+    explicitly to skip the one scalar count."""
+    spark = df.sparkSession
+    n = n_ids if n_ids is not None else df.count()
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("draw_id").cast("string")))
+    draws = spark.range(n_draws).select(
+        F.col("id").alias("draw_id")
+    ).select(
+        "draw_id",
+        (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+         % F.lit(n)).alias(id_col),
+    )
+    return draws.join(df, id_col, "inner").select("draw_id", *df.columns)

@@ -679,3 +679,36 @@ def rolling_slope(
     return base.withColumn(
         "roll_slope", F.round(beta, 4) + F.lit(0.0)
     ).drop("__xc")
+
+
+def collapse_bursts(
+    df: DataFrame,
+    entity: str | Sequence[str] = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 5.0,
+    order: Sequence[str] = (),
+) -> DataFrame:
+    """Burst collapse — keep only the FIRST row of every rapid-fire run
+    per entity (rows closer than ``gap_seconds`` to their predecessor are
+    duplicates-in-spirit: retry storms, double-clicks, at-least-once
+    redeliveries). The fuzzy-timestamp companion to exact dedup: one
+    entity-keyed lag window (the shared feature-block exchange) + a
+    filter — no state, no self-join. Emits the surviving rows unchanged
+    plus ``burst_id`` (0-based island index within the entity) so
+    callers can also aggregate burst sizes."""
+    keys = [entity] if isinstance(entity, str) else list(entity)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = int(gap_seconds * 1_000_000)
+    head = (
+        F.lag(us).over(w).isNull()
+        | ((us - F.lag(us).over(w)) >= F.lit(gap_us))
+    )
+    wc = Window.partitionBy(*keys).orderBy(ts_col, *order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    out = df.select(
+        "*",
+        head.alias("_head"),
+        (F.sum(head.cast("long")).over(wc) - F.lit(1)).alias("burst_id"),
+    )
+    return out.where(F.col("_head")).drop("_head")

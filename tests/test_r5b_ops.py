@@ -605,3 +605,39 @@ def test_srp_bucket_is_pure_function_of_vector(spark):
         dots = planes @ np2.array(vec, dtype="float64")
         expect = sum((1 << j) for j in range(6) if dots[j] >= 0)
         assert a[vid] == expect
+
+
+# ------------------------------------------- burst collapse + bootstrap
+
+def test_collapse_bursts_keeps_island_heads(spark):
+    from amazon_security_lake_transformation_library_spark.operators import features as ft
+
+    pdf = pd.DataFrame({
+        "user_id": [1] * 6 + [2] * 2,
+        "ts": pd.to_datetime(
+            [0, 2, 3, 100, 101, 300, 0, 400], unit="s"
+        ).astype("datetime64[us]"),
+        "event_id": list(range(8)),
+    })
+    out = ft.collapse_bursts(
+        spark.createDataFrame(pdf), entity="user_id", ts_col="ts",
+        gap_seconds=60.0, order=("event_id",)).collect()
+    got = {(r["user_id"], r["event_id"]): r["burst_id"] for r in out}
+    # user 1: bursts start at t=0, t=100, t=300; user 2: t=0, t=400
+    assert got == {(1, 0): 0, (1, 3): 1, (1, 5): 2, (2, 6): 0, (2, 7): 1}
+
+
+def test_bootstrap_sample_reproducible_with_replacement(spark):
+    from amazon_security_lake_transformation_library_spark.operators import datasetops as dsx
+
+    docs = spark.range(50).withColumnRenamed("id", "doc_id")
+    a = dsx.bootstrap_sample(docs, 500, seed="s1", n_ids=50).collect()
+    b = dsx.bootstrap_sample(docs.repartition(7), 500, seed="s1",
+                             n_ids=50).collect()
+    assert sorted((r["draw_id"], r["doc_id"]) for r in a) == \
+           sorted((r["draw_id"], r["doc_id"]) for r in b)
+    assert len(a) == 500
+    counts = pd.Series([r["doc_id"] for r in a]).value_counts()
+    assert counts.max() > 1  # with replacement: duplicates must occur
+    c = dsx.bootstrap_sample(docs, 500, seed="s2", n_ids=50).collect()
+    assert sorted(r["doc_id"] for r in c) != sorted(r["doc_id"] for r in a)
