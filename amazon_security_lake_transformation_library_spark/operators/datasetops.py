@@ -700,6 +700,11 @@ def bootstrap_sample(
     explicitly to skip the one scalar count."""
     spark = df.sparkSession
     n = n_ids if n_ids is not None else df.count()
+    if n <= 0:  # empty corpus: nothing to resample (avoid ANSI mod-by-0)
+        return spark.createDataFrame(
+            [], "draw_id long, " + ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in df.schema.fields))
     h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("draw_id").cast("string")))
     draws = spark.range(n_draws).select(
         F.col("id").alias("draw_id")
