@@ -3645,6 +3645,19 @@ def _q_bootstrap_docs(spark, sf_dir):
     return dso.bootstrap_sample(docs, n_draws=1000, seed="boot-v1")
 
 
+def _q_trimmed_mean(spark, sf_dir):
+    """Exact per-user 10% trimmed mean (features.trimmed_mean): integer
+    floor trim + total-order ranking makes the kept set (hence the mean)
+    engine- and partitioning-identical; one rank window + one agg."""
+    ev = _t(spark, sf_dir, "events")
+    out = feat.trimmed_mean(ev, entity="user_id", value_col="value",
+                            trim_frac=0.1, order=("event_id",))
+    return out.select(
+        "user_id", F.col("n_kept").cast("long").alias("n_kept"),
+        (F.round("trimmed_mean", 4) + F.lit(0.0)).alias("trimmed_mean"),
+    )
+
+
 # ORDERING CONTRACT: the driver's differential gate records rows for the
 # FIRST 50 dict entries only. _GATE_FRONT lists, explicitly, every entry
 # that has no driver-green row in any earlier round's CORRECTNESS artifact
@@ -3700,6 +3713,7 @@ _GATE_FRONT = [
     "multimodal_resize_image", "multimodal_audio_features",
     "kcore_docs", "dq_checks_orders", "ann_srp_topk",
     "collapse_bursts_events", "bootstrap_sample_docs",
+    "trimmed_mean_value_by_user",
     # --- prior-green re-pin anchors: r4-green rows (CORRECTNESS_r04.json,
     # 50/50 green) re-pinned up to the 50-slot budget; entries past the cap
     # already have driver-green rows in r2/r3/r4 ---
@@ -3792,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_topk": _q_srp_topk,
         "collapse_bursts_events": _q_collapse_bursts,
         "bootstrap_sample_docs": _q_bootstrap_docs,
+        "trimmed_mean_value_by_user": _q_trimmed_mean,
         "ngram_containment_docs": _q_ngram_containment,
         "dedup_simhash_hamming": _q_simhash_hamming,
         "dedup_clusters": _q_dedup_clusters,
@@ -7357,6 +7372,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_docs": _kcore_oracle_sql(rounds=4, k=4),
         "ann_srp_topk": _srp_oracle_sql(k=5, bits=8),
+        "trimmed_mean_value_by_user": """
+            WITH r AS (
+              SELECT user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY value, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n_kept,
+                   round(avg(value), 4) + 0.0 AS trimmed_mean
+            FROM r
+            WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+            GROUP BY 1
+        """,
         "collapse_bursts_events": """
             WITH r AS (
               SELECT event_id, user_id, ts,

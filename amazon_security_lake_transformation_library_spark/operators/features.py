@@ -712,3 +712,36 @@ def collapse_bursts(
         (F.sum(head.cast("long")).over(wc) - F.lit(1)).alias("burst_id"),
     )
     return out.where(F.col("_head")).drop("_head")
+
+
+def trimmed_mean(
+    df: DataFrame,
+    entity: str | Sequence[str] = "user_id",
+    value_col: str = "value",
+    trim_frac: float = 0.1,
+    order: Sequence[str] = (),
+) -> DataFrame:
+    """Exact per-entity trimmed mean: drop the lowest and highest
+    ``floor(n·trim_frac)`` observations, average the rest — the robust
+    location estimate between mean (trim 0) and median (trim 0.5),
+    standard for latency/score aggregation under outliers.
+
+    Exactness contract: the trim count is the INTEGER floor per entity,
+    and rows are ranked by ``(value, order...)`` — a total order, so the
+    kept set (and therefore the mean) is identical on any engine and
+    partitioning. One entity-keyed rank window + one hash aggregate.
+    """
+    keys = [entity] if isinstance(entity, str) else list(entity)
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col), *[F.col(c) for c in order])
+    wn = Window.partitionBy(*keys)
+    ranked = df.select(
+        *keys, F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    t = F.floor(F.col("_n") * F.lit(float(trim_frac)))
+    kept = ranked.where((F.col("_r") > t) & (F.col("_r") <= F.col("_n") - t))
+    return kept.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.avg("_v").alias("trimmed_mean"),
+    )

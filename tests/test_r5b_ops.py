@@ -641,3 +641,30 @@ def test_bootstrap_sample_reproducible_with_replacement(spark):
     assert counts.max() > 1  # with replacement: duplicates must occur
     c = dsx.bootstrap_sample(docs, 500, seed="s2", n_ids=50).collect()
     assert sorted(r["doc_id"] for r in c) != sorted(r["doc_id"] for r in a)
+
+
+def test_trimmed_mean_matches_numpy(spark):
+    from amazon_security_lake_transformation_library_spark.operators import features as ft
+
+    rng = np.random.default_rng(91)
+    n = 400
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n),
+        "value": np.round(rng.normal(0, 5, n), 3),
+        "event_id": np.arange(n),
+    })
+    got = {r["user_id"]: (r["n_kept"], r["trimmed_mean"]) for r in
+           ft.trimmed_mean(spark.createDataFrame(pdf), entity="user_id",
+                           trim_frac=0.2, order=("event_id",)).collect()}
+    for uid, grp in pdf.groupby("user_id"):
+        v = np.sort(grp["value"].to_numpy())
+        t = int(np.floor(len(v) * 0.2))
+        kept = v[t:len(v) - t]
+        nk, tm = got[uid]
+        assert nk == len(kept)
+        assert math.isclose(tm, float(kept.mean()), rel_tol=1e-12)
+    # trim 0 == plain mean; single-row group survives any trim < 0.5
+    one = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "value": [7.0], "event_id": [0]}))
+    r = ft.trimmed_mean(one, trim_frac=0.4, order=("event_id",)).collect()[0]
+    assert r["n_kept"] == 1 and r["trimmed_mean"] == 7.0
